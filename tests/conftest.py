@@ -1,0 +1,20 @@
+"""Test configuration: force an 8-virtual-device CPU backend.
+
+Must run before the first `import jax` resolves a backend, hence the env
+mutation at module import time. Multi-chip sharding tests use this virtual
+mesh (the TPU equivalent of a fake backend).
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
