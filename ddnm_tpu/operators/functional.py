@@ -1,0 +1,131 @@
+"""Simplified-mode degradation operators: plain A / A+ image-space maps.
+
+The reference builds these as torch closures over NCHW tensors
+(guided_diffusion/diffusion.py:244-292, helpers :27-42). Ours operate on
+NHWC images (TPU-native layout) and are pure jnp, so they trace straight
+into the sampling scan.
+
+Semantics notes (parity with the reference, batch semantics generalised):
+  - colorization: A averages channels with coef 1/3 and *replicates* the gray
+    across 3 channels (the reference's color2gray/gray2color pair composes to
+    exactly this for batch size 1, which it enforces); A+ = A's right inverse
+    on that range.
+  - sr_averagepooling: A = non-overlapping mean pool, A+ = nearest-neighbour
+    ("MeanUpsample") replication (diffusion.py:27-31), NOT a scaled adjoint.
+  - inpainting: A = A+ = pixelwise mask.
+  - mask_color_sr / diy: composition pool(gray(mask(x))) with reversed A+.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = [
+    "FunctionalOperator",
+    "color2gray",
+    "gray2color",
+    "avg_pool",
+    "mean_upsample",
+    "build_functional_operator",
+]
+
+Array = jnp.ndarray
+
+
+def color2gray(x: Array) -> Array:
+    """NHWC color -> 3-channel replicated gray (coef 1/3 per channel)."""
+    gray = jnp.mean(x, axis=-1, keepdims=True)
+    return jnp.broadcast_to(gray, x.shape[:-1] + (3,))
+
+
+def gray2color(x: Array) -> Array:
+    """Pseudo-inverse of color2gray: channel 0 is the gray, replicate it
+    scaled by coef/base = (1/3)/(3*(1/3)^2) = 1 (diffusion.py:38-42)."""
+    gray = x[..., 0:1]
+    return jnp.broadcast_to(gray, x.shape[:-1] + (3,))
+
+
+def avg_pool(x: Array, scale: int) -> Array:
+    """Non-overlapping mean pooling on NHWC."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // scale, scale, w // scale, scale, c)
+    return x.mean(axis=(2, 4))
+
+
+def mean_upsample(x: Array, scale: int) -> Array:
+    """Nearest-neighbour replication upsample (diffusion.py:27-31)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, scale, w, scale, c))
+    return x.reshape(b, h * scale, w * scale, c)
+
+
+@dataclasses.dataclass(frozen=True)
+class FunctionalOperator:
+    """A degradation A with pseudo-inverse A+ over NHWC images."""
+
+    name: str
+    A: Callable[[Array], Array]
+    Ap: Callable[[Array], Array]
+
+    def project(self, x: Array, y: Array) -> Array:
+        """Null-space data-consistency residual A+(A(x) - y) (Eq. 17 core)."""
+        return self.Ap(self.A(x) - y)
+
+
+def build_functional_operator(
+    deg: str,
+    *,
+    image_size: int = 256,
+    deg_scale: float = 4.0,
+    mask: np.ndarray | None = None,
+) -> FunctionalOperator:
+    """Map a simplified-mode task string to (A, A+).
+
+    `mask` is an (H, W) or (H, W, 1) binary array for the inpainting-style
+    tasks (the reference loads exp/inp_masks/mask.npy, diffusion.py:256).
+    """
+    if deg == "colorization":
+        return FunctionalOperator(deg, color2gray, gray2color)
+
+    if deg == "denoising":
+        ident = lambda z: z
+        return FunctionalOperator(deg, ident, ident)
+
+    if deg == "sr_averagepooling":
+        scale = round(deg_scale)
+        return FunctionalOperator(
+            deg,
+            lambda z: avg_pool(z, scale),
+            lambda z: mean_upsample(z, scale),
+        )
+
+    if deg == "inpainting":
+        if mask is None:
+            raise ValueError("inpainting requires a mask")
+        m = jnp.asarray(np.asarray(mask), jnp.float32)
+        if m.ndim == 2:
+            m = m[:, :, None]
+        masked = lambda z: z * m
+        return FunctionalOperator(deg, masked, masked)
+
+    if deg in ("mask_color_sr", "diy"):
+        if mask is None:
+            raise ValueError(f"{deg} requires a mask")
+        m = jnp.asarray(np.asarray(mask), jnp.float32)
+        if m.ndim == 2:
+            m = m[:, :, None]
+        scale = round(deg_scale)
+
+        def A(z):
+            return avg_pool(color2gray(z * m), scale)
+
+        def Ap(z):
+            return gray2color(mean_upsample(z, scale)) * m
+
+        return FunctionalOperator(deg, A, Ap)
+
+    raise NotImplementedError(f"simplified degradation {deg} not supported")
