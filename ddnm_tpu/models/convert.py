@@ -1,0 +1,124 @@
+"""PyTorch checkpoint -> flax params conversion.
+
+The reference ships three pickled torch state-dict families (SDEdit DDPM
+`celeba_hq.ckpt`, ADM `256x256_diffusion(_uncond).pt`, ADM
+`256x256_classifier.pt` — see reference functions/ckpt_util.py and
+guided_diffusion/diffusion.py:128-180). This module maps any of them onto our
+NHWC flax modules:
+
+  - conv weights   (O, I, kH, kW) -> kernel (kH, kW, I, O)
+  - linear weights (O, I)         -> kernel (I, O)
+  - norm weight/bias              -> scale/bias under the GroupNormF32 "gn"
+  - 1x1-conv-as-qkv stays a conv kernel (we implement them as convs too)
+
+Each model family supplies a `key_map(segments) -> flax path` rule; the
+mechanics here are family-agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Mapping, Sequence
+
+import numpy as np
+
+__all__ = [
+    "torch_state_dict_to_flax",
+    "ddpm_key_map",
+    "collapse_numeric",
+    "load_torch_checkpoint",
+]
+
+
+def collapse_numeric(segments: Sequence[str]) -> list[str]:
+    """Merge purely-numeric path segments into their predecessor:
+    ["down", "0", "block", "1"] -> ["down_0", "block_1"]."""
+    out: list[str] = []
+    for seg in segments:
+        if seg.isdigit() and out:
+            out[-1] = f"{out[-1]}_{seg}"
+        else:
+            out.append(seg)
+    return out
+
+
+_DDPM_INNER = {
+    "norm1", "conv1", "temb_proj", "norm2", "conv2", "nin_shortcut",
+    "conv_shortcut", "norm", "q", "k", "v", "proj_out", "conv",
+}
+
+
+def ddpm_key_map(segments: Sequence[str]) -> tuple[str, ...]:
+    """DDPMUNet naming: flat top-level module names ("down_0_block_1"),
+    known inner module names from ResnetBlock/AttnBlock/resample."""
+    segs = collapse_numeric(segments)
+    if len(segs) >= 2 and segs[-1] in _DDPM_INNER:
+        return ("_".join(segs[:-1]), segs[-1])
+    return ("_".join(segs),)
+
+
+def _leaf(path: tuple[str, ...], leaf_name: str, tensor: np.ndarray, weight_ndim: int):
+    """Map a torch (weight|bias) leaf to a flax (path, name, value)."""
+    if leaf_name == "weight":
+        if tensor.ndim == 4:  # conv OIHW -> HWIO
+            return path, "kernel", np.transpose(tensor, (2, 3, 1, 0))
+        if tensor.ndim == 2:  # linear OI -> IO
+            return path, "kernel", tensor.T
+        if tensor.ndim == 1:  # norm scale
+            return path + ("gn",), "scale", tensor
+        raise ValueError(f"unhandled weight ndim {tensor.ndim} at {path}")
+    if leaf_name == "bias":
+        if weight_ndim == 1:  # sibling weight is a norm scale
+            return path + ("gn",), "bias", tensor
+        return path, "bias", tensor
+    raise ValueError(f"unhandled leaf {leaf_name} at {path}")
+
+
+def torch_state_dict_to_flax(
+    state_dict: Mapping[str, "np.ndarray"],
+    key_map: Callable[[Sequence[str]], tuple[str, ...]] = ddpm_key_map,
+    skip: Iterable[str] = (),
+) -> dict:
+    """Assemble a flax params pytree (nested dict of numpy arrays).
+
+    `state_dict` values may be torch tensors or numpy arrays. Keys in `skip`
+    (prefix match) are ignored (e.g. torch buffers we recompute)."""
+    numpied: dict[str, np.ndarray] = {}
+    for k, val in state_dict.items():
+        if any(k.startswith(s) for s in skip):
+            continue
+        if hasattr(val, "detach"):
+            val = val.detach().cpu().numpy()
+        numpied[k] = np.asarray(val)
+
+    # sibling weight ndim per prefix, to disambiguate norm vs conv biases
+    weight_ndim = {
+        k.rsplit(".", 1)[0]: v.ndim for k, v in numpied.items() if k.endswith(".weight")
+    }
+
+    params: dict = {}
+    for k, v in numpied.items():
+        *mods, leaf = k.split(".")
+        prefix = ".".join(mods)
+        path = key_map(mods)
+        path, name, value = _leaf(path, leaf, v, weight_ndim.get(prefix, 0))
+        node = params
+        for p in path:
+            node = node.setdefault(p, {})
+        node[name] = value.astype(np.float32)
+    return params
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Load a pickled torch checkpoint into numpy without needing a GPU.
+
+    Uses torch (CPU build is available in this image) purely as an unpickler.
+    """
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    # some DDPM checkpoints are [state_dict, ...] lists
+    if isinstance(obj, (list, tuple)):
+        obj = obj[0]
+    return {k: v for k, v in obj.items()}

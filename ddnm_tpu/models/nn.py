@@ -1,0 +1,111 @@
+"""Shared NN primitives for the model zoo (NHWC, TPU-native).
+
+Parity notes vs the reference:
+  - Two distinct sinusoidal time-embedding orderings exist in the reference
+    and both matter for checkpoint compatibility: the DDPM family is
+    sin-first (models.py:6-24), the ADM family is cos-first with max period
+    1e4 (nn.py:103-121). Keep both.
+  - GroupNorm epsilon differs per family: 1e-6 DDPM (models.py:33) vs 1e-5
+    ADM (torch GroupNorm default, nn.py:93-100).
+  - ADM computes GroupNorm in fp32 even under an fp16 torso (GroupNorm32,
+    nn.py:17-19) — we do the same under a bf16 torso.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = [
+    "swish",
+    "timestep_embedding_ddpm",
+    "timestep_embedding_adm",
+    "GroupNormF32",
+    "nearest_upsample",
+    "attention",
+]
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def timestep_embedding_ddpm(timesteps, embedding_dim: int):
+    """Sin-first sinusoidal embedding (reference models.py:6-24)."""
+    half_dim = embedding_dim // 2
+    emb = math.log(10000) / (half_dim - 1)
+    emb = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
+    emb = timesteps.astype(jnp.float32)[:, None] * emb[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def timestep_embedding_adm(timesteps, dim: int, max_period: int = 10000):
+    """Cos-first sinusoidal embedding (reference nn.py:103-121)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+class GroupNormF32(nn.Module):
+    """GroupNorm computed in fp32 regardless of input dtype, cast back.
+
+    Matches ADM's GroupNorm32 (reference nn.py:17-19) under mixed precision
+    and plain GroupNorm in fp32.
+    """
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        out = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            name="gn",
+        )(x.astype(jnp.float32))
+        return out.astype(dtype)
+
+
+def nearest_upsample(x, factor: int = 2):
+    """Nearest-neighbour 2x upsample on NHWC (== F.interpolate nearest)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(
+        x[:, :, None, :, None, :], (b, h, factor, w, factor, c)
+    )
+    return x.reshape(b, h * factor, w * factor, c)
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """Scaled dot-product attention over flat token grids.
+
+    q, k, v: (B*, T, C) with any number of leading batch/head dims folded into
+    B*. Softmax in fp32 (the reference does fp32 softmax under fp16 torsos,
+    unet.py:352,387). XLA fuses this well at the <=4096-token grid sizes this
+    framework sees; a Pallas fused kernel can be swapped in here.
+    """
+    dtype = q.dtype
+    w = jnp.einsum("btc,bsc->bts", q, k, precision=precision) * scale
+    w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(dtype)
+    return jnp.einsum("bts,bsc->btc", w, v, precision=precision)

@@ -1,0 +1,20 @@
+"""Sampling: the DDNM/DDNM+ null-space diffusion samplers.
+
+One `lax.scan` per image batch with zero host round-trips (the reference
+ping-pongs xt between CPU and GPU every step, svd_ddnm.py:45,67-68);
+time-travel is a `lax.cond` on precomputed static flags.
+"""
+
+from ddnm_tpu.sampling.ddnm import (
+    DDNMSchedule,
+    build_schedule,
+    sample_simplified,
+    sample_svd,
+)
+
+__all__ = [
+    "DDNMSchedule",
+    "build_schedule",
+    "sample_simplified",
+    "sample_svd",
+]

@@ -1,0 +1,260 @@
+"""DDNM / DDNM+ samplers as single `lax.scan` loops.
+
+Implements the reference's two sampling modes with identical numerics:
+
+  - simplified mode (functional A/A+, guided_diffusion/diffusion.py:346-396):
+    Eq.12 x0|t, Eq.19 lambda_t/gamma_t gating, Eq.17 null-space projection,
+    DDIM update with gamma-gated noise, RePaint time-travel re-noising.
+  - SVD mode (A_functions, functions/svd_ddnm.py:19-164): noise-free DDNM
+    (exact A+ projection) and noisy DDNM+ (Lambda range-space scaling +
+    Lambda_noise spectral noise, Eq.51).
+
+Faithfully-replicated reference quirks:
+  - the simplified path computes sigma_t = sqrt(1 - alpha_bar_next^2)
+    (squared! diffusion.py:356) and compares against alpha_bar_next * sigma_y
+    (no sqrt, :368), while the SVD path uses sigma_t = sqrt(1 - alpha_bar)
+    and a = sqrt(alpha_bar_next) (svd_ddnm.py:121-126). Both are kept.
+  - the final step clamps t_next to -1 where alpha_bar = 1 exactly.
+
+TPU-first design: the whole trajectory is one compiled scan; the jump
+schedule is data-independent so the travel/normal branch is a `lax.cond` on a
+precomputed flag array (model forward only traced in the normal branch);
+timestep tables live in HBM; images stay NHWC end-to-end and are flattened to
+the operators' channel-major vector layout only around operator calls.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ddnm_tpu import schedules as sch
+from ddnm_tpu.operators.base import SVDOperator
+from ddnm_tpu.operators.functional import FunctionalOperator
+
+__all__ = ["DDNMSchedule", "build_schedule", "sample_simplified", "sample_svd"]
+
+Array = jnp.ndarray
+ModelFn = Callable[[Array, Array], Array]  # (x_nhwc, t_float[B]) -> eps pred
+NoiseFn = Callable[[jax.Array, tuple], Array]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class DDNMSchedule:
+    """Per-run sampling schedule (host-precomputed; a pytree of arrays so it
+    flows through jit/scan as data)."""
+
+    alpha_bar: np.ndarray  # padded table, [t+1] = prod_{s<=t}(1-beta_s)
+    t_cur: np.ndarray  # (S,) int32, diffusion-space timestep i
+    t_next: np.ndarray  # (S,) int32, diffusion-space timestep j (or -1)
+    is_travel: np.ndarray  # (S,) bool
+
+    @property
+    def num_steps(self) -> int:
+        return len(self.t_cur)
+
+    def tree_flatten(self):
+        return (self.alpha_bar, self.t_cur, self.t_next, self.is_travel), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def build_schedule(
+    *,
+    betas: np.ndarray,
+    t_sampling: int,
+    travel_length: int = 1,
+    travel_repeat: int = 1,
+) -> DDNMSchedule:
+    """Assemble the scan-ready schedule from betas + time-travel params."""
+    num_t = len(betas)
+    times = sch.get_schedule_jump(t_sampling, travel_length, travel_repeat)
+    pairs = sch.build_time_pairs(times, skip=num_t // t_sampling)
+    return DDNMSchedule(
+        alpha_bar=sch.alpha_bar_table(betas).astype(np.float32),
+        t_cur=pairs.t_cur,
+        t_next=pairs.t_next,
+        is_travel=pairs.is_travel,
+    )
+
+
+def _default_noise(key, shape):
+    return jax.random.normal(key, shape, dtype=jnp.float32)
+
+
+def _scan_inputs(sched: DDNMSchedule):
+    return (
+        jnp.asarray(sched.t_cur),
+        jnp.asarray(sched.t_next),
+        jnp.asarray(sched.is_travel),
+    )
+
+
+def _travel_step(x0_pred, at_next, noise):
+    """RePaint re-noising (diffusion.py:388-395 / svd_ddnm.py:69-76)."""
+    return jnp.sqrt(at_next) * x0_pred + noise * jnp.sqrt(1.0 - at_next)
+
+
+@partial(jax.jit, static_argnames=("model_fn", "operator", "noise_fn", "eta", "sigma_y"))
+def sample_simplified(
+    model_fn: ModelFn,
+    x_init: Array,
+    y: Array,
+    operator: FunctionalOperator,
+    sched: DDNMSchedule,
+    key: jax.Array,
+    *,
+    eta: float = 0.85,
+    sigma_y: float = 0.0,
+    noise_fn: NoiseFn = _default_noise,
+) -> tuple[Array, Array]:
+    """Simplified DDNM+ over NHWC images. Returns (x_final, x0_pred_final).
+
+    `sigma_y` here is the *scaled* measurement noise (the runner doubles the
+    CLI value to account for [-1,1] scaling, diffusion.py:294).
+    """
+    alpha_bar = jnp.asarray(sched.alpha_bar)
+    n = x_init.shape[0]
+
+    def step(carry, inputs):
+        x, x0_pred, key = carry
+        t_i, t_j, travel = inputs
+        key, k_noise = jax.random.split(key)
+        at = alpha_bar[t_i + 1]
+        at_next = alpha_bar[t_j + 1]
+        noise = noise_fn(k_noise, x.shape)
+
+        def normal(_):
+            t_b = jnp.full((n,), t_i, dtype=jnp.float32)
+            et = model_fn(x, t_b)
+            et = et[..., :3] if et.shape[-1] == 6 else et
+            # Eq. 12
+            x0_t = (x - et * jnp.sqrt(1.0 - at)) / jnp.sqrt(at)
+            # Eq. 19 (reference uses sigma_t = sqrt(1 - at_next^2), :356)
+            sigma_t = jnp.sqrt(1.0 - at_next**2)
+            lambda_t = jnp.where(
+                sigma_t >= at_next * sigma_y, 1.0, sigma_t / (at_next * sigma_y)
+            )
+            gamma_t = jnp.where(
+                sigma_t >= at_next * sigma_y,
+                jnp.sqrt(jnp.maximum(sigma_t**2 - (at_next * sigma_y) ** 2, 0.0)),
+                0.0,
+            )
+            # Eq. 17
+            x0_t_hat = x0_t - lambda_t * operator.Ap(operator.A(x0_t) - y)
+            c1 = jnp.sqrt(1.0 - at_next) * eta
+            c2 = jnp.sqrt(1.0 - at_next) * (1.0 - eta**2) ** 0.5
+            x_next = jnp.sqrt(at_next) * x0_t_hat + gamma_t * (c1 * noise + c2 * et)
+            return x_next, x0_t
+
+        def travel_back(_):
+            return _travel_step(x0_pred, at_next, noise), x0_pred
+
+        x_next, x0_t = jax.lax.cond(travel, travel_back, normal, operand=None)
+        return (x_next, x0_t, key), None
+
+    (x, x0_pred, _), _ = jax.lax.scan(
+        step, (x_init, jnp.zeros_like(x_init), key), _scan_inputs(sched)
+    )
+    return x, x0_pred
+
+
+def _nhwc_to_vec(x: Array) -> Array:
+    """NHWC image -> channel-major flattened vector (operator layout)."""
+    b = x.shape[0]
+    return jnp.transpose(x, (0, 3, 1, 2)).reshape(b, -1)
+
+
+def _vec_to_nhwc(v: Array, shape: tuple) -> Array:
+    b, h, w, c = shape
+    return jnp.transpose(v.reshape(b, c, h, w), (0, 2, 3, 1))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("model_fn", "operator", "noise_fn", "eta", "sigma_y", "guidance_fn"),
+)
+def sample_svd(
+    model_fn: ModelFn,
+    x_init: Array,
+    y: Array,
+    operator: SVDOperator,
+    sched: DDNMSchedule,
+    key: jax.Array,
+    *,
+    eta: float = 0.85,
+    sigma_y: float = 0.0,
+    noise_fn: NoiseFn = _default_noise,
+    guidance_fn: Optional[Callable] = None,
+) -> tuple[Array, Array]:
+    """SVD-mode DDNM (sigma_y == 0) / DDNM+ (sigma_y > 0) over NHWC images.
+
+    `y` is the measurement in the operator's flattened layout (B, M).
+    `guidance_fn(x, t, at) -> eps_correction` implements classifier guidance
+    (svd_ddnm.py:49-52): et <- et - sqrt(1-at) * grad log p(y|x).
+    """
+    alpha_bar = jnp.asarray(sched.alpha_bar)
+    n = x_init.shape[0]
+    img_shape = x_init.shape
+
+    def step(carry, inputs):
+        x, x0_pred, key = carry
+        t_i, t_j, travel = inputs
+        key, k_noise = jax.random.split(key)
+        at = alpha_bar[t_i + 1]
+        at_next = alpha_bar[t_j + 1]
+        noise = noise_fn(k_noise, img_shape)
+
+        def normal(_):
+            t_b = jnp.full((n,), t_i, dtype=jnp.float32)
+            et = model_fn(x, t_b)
+            et = et[..., :3] if et.shape[-1] == 6 else et
+            if guidance_fn is not None:
+                et = et - jnp.sqrt(1.0 - at) * guidance_fn(x, t_b, at)
+            x0_t = (x - et * jnp.sqrt(1.0 - at)) / jnp.sqrt(at)
+
+            x0_vec = _nhwc_to_vec(x0_t)
+            resid = operator.A(x0_vec) - y
+            if sigma_y == 0.0:
+                # svd_ddnm.py:59-65
+                x0_hat = x0_vec - operator.A_pinv(resid)
+                c1 = jnp.sqrt(1.0 - at_next) * eta
+                c2 = jnp.sqrt(1.0 - at_next) * (1.0 - eta**2) ** 0.5
+                x_next = (
+                    jnp.sqrt(at_next) * _vec_to_nhwc(x0_hat, img_shape)
+                    + c1 * noise
+                    + c2 * et
+                )
+            else:
+                # svd_ddnm.py:119-131 (Eq. 17 via Lambda, Eq. 51 via Lambda_noise)
+                a = jnp.sqrt(at_next)
+                sigma_t = jnp.sqrt(1.0 - at_next)
+                x0_hat = x0_vec - operator.Lambda(
+                    operator.A_pinv(resid), a, sigma_y, sigma_t, eta
+                )
+                spectral_noise = operator.Lambda_noise(
+                    _nhwc_to_vec(noise), a, sigma_y, sigma_t, eta, _nhwc_to_vec(et)
+                )
+                x_next = jnp.sqrt(at_next) * _vec_to_nhwc(
+                    x0_hat, img_shape
+                ) + _vec_to_nhwc(spectral_noise, img_shape)
+            return x_next, x0_t
+
+        def travel_back(_):
+            return _travel_step(x0_pred, at_next, noise), x0_pred
+
+        x_next, x0_t = jax.lax.cond(travel, travel_back, normal, operand=None)
+        return (x_next, x0_t, key), None
+
+    (x, x0_pred, _), _ = jax.lax.scan(
+        step, (x_init, jnp.zeros_like(x_init), key), _scan_inputs(sched)
+    )
+    return x, x0_pred

@@ -1,0 +1,256 @@
+"""End-to-end DDNM sampler parity vs the reference loops.
+
+Oracle: functions/svd_ddnm.py::ddnm_diffusion / ddnm_plus_diffusion run under
+torch-cpu with (a) .to('cuda') redirected to cpu and (b) torch.randn_like
+patched to zeros — the stochastic terms are externally injected noise, so
+zeroing them on both sides makes the trajectories deterministic while still
+exercising every deterministic term (including time-travel re-noising paths).
+
+The simplified-mode oracle is an eager torch transcription of
+guided_diffusion/diffusion.py:346-396 (that code is embedded in a method that
+needs datasets/checkpoints; the formulas are re-expressed here directly from
+Eq.12/17/19 with the reference's sigma_t = sqrt(1-at_next^2) quirk)."""
+
+import contextlib
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ddnm_tpu import schedules as sch
+from ddnm_tpu.models.convert import torch_state_dict_to_flax
+from ddnm_tpu.models.unet_ddpm import DDPMUNet
+from ddnm_tpu.operators import build_functional_operator, build_svd_operator
+from ddnm_tpu.sampling import build_schedule, sample_simplified, sample_svd
+from tests._reference import import_reference
+
+RES = 32
+T = 100  # diffusion timesteps (small for test speed)
+T_SAMPLING = 10
+
+
+class _NS:
+    def __init__(self, d):
+        for k, v in d.items():
+            setattr(self, k, _NS(v) if isinstance(v, dict) else v)
+
+
+@contextlib.contextmanager
+def _cpu_as_cuda_and_zero_noise():
+    import torch
+
+    orig_to = torch.Tensor.to
+    orig_randn_like = torch.randn_like
+
+    def patched_to(self, *args, **kwargs):
+        args = tuple("cpu" if a == "cuda" else a for a in args)
+        if kwargs.get("device") == "cuda":
+            kwargs["device"] = "cpu"
+        return orig_to(self, *args, **kwargs)
+
+    torch.Tensor.to = patched_to
+    torch.randn_like = lambda x: torch.zeros_like(x)
+    try:
+        yield
+    finally:
+        torch.Tensor.to = orig_to
+        torch.randn_like = orig_randn_like
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    torch = pytest.importorskip("torch")
+    ref_models = import_reference("guided_diffusion.models")
+    ref_cfg = _NS(
+        {
+            "model": {
+                "type": "simple", "ch": 32, "out_ch": 3, "ch_mult": [1, 2],
+                "num_res_blocks": 1, "attn_resolutions": [16], "dropout": 0.0,
+                "in_channels": 3, "resamp_with_conv": True,
+            },
+            "data": {"image_size": RES},
+            "diffusion": {"num_diffusion_timesteps": T},
+        }
+    )
+    torch.manual_seed(7)
+    ref = ref_models.Model(ref_cfg)
+    ref.eval()
+
+    model = DDPMUNet(
+        ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+        attn_resolutions=(16,), resolution=RES,
+    )
+    params = {"params": torch_state_dict_to_flax(ref.state_dict())}
+
+    def model_fn(x, t):
+        return model.apply(params, x, t)
+
+    return ref, model_fn
+
+
+def _betas():
+    return sch.get_beta_schedule(
+        "linear", beta_start=1e-4, beta_end=0.02, num_diffusion_timesteps=T
+    ).astype(np.float32)
+
+
+ZERO_NOISE = lambda key, shape: jnp.zeros(shape, jnp.float32)
+
+
+@pytest.mark.parametrize("travel_l,travel_r", [(1, 1), (3, 2)])
+@pytest.mark.parametrize("sigma_y", [0.0, 0.1])
+def test_svd_sampler_parity(tiny_model, travel_l, travel_r, sigma_y):
+    torch = pytest.importorskip("torch")
+    svd_ddnm = import_reference("functions.svd_ddnm")
+
+    ref_model, model_fn = tiny_model
+    betas = _betas()
+    op = build_svd_operator("sr_averagepooling", image_size=RES, deg_scale=2)
+
+    rng = np.random.RandomState(0)
+    x_orig = rng.randn(1, 3, RES, RES).astype(np.float32)
+    x_T = rng.randn(1, 3, RES, RES).astype(np.float32)
+    y = np.asarray(op.A(jnp.asarray(x_orig.reshape(1, -1))))
+
+    cfg = _NS(
+        {
+            "diffusion": {"num_diffusion_timesteps": T},
+            "time_travel": {
+                "T_sampling": T_SAMPLING,
+                "travel_length": travel_l,
+                "travel_repeat": travel_r,
+            },
+        }
+    )
+
+    class TorchOp:
+        """Adapter: reference loop calls torch-tensor methods on A_funcs."""
+
+        def A(self, v):
+            return torch.from_numpy(np.asarray(op.A(jnp.asarray(v.numpy()))))
+
+        def A_pinv(self, v):
+            return torch.from_numpy(np.asarray(op.A_pinv(jnp.asarray(v.numpy()))))
+
+        def Lambda(self, v, a, s_y, s_t, eta):
+            return torch.from_numpy(np.asarray(
+                op.Lambda(jnp.asarray(v.numpy()), float(a), s_y, float(s_t), eta)
+            ))
+
+        def Lambda_noise(self, v, a, s_y, s_t, eta, eps):
+            return torch.from_numpy(np.asarray(
+                op.Lambda_noise(
+                    jnp.asarray(v.numpy()), float(a), s_y, float(s_t), eta,
+                    jnp.asarray(eps.numpy()),
+                )
+            ))
+
+    with _cpu_as_cuda_and_zero_noise(), torch.no_grad():
+        fn = svd_ddnm.ddnm_diffusion if sigma_y == 0 else svd_ddnm.ddnm_plus_diffusion
+        args = [torch.from_numpy(x_T.copy()), ref_model, torch.from_numpy(betas), 0.85,
+                TorchOp(), torch.from_numpy(y)]
+        if sigma_y != 0:
+            args.append(sigma_y)
+        xs, _ = fn(*args, config=cfg)
+        ref_out = xs[-1].numpy()
+
+    sched = build_schedule(
+        betas=betas, t_sampling=T_SAMPLING,
+        travel_length=travel_l, travel_repeat=travel_r,
+    )
+    x, _ = sample_svd(
+        model_fn,
+        jnp.asarray(np.transpose(x_T, (0, 2, 3, 1))),
+        jnp.asarray(y),
+        op,
+        sched,
+        jax.random.PRNGKey(0),
+        eta=0.85,
+        sigma_y=sigma_y,
+        noise_fn=ZERO_NOISE,
+    )
+    ours = np.transpose(np.asarray(x), (0, 3, 1, 2))
+    np.testing.assert_allclose(ours, ref_out, atol=2e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("sigma_y", [0.0, 0.2])
+def test_simplified_sampler_parity(tiny_model, sigma_y):
+    """Eager torch transcription of diffusion.py:346-396 vs our scan."""
+    torch = pytest.importorskip("torch")
+    ref_model, model_fn = tiny_model
+    betas = _betas()
+    scale = 2
+    op = build_functional_operator("sr_averagepooling", image_size=RES, deg_scale=scale)
+
+    rng = np.random.RandomState(1)
+    x_orig = rng.randn(1, 3, RES, RES).astype(np.float32)
+    x_T = rng.randn(1, 3, RES, RES).astype(np.float32)
+
+    def A_t(z):
+        return torch.nn.AdaptiveAvgPool2d((RES // scale, RES // scale))(z)
+
+    def Ap_t(z):
+        n, c, h, w = z.shape
+        return (
+            (torch.zeros(n, c, h, scale, w, scale) + z.view(n, c, h, 1, w, 1))
+            .view(n, c, scale * h, scale * w)
+        )
+
+    y_t = A_t(torch.from_numpy(x_orig))
+    eta = 0.85
+    b_t = torch.from_numpy(betas)
+
+    def compute_alpha(t):
+        beta = torch.cat([torch.zeros(1), b_t], dim=0)
+        return (1 - beta).cumprod(dim=0).index_select(0, t + 1).view(-1, 1, 1, 1)
+
+    skip = T // T_SAMPLING
+    times = sch.get_schedule_jump(T_SAMPLING, 1, 1)
+    x_ref = torch.from_numpy(x_T.copy())
+    x0_preds = []
+    with torch.no_grad():
+        for i, j in zip(times[:-1], times[1:]):
+            i, j = i * skip, j * skip
+            if j < 0:
+                j = -1
+            if j < i:
+                t = torch.ones(1) * i
+                next_t = torch.ones(1) * j
+                at = compute_alpha(t.long())
+                at_next = compute_alpha(next_t.long())
+                sigma_t = (1 - at_next**2).sqrt()
+                et = ref_model(x_ref, t)
+                x0_t = (x_ref - et * (1 - at).sqrt()) / at.sqrt()
+                if sigma_t >= at_next * sigma_y:
+                    lambda_t = 1.0
+                    gamma_t = (sigma_t**2 - (at_next * sigma_y) ** 2).sqrt()
+                else:
+                    lambda_t = sigma_t / (at_next * sigma_y)
+                    gamma_t = 0.0
+                x0_t_hat = x0_t - lambda_t * Ap_t(A_t(x0_t) - y_t)
+                c1 = (1 - at_next).sqrt() * eta
+                c2 = (1 - at_next).sqrt() * ((1 - eta**2) ** 0.5)
+                x_ref = at_next.sqrt() * x0_t_hat + gamma_t * (
+                    c1 * torch.zeros_like(x0_t) + c2 * et
+                )
+                x0_preds.append(x0_t)
+            else:
+                at_next = compute_alpha((torch.ones(1) * j).long())
+                x_ref = at_next.sqrt() * x0_preds[-1]
+
+    sched = build_schedule(betas=betas, t_sampling=T_SAMPLING)
+    y = np.transpose(y_t.numpy(), (0, 2, 3, 1))
+    x, _ = sample_simplified(
+        model_fn,
+        jnp.asarray(np.transpose(x_T, (0, 2, 3, 1))),
+        jnp.asarray(y),
+        op,
+        sched,
+        jax.random.PRNGKey(0),
+        eta=eta,
+        sigma_y=sigma_y,
+        noise_fn=ZERO_NOISE,
+    )
+    ours = np.transpose(np.asarray(x), (0, 3, 1, 2))
+    np.testing.assert_allclose(ours, x_ref.numpy(), atol=2e-3, rtol=1e-3)
