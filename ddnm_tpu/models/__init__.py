@@ -12,6 +12,13 @@ the checkpoints' NCHW convention.
 """
 
 from ddnm_tpu.models.unet_ddpm import DDPMUNet
+from ddnm_tpu.models.unet_adm import ADMUNet, ADMClassifier, classifier_guidance_fn
 from ddnm_tpu.models.convert import torch_state_dict_to_flax
 
-__all__ = ["DDPMUNet", "torch_state_dict_to_flax"]
+__all__ = [
+    "DDPMUNet",
+    "ADMUNet",
+    "ADMClassifier",
+    "classifier_guidance_fn",
+    "torch_state_dict_to_flax",
+]

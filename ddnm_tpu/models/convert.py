@@ -41,26 +41,38 @@ def collapse_numeric(segments: Sequence[str]) -> list[str]:
     return out
 
 
-_DDPM_INNER = {
+_INNER = {
+    # DDPM family (unet_ddpm.py submodule names)
     "norm1", "conv1", "temb_proj", "norm2", "conv2", "nin_shortcut",
     "conv_shortcut", "norm", "q", "k", "v", "proj_out", "conv",
+    # ADM family (unet_adm.py submodule names)
+    "in_layers_0", "in_layers_2", "emb_layers_1", "out_layers_0",
+    "out_layers_3", "skip_connection", "qkv", "op", "qkv_proj", "c_proj",
 }
 
 
 def ddpm_key_map(segments: Sequence[str]) -> tuple[str, ...]:
-    """DDPMUNet naming: flat top-level module names ("down_0_block_1"),
-    known inner module names from ResnetBlock/AttnBlock/resample."""
+    """Torch module path -> flax path for both model families: collapse
+    numeric Sequential/ModuleList indices into their parent name, keep a
+    known block-inner module name as the nested level."""
     segs = collapse_numeric(segments)
-    if len(segs) >= 2 and segs[-1] in _DDPM_INNER:
+    if len(segs) >= 2 and segs[-1] in _INNER:
         return ("_".join(segs[:-1]), segs[-1])
     return ("_".join(segs),)
+
+
+adm_key_map = ddpm_key_map  # one mechanical rule covers both families
 
 
 def _leaf(path: tuple[str, ...], leaf_name: str, tensor: np.ndarray, weight_ndim: int):
     """Map a torch (weight|bias) leaf to a flax (path, name, value)."""
     if leaf_name == "weight":
+        if path and path[-1] == "label_emb":  # nn.Embedding -> nn.Embed
+            return path, "embedding", tensor
         if tensor.ndim == 4:  # conv OIHW -> HWIO
             return path, "kernel", np.transpose(tensor, (2, 3, 1, 0))
+        if tensor.ndim == 3:  # 1-d conv (O, I, 1) -> dense (I, O)
+            return path, "kernel", tensor[:, :, 0].T
         if tensor.ndim == 2:  # linear OI -> IO
             return path, "kernel", tensor.T
         if tensor.ndim == 1:  # norm scale
@@ -70,6 +82,8 @@ def _leaf(path: tuple[str, ...], leaf_name: str, tensor: np.ndarray, weight_ndim
         if weight_ndim == 1:  # sibling weight is a norm scale
             return path + ("gn",), "bias", tensor
         return path, "bias", tensor
+    if leaf_name == "positional_embedding":  # AttentionPool2d raw parameter
+        return path, "positional_embedding", tensor
     raise ValueError(f"unhandled leaf {leaf_name} at {path}")
 
 

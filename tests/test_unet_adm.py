@@ -1,0 +1,167 @@
+"""ADM UNet / classifier parity vs the reference torch implementation with
+converted random weights (small configs, CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ddnm_tpu.models.convert import adm_key_map, torch_state_dict_to_flax
+from ddnm_tpu.models.unet_adm import ADMClassifier, ADMUNet
+from tests._reference import import_reference
+
+RES = 32
+
+
+def _ref_unet(torch, ref_unet_mod, num_classes=None):
+    torch.manual_seed(0)
+    m = ref_unet_mod.UNetModel(
+        image_size=RES,
+        in_channels=3,
+        model_channels=32,
+        out_channels=6,
+        num_res_blocks=1,
+        attention_resolutions={2, 4},
+        channel_mult=(1, 2, 2),
+        num_classes=num_classes,
+        num_heads=4,
+        num_head_channels=16,
+        use_scale_shift_norm=True,
+        resblock_updown=True,
+    )
+    m.eval()
+    return m
+
+
+def _ours_unet(num_classes=None):
+    return ADMUNet(
+        image_size=RES,
+        in_channels=3,
+        model_channels=32,
+        out_channels=6,
+        num_res_blocks=1,
+        attention_resolutions=(2, 4),
+        channel_mult=(1, 2, 2),
+        num_classes=num_classes,
+        num_heads=4,
+        num_head_channels=16,
+        use_scale_shift_norm=True,
+        resblock_updown=True,
+    )
+
+
+@pytest.mark.parametrize("class_cond", [False, True])
+def test_adm_unet_parity(class_cond):
+    torch = pytest.importorskip("torch")
+    ref_unet_mod = import_reference("guided_diffusion.unet")
+    num_classes = 1000 if class_cond else None
+    ref = _ref_unet(torch, ref_unet_mod, num_classes)
+    model = _ours_unet(num_classes)
+    params = {"params": torch_state_dict_to_flax(ref.state_dict(), adm_key_map)}
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, RES, RES).astype(np.float32)
+    t = np.array([999.0, 31.0], dtype=np.float32)
+    y = np.array([951, 3]) if class_cond else None
+
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(x),
+            torch.from_numpy(t),
+            torch.from_numpy(y) if class_cond else None,
+        ).numpy()
+
+    out = model.apply(
+        params,
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+        jnp.asarray(t),
+        jnp.asarray(y) if class_cond else None,
+    )
+    out_nchw = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    np.testing.assert_allclose(out_nchw, ref_out, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("pool", ["attention", "adaptive", "spatial"])
+def test_adm_classifier_parity(pool):
+    torch = pytest.importorskip("torch")
+    ref_unet_mod = import_reference("guided_diffusion.unet")
+    torch.manual_seed(1)
+    ref = ref_unet_mod.EncoderUNetModel(
+        image_size=RES,
+        in_channels=3,
+        model_channels=32,
+        out_channels=100,
+        num_res_blocks=1,
+        attention_resolutions={2, 4},
+        channel_mult=(1, 2, 2),
+        num_heads=4,
+        num_head_channels=16,
+        use_scale_shift_norm=True,
+        resblock_updown=True,
+        pool=pool,
+    )
+    ref.eval()
+    model = ADMClassifier(
+        image_size=RES,
+        in_channels=3,
+        model_channels=32,
+        out_channels=100,
+        num_res_blocks=1,
+        attention_resolutions=(2, 4),
+        channel_mult=(1, 2, 2),
+        num_heads=4,
+        num_head_channels=16,
+        use_scale_shift_norm=True,
+        resblock_updown=True,
+        pool=pool,
+    )
+    params = {"params": torch_state_dict_to_flax(ref.state_dict(), adm_key_map)}
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 3, RES, RES).astype(np.float32)
+    t = np.array([100.0, 5.0], dtype=np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+    out = model.apply(
+        params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), jnp.asarray(t)
+    )
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=5e-4, rtol=1e-3)
+
+
+def test_classifier_guidance_grad():
+    """Guidance gradient direction matches torch autograd (diffusion.py:183-191)."""
+    torch = pytest.importorskip("torch")
+    ref_unet_mod = import_reference("guided_diffusion.unet")
+    torch.manual_seed(1)
+    ref = ref_unet_mod.EncoderUNetModel(
+        image_size=RES, in_channels=3, model_channels=32, out_channels=100,
+        num_res_blocks=1, attention_resolutions={2}, channel_mult=(1, 2),
+        num_heads=4, num_head_channels=16, use_scale_shift_norm=True,
+        resblock_updown=True, pool="attention",
+    )
+    ref.eval()
+    model = ADMClassifier(
+        image_size=RES, in_channels=3, model_channels=32, out_channels=100,
+        num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+        num_heads=4, num_head_channels=16, use_scale_shift_norm=True,
+        resblock_updown=True, pool="attention",
+    )
+    params = {"params": torch_state_dict_to_flax(ref.state_dict(), adm_key_map)}
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(1, 3, RES, RES).astype(np.float32)
+    t = np.array([50.0], dtype=np.float32)
+    classes = np.array([7])
+
+    x_in = torch.from_numpy(x).requires_grad_(True)
+    logits = ref(x_in, torch.from_numpy(t))
+    selected = torch.log_softmax(logits, dim=-1)[range(1), classes]
+    ref_grad = torch.autograd.grad(selected.sum(), x_in)[0].numpy() * 2.5
+
+    from ddnm_tpu.models.unet_adm import classifier_guidance_fn
+
+    guidance = classifier_guidance_fn(model.apply, params, jnp.asarray(classes), 2.5)
+    g = guidance(jnp.asarray(np.transpose(x, (0, 2, 3, 1))), jnp.asarray(t))
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(g), (0, 3, 1, 2)), ref_grad, atol=1e-4, rtol=1e-3
+    )
