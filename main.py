@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""CLI entry point — flag-compatible with the reference's main.py:19-90 plus
+TPU-native extras (--ckpt/--random-init/--batch-size/--dtype).
+
+Examples (mirroring the reference Quick Start, README.md:49-53):
+
+  python main.py --config configs/celeba_hq.yml --path_y celeba_hq \
+      --deg sr_averagepooling --deg_scale 4 --sigma_y 0 -i demo --simplified \
+      --ckpt /path/to/celeba_hq.ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="TPU-native DDNM image restoration")
+    p.add_argument("--config", type=str, required=True, help="YAML config under configs/")
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--exp", type=str, default="exp", help="experiment root (datasets/, logs/)")
+    p.add_argument("--deg", type=str, required=True, help="degradation task string")
+    p.add_argument("--path_y", type=str, default="celeba_hq",
+                   help="dataset folder name under <exp>/datasets, or absolute path")
+    p.add_argument("--sigma_y", type=float, default=0.0, help="measurement noise (in [0,1] domain)")
+    p.add_argument("--eta", type=float, default=0.85, help="DDIM eta")
+    p.add_argument("--simplified", action="store_true", help="functional A/A+ (no SVD)")
+    p.add_argument("-i", "--image_folder", type=str, default="output")
+    p.add_argument("--deg_scale", type=float, default=4.0)
+    p.add_argument("--add_noise", action="store_true")
+    p.add_argument("--subset_start", type=int, default=-1)
+    p.add_argument("--subset_end", type=int, default=-1)
+    p.add_argument("--verbose", type=str, default="info")
+    p.add_argument("--ni", action="store_true", help="non-interactive (overwrite outputs)")
+    # TPU-native extras
+    p.add_argument("--ckpt", type=str, default=None, help="torch checkpoint to convert+load")
+    p.add_argument("--classifier_ckpt", type=str, default=None)
+    p.add_argument("--random_init", action="store_true",
+                   help="random weights (smoke/bench; no checkpoint available)")
+    p.add_argument("--batch_size", type=int, default=None, help="override config batch size")
+    p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--mask_path", type=str, default=None)
+    p.add_argument("--manifest", type=str, default=None, help="imagenet manifest txt")
+    p.add_argument("--max_images", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    ns = parse_args(argv)
+    logging.basicConfig(
+        level=getattr(logging, ns.verbose.upper(), logging.INFO),
+        format="%(asctime)s - %(levelname)s - %(message)s",
+    )
+
+    from ddnm_tpu.config import load_config
+    from ddnm_tpu.runner import RunArgs, Runner
+
+    cfg_path = Path(ns.config)
+    if not cfg_path.exists():
+        cfg_path = REPO_ROOT / "configs" / ns.config
+    config = load_config(cfg_path)
+
+    args = RunArgs(
+        config=str(cfg_path),
+        deg=ns.deg,
+        deg_scale=ns.deg_scale,
+        sigma_y=ns.sigma_y,
+        eta=ns.eta,
+        seed=ns.seed,
+        exp=ns.exp,
+        path_y=ns.path_y,
+        image_folder=ns.image_folder,
+        simplified=ns.simplified,
+        add_noise=ns.add_noise,
+        subset_start=ns.subset_start,
+        subset_end=ns.subset_end,
+        ckpt=ns.ckpt,
+        classifier_ckpt=ns.classifier_ckpt,
+        random_init=ns.random_init,
+        batch_size=ns.batch_size,
+        dtype=ns.dtype,
+        mask_path=ns.mask_path,
+        manifest=ns.manifest,
+        max_images=ns.max_images,
+    )
+    runner = Runner(args, config)
+    try:
+        stats = runner.run()
+    except Exception:
+        logging.exception("runner failed")
+        raise
+    return stats
+
+
+if __name__ == "__main__":
+    main()
