@@ -33,8 +33,13 @@ T_SAMPLING = 100
 
 
 def main():
+    import numpy as np
     import jax
     import jax.numpy as jnp
+
+    from ddnm_tpu.utils import enable_compilation_cache, jit_init
+
+    enable_compilation_cache()
 
     from ddnm_tpu import schedules
     from ddnm_tpu.models.unet_ddpm import DDPMUNet
@@ -45,7 +50,7 @@ def main():
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (BATCH, RES, RES, 3), dtype=jnp.float32)
     t = jnp.zeros((BATCH,))
-    params = model.init(rng, x[:1], t[:1])
+    params = jit_init(model, rng, x[:1], t[:1])
 
     def model_fn(xx, tt):
         return model.apply(params, xx, tt)
@@ -63,7 +68,7 @@ def main():
     out, _ = sample_simplified(
         model_fn, x, y, op, sched, jax.random.PRNGKey(1), **kwargs
     )
-    out.block_until_ready()
+    jax.device_get(out)  # full sync (block_until_ready is unreliable on axon)
 
     # timed runs
     n_runs = 3
@@ -72,7 +77,7 @@ def main():
         out, _ = sample_simplified(
             model_fn, x, y, op, sched, jax.random.PRNGKey(2 + i), **kwargs
         )
-    out.block_until_ready()
+    jax.device_get(out)
     dt = time.perf_counter() - t0
 
     n_chips = max(len(jax.devices()), 1)

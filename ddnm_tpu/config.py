@@ -30,6 +30,8 @@ __all__ = [
     "ClassifierConfig",
     "Config",
     "load_config",
+    "HQConfig",
+    "load_hq_config",
 ]
 
 
@@ -186,3 +188,27 @@ def load_config(path: str | Path) -> Config:
         if "model" in raw and key in raw["model"] and raw["model"][key] is not None:
             raw["model"][key] = tuple(raw["model"][key])
     return Config.from_dict(raw)
+
+
+class HQConfig(dict):
+    """Flat hq-pipeline config: attribute access, missing keys -> None
+    (the reference's NoneDict/Default_Conf behaviour,
+    hq_demo/conf_mgt/conf_base.py:44-128)."""
+
+    def __getattr__(self, name: str):
+        return self.get(name)
+
+    def pget(self, dotted: str, default=None):
+        """Dotted-path lookup, e.g. pget('schedule_jump_params.t_T')."""
+        node: Any = self
+        for part in dotted.split("."):
+            if not isinstance(node, dict) or part not in node:
+                return default
+            node = node[part]
+        return node
+
+
+def load_hq_config(path: str | Path) -> HQConfig:
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    return HQConfig(raw or {})

@@ -112,6 +112,16 @@ def build_functional_operator(
         masked = lambda z: z * m
         return FunctionalOperator(deg, masked, masked)
 
+    if deg == "sr_color":
+        # hq_demo composition: gray(pool(x)) with reversed A+
+        # (hq_demo/guided_diffusion/gaussian_diffusion.py:628-638)
+        scale = round(deg_scale)
+        return FunctionalOperator(
+            deg,
+            lambda z: color2gray(avg_pool(z, scale)),
+            lambda z: mean_upsample(gray2color(z), scale),
+        )
+
     if deg in ("mask_color_sr", "diy"):
         if mask is None:
             raise ValueError(f"{deg} requires a mask")

@@ -41,6 +41,7 @@ from ddnm_tpu.models.convert import (
 )
 from ddnm_tpu.operators import build_functional_operator, build_svd_operator
 from ddnm_tpu.sampling import build_schedule, sample_simplified, sample_svd
+from ddnm_tpu.utils import jit_init
 from ddnm_tpu import schedules as sch
 
 logger = logging.getLogger("ddnm_tpu")
@@ -117,9 +118,9 @@ class Runner:
             dummy_t = jnp.zeros((1,))
             dummy_x = jnp.zeros((1, size, size, 3))
             if cfg.model.type == "openai" and cfg.model.class_cond:
-                params = model.init(rng, dummy_x, dummy_t, jnp.zeros((1,), jnp.int32))
+                params = jit_init(model, rng, dummy_x, dummy_t, jnp.zeros((1,), jnp.int32))
             else:
-                params = model.init(rng, dummy_x, dummy_t)
+                params = jit_init(model, rng, dummy_x, dummy_t)
         else:
             raise FileNotFoundError(
                 f"checkpoint {args.ckpt!r} not found; pass --ckpt or --random-init"
@@ -144,7 +145,7 @@ class Runner:
                 csd = load_torch_checkpoint(args.classifier_ckpt)
                 cparams = {"params": torch_state_dict_to_flax(csd, adm_key_map)}
             elif args.random_init:
-                cparams = clf.init(rng, jnp.zeros((1, size, size, 3)), jnp.zeros((1,)))
+                cparams = jit_init(clf, rng, jnp.zeros((1, size, size, 3)), jnp.zeros((1,)))
             else:
                 raise FileNotFoundError("classifier checkpoint missing")
             guidance_fn = classifier_guidance_fn(

@@ -11,10 +11,20 @@ from ddnm_tpu.sampling.ddnm import (
     sample_simplified,
     sample_svd,
 )
+from ddnm_tpu.sampling.posterior import (
+    PosteriorTables,
+    build_posterior_tables,
+    respace_betas,
+    sample_posterior,
+)
 
 __all__ = [
     "DDNMSchedule",
     "build_schedule",
     "sample_simplified",
     "sample_svd",
+    "PosteriorTables",
+    "build_posterior_tables",
+    "respace_betas",
+    "sample_posterior",
 ]

@@ -1,4 +1,4 @@
-"""DDNM / DDNM+ samplers as single `lax.scan` loops.
+"""DDNM / DDNM+ samplers: one step body, two loop drivers.
 
 Implements the reference's two sampling modes with identical numerics:
 
@@ -16,11 +16,21 @@ Faithfully-replicated reference quirks:
     and a = sqrt(alpha_bar_next) (svd_ddnm.py:121-126). Both are kept.
   - the final step clamps t_next to -1 where alpha_bar = 1 exactly.
 
-TPU-first design: the whole trajectory is one compiled scan; the jump
-schedule is data-independent so the travel/normal branch is a `lax.cond` on a
-precomputed flag array (model forward only traced in the normal branch);
-timestep tables live in HBM; images stay NHWC end-to-end and are flattened to
-the operators' channel-major vector layout only around operator calls.
+TPU-first design: the trajectory runs entirely on device with no per-step
+host round-trips; the jump schedule is data-independent, so it is
+precomputed host-side. Two interchangeable loop drivers share one step body:
+
+  - loop="scan": one `lax.scan` over the whole trajectory (single
+    executable; travel/normal branch is a `lax.cond` on a precomputed flag);
+  - loop="host": a Python loop dispatching one jitted step per timestep.
+    Because the schedule is static, travel steps take a separate tiny jitted
+    re-noise function and the model step needs no `lax.cond`. Dispatch is
+    async, so steps pipeline on device exactly like the scan.
+
+Default is "auto": the axon remote-compile backend takes minutes to compile
+scan-over-UNet bodies (measured 480 s for a toy model vs 5 s for the same
+step jitted alone), so "auto" picks "host" there and "scan" elsewhere.
+Numerics are identical — both drivers call the same step function.
 """
 
 from __future__ import annotations
@@ -90,6 +100,12 @@ def _default_noise(key, shape):
     return jax.random.normal(key, shape, dtype=jnp.float32)
 
 
+def _resolve_loop(loop: str) -> str:
+    if loop == "auto":
+        return "host" if jax.default_backend() == "axon" else "scan"
+    return loop
+
+
 def _scan_inputs(sched: DDNMSchedule):
     return (
         jnp.asarray(sched.t_cur),
@@ -98,73 +114,53 @@ def _scan_inputs(sched: DDNMSchedule):
     )
 
 
+# --------------------------------------------------------------- step bodies
+# Each step body takes per-step scalars (t_i as a float for the model, the
+# alpha_bar values at t and t_next) plus the carried state, and returns
+# (x_next, x0_t). Both loop drivers call exactly these functions.
+
+
+@dataclasses.dataclass(frozen=True)
+class _Body:
+    """Hashable closure over a step body's static context.
+
+    Used as a jit static argument: equal (fn, args) tuples hash equal, so
+    repeated sampler calls with the same model/operator/settings hit the jit
+    cache (a functools.partial would hash by identity and recompile)."""
+
+    fn: Callable
+    args: tuple
+
+    def __call__(self, *a):
+        return self.fn(*self.args, *a)
+
+
 def _travel_step(x0_pred, at_next, noise):
     """RePaint re-noising (diffusion.py:388-395 / svd_ddnm.py:69-76)."""
     return jnp.sqrt(at_next) * x0_pred + noise * jnp.sqrt(1.0 - at_next)
 
 
-@partial(jax.jit, static_argnames=("model_fn", "operator", "noise_fn", "eta", "sigma_y"))
-def sample_simplified(
-    model_fn: ModelFn,
-    x_init: Array,
-    y: Array,
-    operator: FunctionalOperator,
-    sched: DDNMSchedule,
-    key: jax.Array,
-    *,
-    eta: float = 0.85,
-    sigma_y: float = 0.0,
-    noise_fn: NoiseFn = _default_noise,
-) -> tuple[Array, Array]:
-    """Simplified DDNM+ over NHWC images. Returns (x_final, x0_pred_final).
-
-    `sigma_y` here is the *scaled* measurement noise (the runner doubles the
-    CLI value to account for [-1,1] scaling, diffusion.py:294).
-    """
-    alpha_bar = jnp.asarray(sched.alpha_bar)
-    n = x_init.shape[0]
-
-    def step(carry, inputs):
-        x, x0_pred, key = carry
-        t_i, t_j, travel = inputs
-        key, k_noise = jax.random.split(key)
-        at = alpha_bar[t_i + 1]
-        at_next = alpha_bar[t_j + 1]
-        noise = noise_fn(k_noise, x.shape)
-
-        def normal(_):
-            t_b = jnp.full((n,), t_i, dtype=jnp.float32)
-            et = model_fn(x, t_b)
-            et = et[..., :3] if et.shape[-1] == 6 else et
-            # Eq. 12
-            x0_t = (x - et * jnp.sqrt(1.0 - at)) / jnp.sqrt(at)
-            # Eq. 19 (reference uses sigma_t = sqrt(1 - at_next^2), :356)
-            sigma_t = jnp.sqrt(1.0 - at_next**2)
-            lambda_t = jnp.where(
-                sigma_t >= at_next * sigma_y, 1.0, sigma_t / (at_next * sigma_y)
-            )
-            gamma_t = jnp.where(
-                sigma_t >= at_next * sigma_y,
-                jnp.sqrt(jnp.maximum(sigma_t**2 - (at_next * sigma_y) ** 2, 0.0)),
-                0.0,
-            )
-            # Eq. 17
-            x0_t_hat = x0_t - lambda_t * operator.Ap(operator.A(x0_t) - y)
-            c1 = jnp.sqrt(1.0 - at_next) * eta
-            c2 = jnp.sqrt(1.0 - at_next) * (1.0 - eta**2) ** 0.5
-            x_next = jnp.sqrt(at_next) * x0_t_hat + gamma_t * (c1 * noise + c2 * et)
-            return x_next, x0_t
-
-        def travel_back(_):
-            return _travel_step(x0_pred, at_next, noise), x0_pred
-
-        x_next, x0_t = jax.lax.cond(travel, travel_back, normal, operand=None)
-        return (x_next, x0_t, key), None
-
-    (x, x0_pred, _), _ = jax.lax.scan(
-        step, (x_init, jnp.zeros_like(x_init), key), _scan_inputs(sched)
+def _simplified_body(model_fn, operator, eta, sigma_y, x, y, t_f, at, at_next, noise):
+    et = model_fn(x, t_f)
+    et = et[..., :3] if et.shape[-1] == 6 else et
+    # Eq. 12
+    x0_t = (x - et * jnp.sqrt(1.0 - at)) / jnp.sqrt(at)
+    # Eq. 19 (reference uses sigma_t = sqrt(1 - at_next^2), :356)
+    sigma_t = jnp.sqrt(1.0 - at_next**2)
+    lambda_t = jnp.where(
+        sigma_t >= at_next * sigma_y, 1.0, sigma_t / (at_next * sigma_y)
     )
-    return x, x0_pred
+    gamma_t = jnp.where(
+        sigma_t >= at_next * sigma_y,
+        jnp.sqrt(jnp.maximum(sigma_t**2 - (at_next * sigma_y) ** 2, 0.0)),
+        0.0,
+    )
+    # Eq. 17
+    x0_t_hat = x0_t - lambda_t * operator.Ap(operator.A(x0_t) - y)
+    c1 = jnp.sqrt(1.0 - at_next) * eta
+    c2 = jnp.sqrt(1.0 - at_next) * (1.0 - eta**2) ** 0.5
+    x_next = jnp.sqrt(at_next) * x0_t_hat + gamma_t * (c1 * noise + c2 * et)
+    return x_next, x0_t
 
 
 def _nhwc_to_vec(x: Array) -> Array:
@@ -178,10 +174,149 @@ def _vec_to_nhwc(v: Array, shape: tuple) -> Array:
     return jnp.transpose(v.reshape(b, c, h, w), (0, 2, 3, 1))
 
 
+def _svd_body(
+    model_fn, operator, eta, sigma_y, guidance_fn, x, y, t_f, at, at_next, noise
+):
+    img_shape = x.shape
+    et = model_fn(x, t_f)
+    et = et[..., :3] if et.shape[-1] == 6 else et
+    if guidance_fn is not None:
+        et = et - jnp.sqrt(1.0 - at) * guidance_fn(x, t_f, at)
+    x0_t = (x - et * jnp.sqrt(1.0 - at)) / jnp.sqrt(at)
+
+    x0_vec = _nhwc_to_vec(x0_t)
+    resid = operator.A(x0_vec) - y
+    if sigma_y == 0.0:
+        # svd_ddnm.py:59-65
+        x0_hat = x0_vec - operator.A_pinv(resid)
+        c1 = jnp.sqrt(1.0 - at_next) * eta
+        c2 = jnp.sqrt(1.0 - at_next) * (1.0 - eta**2) ** 0.5
+        x_next = (
+            jnp.sqrt(at_next) * _vec_to_nhwc(x0_hat, img_shape)
+            + c1 * noise
+            + c2 * et
+        )
+    else:
+        # svd_ddnm.py:119-131 (Eq. 17 via Lambda, Eq. 51 via Lambda_noise)
+        a = jnp.sqrt(at_next)
+        sigma_t = jnp.sqrt(1.0 - at_next)
+        x0_hat = x0_vec - operator.Lambda(
+            operator.A_pinv(resid), a, sigma_y, sigma_t, eta
+        )
+        spectral_noise = operator.Lambda_noise(
+            _nhwc_to_vec(noise), a, sigma_y, sigma_t, eta, _nhwc_to_vec(et)
+        )
+        x_next = jnp.sqrt(at_next) * _vec_to_nhwc(
+            x0_hat, img_shape
+        ) + _vec_to_nhwc(spectral_noise, img_shape)
+    return x_next, x0_t
+
+
+# --------------------------------------------------------------- loop drivers
+
+
 @partial(
     jax.jit,
-    static_argnames=("model_fn", "operator", "noise_fn", "eta", "sigma_y", "guidance_fn"),
+    static_argnames=("body", "noise_fn"),
 )
+def _run_scan(body, noise_fn, x_init, y, sched: DDNMSchedule, key):
+    """Whole-trajectory scan; travel/normal via lax.cond on the static flag."""
+    alpha_bar = jnp.asarray(sched.alpha_bar)
+    n = x_init.shape[0]
+
+    def step(carry, inputs):
+        x, x0_pred, key = carry
+        t_i, t_j, travel = inputs
+        key, k_noise = jax.random.split(key)
+        at = alpha_bar[t_i + 1]
+        at_next = alpha_bar[t_j + 1]
+        noise = noise_fn(k_noise, x.shape)
+
+        def normal(_):
+            t_f = jnp.full((n,), t_i, dtype=jnp.float32)
+            return body(x, y, t_f, at, at_next, noise)
+
+        def travel_back(_):
+            return _travel_step(x0_pred, at_next, noise), x0_pred
+
+        x_next, x0_t = jax.lax.cond(travel, travel_back, normal, operand=None)
+        return (x_next, x0_t, key), None
+
+    (x, x0_pred, _), _ = jax.lax.scan(
+        step, (x_init, jnp.zeros_like(x_init), key), _scan_inputs(sched)
+    )
+    return x, x0_pred
+
+
+@partial(jax.jit, static_argnames=("body", "noise_fn"))
+def _host_step(body, noise_fn, x, y, key, t_i, at, at_next):
+    n = x.shape[0]
+    key, k_noise = jax.random.split(key)
+    noise = noise_fn(k_noise, x.shape)
+    t_f = jnp.full((n,), t_i, dtype=jnp.float32)
+    x_next, x0_t = body(x, y, t_f, at, at_next, noise)
+    return x_next, x0_t, key
+
+
+@partial(jax.jit, static_argnames=("noise_fn",))
+def _host_travel(noise_fn, x0_pred, key, at_next):
+    key, k_noise = jax.random.split(key)
+    noise = noise_fn(k_noise, x0_pred.shape)
+    return _travel_step(x0_pred, at_next, noise), key
+
+
+def _run_host(body, noise_fn, x_init, y, sched: DDNMSchedule, key):
+    """Host-driven loop: one async jitted dispatch per step.
+
+    The schedule is static numpy, so the travel branch is a *Python* branch
+    — travel steps never trace the model. RNG-key carry order matches the
+    scan driver exactly, so both drivers produce bit-identical trajectories.
+    """
+    abar = np.asarray(sched.alpha_bar)
+    x, x0_pred = x_init, jnp.zeros_like(x_init)
+    for t_i, t_j, travel in zip(sched.t_cur, sched.t_next, sched.is_travel):
+        at = float(abar[int(t_i) + 1])
+        at_next = float(abar[int(t_j) + 1])
+        if bool(travel):
+            x, key = _host_travel(noise_fn, x0_pred, key, at_next)
+        else:
+            x, x0_pred, key = _host_step(
+                body, noise_fn, x, y, key, float(t_i), at, at_next
+            )
+    return x, x0_pred
+
+
+def _drive(loop, body, noise_fn, x_init, y, sched, key):
+    if _resolve_loop(loop) == "scan":
+        return _run_scan(body, noise_fn, x_init, y, sched, key)
+    return _run_host(body, noise_fn, x_init, y, sched, key)
+
+
+# ----------------------------------------------------------------- public API
+
+
+def sample_simplified(
+    model_fn: ModelFn,
+    x_init: Array,
+    y: Array,
+    operator: FunctionalOperator,
+    sched: DDNMSchedule,
+    key: jax.Array,
+    *,
+    eta: float = 0.85,
+    sigma_y: float = 0.0,
+    noise_fn: NoiseFn = _default_noise,
+    loop: str = "auto",
+) -> tuple[Array, Array]:
+    """Simplified DDNM+ over NHWC images. Returns (x_final, x0_pred_final).
+
+    `sigma_y` here is the *scaled* measurement noise (the runner doubles the
+    CLI value to account for [-1,1] scaling, diffusion.py:294).
+    """
+    body = _Body(_simplified_body, (model_fn, operator, eta, sigma_y))
+    return _drive(loop, body, noise_fn, x_init, y, sched, key)
+
+
 def sample_svd(
     model_fn: ModelFn,
     x_init: Array,
@@ -194,6 +329,7 @@ def sample_svd(
     sigma_y: float = 0.0,
     noise_fn: NoiseFn = _default_noise,
     guidance_fn: Optional[Callable] = None,
+    loop: str = "auto",
 ) -> tuple[Array, Array]:
     """SVD-mode DDNM (sigma_y == 0) / DDNM+ (sigma_y > 0) over NHWC images.
 
@@ -201,60 +337,5 @@ def sample_svd(
     `guidance_fn(x, t, at) -> eps_correction` implements classifier guidance
     (svd_ddnm.py:49-52): et <- et - sqrt(1-at) * grad log p(y|x).
     """
-    alpha_bar = jnp.asarray(sched.alpha_bar)
-    n = x_init.shape[0]
-    img_shape = x_init.shape
-
-    def step(carry, inputs):
-        x, x0_pred, key = carry
-        t_i, t_j, travel = inputs
-        key, k_noise = jax.random.split(key)
-        at = alpha_bar[t_i + 1]
-        at_next = alpha_bar[t_j + 1]
-        noise = noise_fn(k_noise, img_shape)
-
-        def normal(_):
-            t_b = jnp.full((n,), t_i, dtype=jnp.float32)
-            et = model_fn(x, t_b)
-            et = et[..., :3] if et.shape[-1] == 6 else et
-            if guidance_fn is not None:
-                et = et - jnp.sqrt(1.0 - at) * guidance_fn(x, t_b, at)
-            x0_t = (x - et * jnp.sqrt(1.0 - at)) / jnp.sqrt(at)
-
-            x0_vec = _nhwc_to_vec(x0_t)
-            resid = operator.A(x0_vec) - y
-            if sigma_y == 0.0:
-                # svd_ddnm.py:59-65
-                x0_hat = x0_vec - operator.A_pinv(resid)
-                c1 = jnp.sqrt(1.0 - at_next) * eta
-                c2 = jnp.sqrt(1.0 - at_next) * (1.0 - eta**2) ** 0.5
-                x_next = (
-                    jnp.sqrt(at_next) * _vec_to_nhwc(x0_hat, img_shape)
-                    + c1 * noise
-                    + c2 * et
-                )
-            else:
-                # svd_ddnm.py:119-131 (Eq. 17 via Lambda, Eq. 51 via Lambda_noise)
-                a = jnp.sqrt(at_next)
-                sigma_t = jnp.sqrt(1.0 - at_next)
-                x0_hat = x0_vec - operator.Lambda(
-                    operator.A_pinv(resid), a, sigma_y, sigma_t, eta
-                )
-                spectral_noise = operator.Lambda_noise(
-                    _nhwc_to_vec(noise), a, sigma_y, sigma_t, eta, _nhwc_to_vec(et)
-                )
-                x_next = jnp.sqrt(at_next) * _vec_to_nhwc(
-                    x0_hat, img_shape
-                ) + _vec_to_nhwc(spectral_noise, img_shape)
-            return x_next, x0_t
-
-        def travel_back(_):
-            return _travel_step(x0_pred, at_next, noise), x0_pred
-
-        x_next, x0_t = jax.lax.cond(travel, travel_back, normal, operand=None)
-        return (x_next, x0_t, key), None
-
-    (x, x0_pred, _), _ = jax.lax.scan(
-        step, (x_init, jnp.zeros_like(x_init), key), _scan_inputs(sched)
-    )
-    return x, x0_pred
+    body = _Body(_svd_body, (model_fn, operator, eta, sigma_y, guidance_fn))
+    return _drive(loop, body, noise_fn, x_init, y, sched, key)

@@ -1,0 +1,193 @@
+"""Mask-Shift tiling engine for arbitrary-size restoration.
+
+Reproduces the reference hq_demo Mask-Shift trick
+(hq_demo/guided_diffusion/gaussian_diffusion.py:344-380, 665-748): an
+arbitrary HxW canvas is restored as overlapping 256x256 tiles slid in 128-px
+strides; inside EVERY denoising step each tile's overlap strips (top strip if
+a row above exists, left strip if a tile to the left exists) are overwritten
+with the already-solved canvas content, so seams stay consistent. The last
+tile of a row/column is shifted back so it ends exactly at the canvas edge,
+which enlarges its overlap to 256 - (dim % 128).
+
+TPU-native design: tile geometry (coords + paste masks) is computed host-side
+by `tile_grid`; every tile then runs the SAME jitted `sample_posterior` scan
+(paste as a masked blend), so the whole canvas is served by one compiled
+executable regardless of tile position or canvas size. Tiles are serialised
+row-major exactly like the reference (tile (i,j) reads canvas content written
+by (i-1, *) and (i, j-1)); anti-diagonal wavefronts could be batched across
+devices, but parity comes first.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ddnm_tpu.operators.functional import (
+    FunctionalOperator,
+    avg_pool,
+    build_functional_operator,
+    color2gray,
+    mean_upsample,
+)
+from ddnm_tpu.sampling.posterior import PosteriorTables, sample_posterior
+
+logger = logging.getLogger("ddnm_tpu")
+
+__all__ = ["Tile", "tile_grid", "build_hq_operators", "mask_shift_sample"]
+
+TILE = 256
+STRIDE = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class Tile:
+    """One 256x256 window on the canvas.
+
+    (h0, w0): top-left canvas coords. (row_overlap, col_overlap): heights of
+    the top/left strips that must be pasted from the already-solved canvas
+    (0 when this tile is in the first row / column).
+    """
+
+    index: tuple[int, int]
+    h0: int
+    w0: int
+    row_overlap: int
+    col_overlap: int
+
+    def paste_mask(self) -> np.ndarray:
+        m = np.zeros((TILE, TILE, 1), dtype=np.float32)
+        if self.row_overlap:
+            m[: self.row_overlap, :, :] = 1.0
+        if self.col_overlap:
+            m[:, : self.col_overlap, :] = 1.0
+        return m
+
+
+def tile_grid(h_target: int, w_target: int) -> list[Tile]:
+    """Row-major tile list matching the reference shift loops
+    (gaussian_diffusion.py:665-698): shift counts ceil(dim/128)-1, last tile
+    snapped to the canvas edge when dim % 128 != 0."""
+    if h_target < TILE or w_target < TILE:
+        raise ValueError("canvas must be at least 256x256 (use a larger scale)")
+
+    def starts(dim: int) -> list[tuple[int, int]]:
+        n = int(np.ceil(dim / STRIDE)) - 1
+        out = []
+        for s in range(n):
+            x0 = STRIDE * s
+            overlap = 0 if s == 0 else STRIDE
+            if s == n - 1 and dim % STRIDE != 0:
+                x0 = dim - TILE
+                if s > 0:
+                    overlap = TILE - dim % STRIDE
+            out.append((x0, overlap))
+        return out
+
+    tiles = []
+    for i, (h0, r_ov) in enumerate(starts(h_target)):
+        for j, (w0, c_ov) in enumerate(starts(w_target)):
+            tiles.append(Tile((i, j), h0, w0, r_ov, c_ov))
+    return tiles
+
+
+def build_hq_operators(
+    deg: str,
+    *,
+    scale: int = 4,
+    gt_shape: tuple[int, int],
+    mask: Optional[np.ndarray] = None,
+) -> tuple[FunctionalOperator, Callable]:
+    """(tile-size operator, target-size A_temp) per the hq task table
+    (gaussian_diffusion.py:595-643). A_temp maps the full ground truth to the
+    measurement; the tile operator works on 256x256 windows."""
+    op = build_functional_operator(deg, image_size=TILE, deg_scale=scale, mask=mask)
+    if deg == "sr_averagepooling":
+        a_temp = lambda z: avg_pool(z, scale)
+    elif deg in ("inpainting", "mask_color_sr", "colorization"):
+        a_temp = op.A
+    elif deg == "sr_color":
+        a_temp = lambda z: color2gray(avg_pool(z, scale))
+    else:
+        raise NotImplementedError(f"hq degradation {deg} not supported")
+    return op, a_temp
+
+
+def mask_shift_sample(
+    model_fn,
+    gt: np.ndarray,
+    deg: str,
+    tables: PosteriorTables,
+    key: jax.Array,
+    *,
+    scale: int = 4,
+    resize_y: bool = False,
+    mask: Optional[np.ndarray] = None,
+    guidance_fn=None,
+    progress_fn: Optional[Callable[[Tile, np.ndarray], None]] = None,
+) -> dict:
+    """Restore an arbitrary-size image with Mask-Shift DDNM.
+
+    gt: (1, H, W, 3) float32 in [-1, 1] (NHWC). Returns dict with the final
+    canvas, A+y canvas and y (all NHWC numpy, [-1, 1] domain).
+
+    `progress_fn(tile, x0_hat)` is called after each tile completes (the
+    reference saves intermediate tiles every 25 steps; we expose a hook
+    instead of hard-coded PNG writes).
+    """
+    gt = jnp.asarray(gt, jnp.float32)
+    if gt.ndim == 3:
+        gt = gt[None]
+    if TILE % scale != 0:
+        raise ValueError("SR scale must divide 256")
+
+    if resize_y:
+        # treat the input as the measurement and upsample it to the target
+        # canvas (gaussian_diffusion.py:590-592)
+        gt = mean_upsample(gt, scale)
+
+    op, a_temp = build_hq_operators(deg, scale=scale, gt_shape=gt.shape[1:3], mask=mask)
+    y_temp = a_temp(gt)
+    apy_temp = op.Ap(y_temp)
+    h_target, w_target = int(apy_temp.shape[1]), int(apy_temp.shape[2])
+
+    tiles = tile_grid(h_target, w_target)
+    canvas = np.zeros((1, h_target, w_target, 3), dtype=np.float32)
+    apy_np = np.asarray(apy_temp)
+
+    logger.info(
+        "mask-shift: canvas %dx%d, %d tiles", h_target, w_target, len(tiles)
+    )
+    for tile in tiles:
+        h0, w0 = tile.h0, tile.w0
+        apy_tile = jnp.asarray(apy_np[:, h0 : h0 + TILE, w0 : w0 + TILE])
+        paste_mask = jnp.asarray(tile.paste_mask())
+        paste_content = jnp.asarray(canvas[:, h0 : h0 + TILE, w0 : w0 + TILE])
+        key, k_init, k_samp = jax.random.split(key, 3)
+        x_init = jax.random.normal(k_init, (1, TILE, TILE, 3), dtype=jnp.float32)
+        _, x0_hat = sample_posterior(
+            model_fn,
+            x_init,
+            apy_tile,
+            op,
+            tables,
+            k_samp,
+            paste_mask=paste_mask,
+            paste_content=paste_content,
+            guidance_fn=guidance_fn,
+        )
+        x0_np = np.asarray(x0_hat)
+        canvas[:, h0 : h0 + TILE, w0 : w0 + TILE] = x0_np
+        if progress_fn is not None:
+            progress_fn(tile, x0_np)
+
+    return {
+        "final": canvas,
+        "apy": apy_np,
+        "y": np.asarray(y_temp),
+    }

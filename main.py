@@ -59,6 +59,11 @@ def main(argv=None):
         format="%(asctime)s - %(levelname)s - %(message)s",
     )
 
+    from ddnm_tpu.utils import apply_platform_env, enable_compilation_cache
+
+    apply_platform_env()
+    enable_compilation_cache()
+
     from ddnm_tpu.config import load_config
     from ddnm_tpu.runner import RunArgs, Runner
 

@@ -1,0 +1,270 @@
+"""Parity tests for the hq pipeline: respacing, posterior tables, the
+posterior DDNM sampler, and the Mask-Shift tile geometry — all checked
+against the reference hq_demo fork as an oracle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ddnm_tpu import schedules as sch
+from ddnm_tpu.operators import build_functional_operator
+from ddnm_tpu.sampling.posterior import (
+    build_posterior_tables,
+    respace_betas,
+    sample_posterior,
+)
+from ddnm_tpu.tiling import Tile, tile_grid, mask_shift_sample
+
+from tests._reference import import_hq_reference
+
+
+class _Conf(dict):
+    """Minimal Default_Conf stand-in for oracle construction."""
+
+    def __getattr__(self, k):
+        return self.get(k)
+
+    def get(self, k, default=None):
+        return super().get(k, default)
+
+
+def _oracle_spaced(betas, respacing):
+    gd = import_hq_reference("gaussian_diffusion")
+    respace = import_hq_reference("respace")
+    conf = _Conf(respace_interpolate=False, use_value_logger=False)
+    return respace.SpacedDiffusion(
+        use_timesteps=respace.space_timesteps(len(betas), respacing),
+        conf=conf,
+        betas=betas,
+        model_mean_type=gd.ModelMeanType.EPSILON,
+        model_var_type=gd.ModelVarType.LEARNED_RANGE,
+        loss_type=gd.LossType.MSE,
+        rescale_timesteps=False,
+    )
+
+
+@pytest.mark.parametrize("respacing", ["ddim25", "100", "250"])
+def test_respace_betas_parity(respacing):
+    betas = sch.named_beta_schedule("linear", 1000, use_scale=True)
+    sd = _oracle_spaced(betas, respacing)
+    new_betas, tmap = respace_betas(betas, sch.space_timesteps(1000, respacing))
+    np.testing.assert_allclose(new_betas, sd.betas, rtol=1e-12)
+    np.testing.assert_array_equal(tmap, np.asarray(sd.timestep_map))
+
+
+def test_posterior_tables_parity():
+    betas = sch.named_beta_schedule("linear", 1000, use_scale=True)
+    sd = _oracle_spaced(betas, "100")
+    tb = build_posterior_tables(betas=betas, timestep_respacing="100", sigma_y=0.0)
+    np.testing.assert_allclose(tb.posterior_variance, sd.posterior_variance, rtol=1e-5)
+    np.testing.assert_allclose(
+        tb.posterior_log_variance_clipped, sd.posterior_log_variance_clipped, rtol=1e-5
+    )
+    np.testing.assert_allclose(tb.posterior_mean_coef1, sd.posterior_mean_coef1, rtol=1e-5)
+    np.testing.assert_allclose(tb.posterior_mean_coef2, sd.posterior_mean_coef2, rtol=1e-5)
+    np.testing.assert_allclose(
+        tb.sqrt_recip_alphas_cumprod, sd.sqrt_recip_alphas_cumprod, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        tb.sqrt_recipm1_alphas_cumprod, sd.sqrt_recipm1_alphas_cumprod, rtol=1e-5
+    )
+    # sigma_y=0: lambda==1 and gamma==posterior_variance everywhere
+    assert np.all(tb.lambda_t == 1.0)
+    np.testing.assert_allclose(tb.gamma_t, sd.posterior_variance, rtol=1e-5)
+
+
+def test_lambda_gamma_noisy():
+    betas = sch.named_beta_schedule("linear", 1000, use_scale=True)
+    sigma_y = 0.1
+    tb = build_posterior_tables(betas=betas, timestep_respacing="100", sigma_y=sigma_y)
+    sigma_t = np.sqrt(tb.posterior_variance)
+    a_t = tb.posterior_mean_coef1
+    # reference gaussian_diffusion.py:330-336 (note its lambda expression
+    # parses as (sigma_t / a_t) * sigma_y due to Python precedence)
+    for t in range(len(sigma_t)):
+        if sigma_t[t] >= a_t[t] * sigma_y:
+            assert tb.lambda_t[t] == 1.0
+            np.testing.assert_allclose(
+                tb.gamma_t[t], tb.posterior_variance[t] - (a_t[t] * sigma_y) ** 2,
+                rtol=1e-5,
+            )
+        else:
+            np.testing.assert_allclose(
+                tb.lambda_t[t], sigma_t[t] / a_t[t] * sigma_y, rtol=1e-5
+            )
+            assert tb.gamma_t[t] == 0.0
+
+
+def _toy_model_jax(scale=0.1):
+    """Deterministic toy 'ADM' model: eps = scale*x, var_values = 0."""
+
+    def model_fn(x, t):
+        del t
+        return jnp.concatenate([scale * x, jnp.zeros_like(x)], axis=-1)
+
+    return model_fn
+
+
+def test_posterior_sampler_parity_with_oracle():
+    """Zero-noise trajectory parity: our scan vs the reference p_sample loop
+    (p_mean_variance DDNM core + posterior update), toy eps model, sigma_y=0,
+    sr_averagepooling 4x at 64px with jump schedule including travels."""
+    torch = pytest.importorskip("torch")
+    gd = import_hq_reference("gaussian_diffusion")
+    scheduler = import_hq_reference("scheduler")
+
+    betas = sch.named_beta_schedule("linear", 100, use_scale=True)
+    respacing = "25"
+    jump_params = dict(t_T=25, n_sample=1, jump_length=5, jump_n_sample=2)
+
+    size, scale = 64, 4
+    rng = np.random.default_rng(0)
+    x_init = rng.standard_normal((1, size, size, 3)).astype(np.float32)
+    gt = rng.uniform(-1, 1, (1, size, size, 3)).astype(np.float32)
+
+    # ---- ours ----
+    op = build_functional_operator("sr_averagepooling", image_size=size, deg_scale=scale)
+    apy = op.Ap(op.A(jnp.asarray(gt)))
+    tables = build_posterior_tables(
+        betas=betas, timestep_respacing=respacing, sigma_y=0.0,
+        schedule_jump_params=jump_params,
+    )
+    zero_noise = lambda key, shape: jnp.zeros(shape, jnp.float32)
+    x_fin, x0_fin = sample_posterior(
+        _toy_model_jax(), jnp.asarray(x_init), apy, op, tables,
+        jax.random.PRNGKey(0), noise_fn=zero_noise,
+    )
+
+    # ---- oracle: reference SpacedDiffusion step loop, randn patched to 0 ----
+    sd = _oracle_spaced(betas, respacing)
+
+    def t_model(x, ts, **kw):
+        return torch.cat([0.1 * x, torch.zeros_like(x)], dim=1)
+
+    wrapped = sd._wrap_model(t_model)
+    x = torch.from_numpy(np.transpose(x_init, (0, 3, 1, 2)))
+    gt_t = torch.from_numpy(np.transpose(gt, (0, 2, 3, 1)).transpose((0, 3, 1, 2)))
+    gt_t = torch.from_numpy(np.transpose(gt, (0, 3, 1, 2)))
+    pool = torch.nn.AdaptiveAvgPool2d((size // scale, size // scale))
+
+    def up(z):
+        return z.repeat_interleave(scale, dim=2).repeat_interleave(scale, dim=3)
+
+    apy_t = up(pool(gt_t))
+    x0_t = torch.zeros_like(x)
+    times = scheduler.get_schedule_jump(**jump_params)
+    for t_last, t_cur in zip(times[:-1], times[1:]):
+        tt = torch.tensor([t_last])
+        if t_cur < t_last:
+            out = wrapped(x, tt)
+            eps, var_values = torch.split(out, 3, dim=1)
+            x0 = (
+                torch.from_numpy(sd.sqrt_recip_alphas_cumprod[t_last][None]).float() * x
+                - torch.from_numpy(sd.sqrt_recipm1_alphas_cumprod[t_last][None]).float() * eps
+            )
+            x0 = x0.clamp(-1, 1)
+            sigma_t = float(np.sqrt(sd.posterior_variance[t_last]))
+            a_t = float(sd.posterior_mean_coef1[t_last])
+            lam, gam = 1.0, sd.posterior_variance[t_last]
+            x0_hat = lam * apy_t + x0 - lam * up(pool(x0))
+            mean = (
+                float(sd.posterior_mean_coef1[t_last]) * x0_hat
+                + float(sd.posterior_mean_coef2[t_last]) * x
+            )
+            x = mean  # zero noise
+            x0_t = x0_hat
+        else:
+            beta = float(sd.betas[min(t_last + 1, len(sd.betas) - 1)])
+            x = np.sqrt(1.0 - beta) * x  # zero noise undo
+
+    np.testing.assert_allclose(
+        np.asarray(x_fin), np.transpose(x.numpy(), (0, 2, 3, 1)), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(x0_fin), np.transpose(x0_t.numpy(), (0, 2, 3, 1)), atol=2e-4
+    )
+
+
+def test_loop_drivers_identical():
+    """scan vs host loop drivers: same RNG stream, numerically identical
+    trajectories (tiny XLA fusion-order differences allowed)."""
+    from ddnm_tpu.sampling import build_schedule, sample_simplified
+
+    rng = np.random.default_rng(2)
+    size = 32
+    x_init = jnp.asarray(rng.standard_normal((2, size, size, 3)), jnp.float32)
+    gt = jnp.asarray(rng.uniform(-1, 1, (2, size, size, 3)), jnp.float32)
+    op = build_functional_operator("sr_averagepooling", image_size=size, deg_scale=4)
+    apy = op.Ap(op.A(gt))
+
+    betas = sch.named_beta_schedule("linear", 100, use_scale=True)
+    tables = build_posterior_tables(
+        betas=betas, timestep_respacing="10", sigma_y=0.0,
+        schedule_jump_params=dict(t_T=10, n_sample=1, jump_length=3, jump_n_sample=2),
+    )
+    key = jax.random.PRNGKey(7)
+    toy = _toy_model_jax()
+    xs, x0s = sample_posterior(toy, x_init, apy, op, tables, key, loop="scan")
+    xh, x0h = sample_posterior(toy, x_init, apy, op, tables, key, loop="host")
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xh), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x0s), np.asarray(x0h), atol=1e-5)
+
+    betas2 = sch.get_beta_schedule(
+        "linear", beta_start=1e-4, beta_end=0.02, num_diffusion_timesteps=100
+    )
+    ds = build_schedule(betas=betas2, t_sampling=10, travel_length=2, travel_repeat=2)
+    y = op.A(gt)
+
+    def eps_model(x, t):
+        return 0.1 * x
+
+    a_s = sample_simplified(eps_model, x_init, y, op, ds, key, loop="scan")
+    a_h = sample_simplified(eps_model, x_init, y, op, ds, key, loop="host")
+    np.testing.assert_allclose(np.asarray(a_s[0]), np.asarray(a_h[0]), atol=1e-5)
+
+
+def test_tile_grid_matches_reference_loops():
+    """Tile coords/overlaps vs the reference shift loops
+    (gaussian_diffusion.py:665-698 + paste branch :344-380)."""
+    for h_target, w_target in [(256, 256), (512, 512), (500, 380), (384, 640)]:
+        tiles = tile_grid(h_target, w_target)
+        shift_h_total = int(np.ceil(h_target / 128)) - 1
+        shift_w_total = int(np.ceil(w_target / 128)) - 1
+        assert len(tiles) == shift_h_total * shift_w_total
+        for tile in tiles:
+            i, j = tile.index
+            h_l, w_l = 128 * i, 128 * j
+            if i == shift_h_total - 1 and h_target % 128 != 0:
+                h_l = h_target - 256
+            if j == shift_w_total - 1 and w_target % 128 != 0:
+                w_l = w_target - 256
+            assert (tile.h0, tile.w0) == (h_l, w_l), (h_target, w_target, i, j)
+            exp_r = 0 if i == 0 else (
+                256 - h_target % 128
+                if (i == shift_h_total - 1 and h_target % 128 != 0) else 128
+            )
+            exp_c = 0 if j == 0 else (
+                256 - w_target % 128
+                if (j == shift_w_total - 1 and w_target % 128 != 0) else 128
+            )
+            assert (tile.row_overlap, tile.col_overlap) == (exp_r, exp_c)
+
+
+def test_mask_shift_smoke_multitile():
+    """End-to-end Mask-Shift on a 512x512 canvas with a tiny toy model:
+    finite output, overlap strips exactly consistent across tiles."""
+    rng = np.random.default_rng(1)
+    gt = rng.uniform(-1, 1, (1, 512, 512, 3)).astype(np.float32)
+    betas = sch.named_beta_schedule("linear", 100, use_scale=True)
+    tables = build_posterior_tables(
+        betas=betas, timestep_respacing="5", sigma_y=0.0,
+        schedule_jump_params=dict(t_T=5, n_sample=1, jump_length=2, jump_n_sample=2),
+    )
+    out = mask_shift_sample(
+        _toy_model_jax(), gt, "sr_averagepooling", tables,
+        jax.random.PRNGKey(0), scale=4,
+    )
+    assert out["final"].shape == (1, 512, 512, 3)
+    assert np.isfinite(out["final"]).all()
+    assert out["apy"].shape == (1, 512, 512, 3)
