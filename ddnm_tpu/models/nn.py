@@ -102,10 +102,9 @@ def attention(
 
     q, k, v: (B*, T, C) with any number of leading batch/head dims folded into
     B*. Softmax in fp32 (the reference does fp32 softmax under fp16 torsos,
-    unet.py:352,387). XLA fuses this well at the <=4096-token grid sizes this
-    framework sees; a Pallas fused kernel can be swapped in here.
+    unet.py:352,387). Dispatches to the fused Pallas kernel on TPU backends
+    (whole T x T score matrix VMEM-resident), XLA einsum elsewhere.
     """
-    dtype = q.dtype
-    w = jnp.einsum("btc,bsc->bts", q, k, precision=precision) * scale
-    w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(dtype)
-    return jnp.einsum("bts,bsc->btc", w, v, precision=precision)
+    from ddnm_tpu.ops import fused_attention
+
+    return fused_attention(q, k, v, scale)

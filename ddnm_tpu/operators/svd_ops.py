@@ -640,15 +640,13 @@ class WalshHadamardCS(SVDOperator):
         self._s_full = jnp.asarray(s_full)
 
     def fwht(self, a):
-        """(B, C, P) -> (B, C, P); butterfly passes, then /img_dim."""
-        B, C, P = a.shape
-        h = 1
-        while h < P:
-            a = a.reshape(B, C, -1, 2 * h)
-            x, y = a[..., :h], a[..., h:]
-            a = jnp.concatenate([x + y, x - y], axis=-1)
-            h *= 2
-        return a.reshape(B, C, P) / self.img_dim
+        """(B, C, P) -> (B, C, P), normalised by 1/img_dim.
+
+        Kronecker-factored MXU formulation (ddnm_tpu.ops.fwht) — exactly
+        equal to the reference butterfly (tests/test_pallas_ops.py)."""
+        from ddnm_tpu.ops import fwht as _fwht
+
+        return _fwht(a, float(self.img_dim))
 
     def V(self, vec):
         B = vec.shape[0]

@@ -32,6 +32,7 @@ from ddnm_tpu.data import (
 from ddnm_tpu.data.datasets import get_dataset, iterate_batches
 from ddnm_tpu.data.io import load_mask, save_image
 from ddnm_tpu.data.metrics import psnr
+from ddnm_tpu.data.noise import add_noise
 from ddnm_tpu.data.transforms import data_transform, inverse_data_transform
 from ddnm_tpu.models import DDPMUNet, ADMUNet, ADMClassifier, classifier_guidance_fn
 from ddnm_tpu.models.convert import (
@@ -41,7 +42,7 @@ from ddnm_tpu.models.convert import (
 )
 from ddnm_tpu.operators import build_functional_operator, build_svd_operator
 from ddnm_tpu.sampling import build_schedule, sample_simplified, sample_svd
-from ddnm_tpu.utils import jit_init
+from ddnm_tpu.utils import MetricsLogger, jit_init, profile
 from ddnm_tpu import schedules as sch
 
 logger = logging.getLogger("ddnm_tpu")
@@ -67,6 +68,8 @@ class RunArgs:
     image_folder: str = "output"
     simplified: bool = False
     add_noise: bool = False
+    noise_type: str = "gaussian"
+    trace_dir: Optional[str] = None
     subset_start: int = -1
     subset_end: int = -1
     # ours
@@ -158,7 +161,13 @@ class Runner:
     def _mask(self) -> np.ndarray:
         path = self.args.mask_path
         if path is None:
-            raise ValueError(f"task {self.args.deg} needs --mask_path")
+            # reference default asset location (diffusion.py:256,465)
+            default = Path(self.args.exp) / "inp_masks" / "mask.npy"
+            if default.exists():
+                return load_mask(default)
+            raise ValueError(
+                f"task {self.args.deg} needs --mask_path (or {default})"
+            )
         return load_mask(path)
 
     def build_operator(self):
@@ -227,7 +236,11 @@ class Runner:
         size = cfg.data.image_size
         total_psnr, count = 0.0, 0
         idx_so_far = max(args.subset_start, 0)
+        metrics = MetricsLogger(out_dir / "metrics.jsonl")
         wall_start = time.perf_counter()
+        prof = profile(args.trace_dir) if args.trace_dir else None
+        if prof is not None:
+            prof.__enter__()
         for imgs, labels, valid in iterate_batches(dataset, self.batch_size):
             x_orig = data_transform(jnp.asarray(imgs), rescaled=cfg.data.rescaled)
             key, k_init, k_noise, k_samp = jax.random.split(key, 4)
@@ -235,7 +248,7 @@ class Runner:
             if args.simplified:
                 y = operator.A(x_orig)
                 if args.add_noise:
-                    y = y + sigma_y * jax.random.normal(k_noise, y.shape)
+                    y = add_noise(k_noise, y, sigma_y, args.noise_type)
                 apy = operator.Ap(y)
                 x_init = jax.random.normal(k_init, (len(imgs), size, size, 3))
                 x, _ = sample_simplified(
@@ -246,7 +259,7 @@ class Runner:
                 x_vec = jnp.transpose(x_orig, (0, 3, 1, 2)).reshape(len(imgs), -1)
                 y = operator.A(x_vec)
                 if args.add_noise:
-                    y = y + sigma_y * jax.random.normal(k_noise, y.shape)
+                    y = add_noise(k_noise, y, sigma_y, args.noise_type)
                 apy = self._apy_visualisation(operator, y, len(imgs))
                 x_init = jax.random.normal(k_init, (len(imgs), size, size, 3))
                 x, _ = sample_svd(
@@ -269,8 +282,17 @@ class Runner:
                 total_psnr += float(batch_psnr[i])
                 count += 1
             idx_so_far += valid
+            metrics.logkv_mean("psnr", float(np.mean(batch_psnr[:valid])))
+            metrics.logkv("images", count)
+            metrics.logkv(
+                "images_per_sec", count / (time.perf_counter() - wall_start)
+            )
+            metrics.dumpkvs()
             logger.info("PSNR: %.2f", total_psnr / max(count, 1))
 
+        if prof is not None:
+            prof.__exit__(None, None, None)
+        metrics.close()
         wall = time.perf_counter() - wall_start
         avg = total_psnr / max(count, 1)
         print(f"Total Average PSNR: {avg:.2f}")

@@ -1,4 +1,4 @@
-"""Runtime utilities: platform selection, jitted init, timing."""
+"""Runtime utilities: platform selection, jitted init, timing, observability."""
 
 from ddnm_tpu.utils.runtime import (
     apply_platform_env,
@@ -6,5 +6,14 @@ from ddnm_tpu.utils.runtime import (
     jit_init,
     sync,
 )
+from ddnm_tpu.utils.observability import MetricsLogger, StepTimer, profile
 
-__all__ = ["apply_platform_env", "enable_compilation_cache", "jit_init", "sync"]
+__all__ = [
+    "apply_platform_env",
+    "enable_compilation_cache",
+    "jit_init",
+    "sync",
+    "MetricsLogger",
+    "StepTimer",
+    "profile",
+]

@@ -35,6 +35,10 @@ def parse_args(argv=None):
     p.add_argument("-i", "--image_folder", type=str, default="output")
     p.add_argument("--deg_scale", type=float, default=4.0)
     p.add_argument("--add_noise", action="store_true")
+    p.add_argument("-n", "--noise_type", type=str, default="gaussian",
+                   choices=["gaussian", "3d_gaussian", "poisson", "speckle"])
+    p.add_argument("--trace_dir", type=str, default=None,
+                   help="write a jax.profiler trace here")
     p.add_argument("--subset_start", type=int, default=-1)
     p.add_argument("--subset_end", type=int, default=-1)
     p.add_argument("--verbose", type=str, default="info")
@@ -84,6 +88,8 @@ def main(argv=None):
         image_folder=ns.image_folder,
         simplified=ns.simplified,
         add_noise=ns.add_noise,
+        noise_type=ns.noise_type,
+        trace_dir=ns.trace_dir,
         subset_start=ns.subset_start,
         subset_end=ns.subset_end,
         ckpt=ns.ckpt,

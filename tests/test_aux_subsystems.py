@@ -1,0 +1,146 @@
+"""Tests for auxiliary subsystems: noise models, checkpoint registry,
+observability, fixtures tooling, and the evaluation harness plumbing."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+# ------------------------------------------------------------------ noise
+def test_noise_gaussian_stats():
+    from ddnm_tpu.data.noise import add_noise
+
+    y = jnp.zeros((4, 64, 64, 3))
+    out = add_noise(jax.random.PRNGKey(0), y, 0.2, "gaussian")
+    assert abs(float(out.std()) - 0.2) < 0.01
+    out3d = add_noise(jax.random.PRNGKey(0), y, 0.2, "3d_gaussian")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out3d))
+
+
+def test_noise_speckle_multiplicative():
+    from ddnm_tpu.data.noise import add_noise
+
+    y = jnp.zeros((2, 16, 16, 3))
+    out = add_noise(jax.random.PRNGKey(1), y, 0.5, "speckle")
+    np.testing.assert_array_equal(np.asarray(out), 0.0)  # zero signal -> zero noise
+
+
+def test_noise_poisson_reasonable():
+    from ddnm_tpu.data.noise import add_noise
+
+    y = jnp.full((2, 32, 32, 3), 0.5)  # mid-gray in [-1,1]
+    out = add_noise(jax.random.PRNGKey(2), y, 0.1, "poisson")
+    assert np.isfinite(np.asarray(out)).all()
+    assert abs(float(out.mean()) - 0.5) < 0.05
+
+
+def test_noise_zero_sigma_identity():
+    from ddnm_tpu.data.noise import add_noise
+
+    y = jnp.ones((1, 8, 8, 3))
+    out = add_noise(jax.random.PRNGKey(0), y, 0.0, "gaussian")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(y))
+
+
+def test_noise_unknown_type_raises():
+    from ddnm_tpu.data.noise import add_noise
+
+    with pytest.raises(ValueError):
+        add_noise(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 3)), 0.1, "salt")
+
+
+# ------------------------------------------------------------- checkpoints
+def test_checkpoint_registry_and_md5(tmp_path):
+    from ddnm_tpu.data.checkpoints import CHECKPOINTS, fetch, md5sum
+
+    assert "celeba_hq" in CHECKPOINTS
+    assert "imagenet_256_cond" in CHECKPOINTS
+    p = tmp_path / "x.bin"
+    p.write_bytes(b"hello")
+    assert md5sum(p) == "5d41402abc4b2a76b9719d911017c592"
+    with pytest.raises(KeyError):
+        fetch("nope", tmp_path)
+    with pytest.raises(FileNotFoundError):
+        fetch("celeba_hq", tmp_path, allow_download=False)
+
+
+def test_converted_param_cache_roundtrip(tmp_path):
+    """load_params caches the converted pytree and reloads it identically."""
+    torch = pytest.importorskip("torch")
+    from ddnm_tpu.data.checkpoints import load_params
+
+    sd = {
+        "conv_in.weight": torch.randn(8, 3, 3, 3),
+        "conv_in.bias": torch.randn(8),
+        "temb.dense.0.weight": torch.randn(16, 8),
+        "temb.dense.0.bias": torch.randn(16),
+    }
+    ckpt = tmp_path / "toy.ckpt"
+    torch.save(sd, ckpt)
+    first = load_params(ckpt)
+    assert (tmp_path / "toy.ckpt.flax.npz").exists()
+    second = load_params(ckpt)  # cache hit, no torch needed
+    f1 = jax.tree.leaves(first)
+    f2 = jax.tree.leaves(second)
+    assert len(f1) == len(f2) == 4
+    for a, b in zip(f1, f2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ----------------------------------------------------------- observability
+def test_metrics_logger(tmp_path):
+    from ddnm_tpu.utils import MetricsLogger
+
+    m = MetricsLogger(tmp_path / "m.jsonl")
+    m.logkv_mean("psnr", 10.0)
+    m.logkv_mean("psnr", 20.0)
+    m.logkv("step", 1)
+    out = m.dumpkvs()
+    assert out["psnr"] == 15.0 and out["step"] == 1
+    m.logkv("step", 2)
+    m.dumpkvs()
+    m.close()
+    lines = (tmp_path / "m.jsonl").read_text().strip().splitlines()
+    assert len(lines) == 2
+    assert json.loads(lines[0])["psnr"] == 15.0
+
+
+# ------------------------------------------------------------------- tools
+def test_make_fixtures_and_get_mask(tmp_path):
+    subprocess.run(
+        [sys.executable, str(REPO / "tools" / "make_fixtures.py"),
+         "--exp", str(tmp_path), "--size", "32", "--count", "2"],
+        check=True, capture_output=True,
+    )
+    assert len(list((tmp_path / "datasets" / "celeba_hq").glob("*.png"))) == 2
+    mask = np.load(tmp_path / "inp_masks" / "mask.npy")
+    assert mask.shape == (32, 32) and set(np.unique(mask)) == {0, 1}
+
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "get_mask.py"),
+         str(tmp_path / "inp_masks" / "mask.png"),
+         str(tmp_path / "m2.npy")],
+        check=True, capture_output=True,
+    )
+    m2 = np.load(tmp_path / "m2.npy")
+    np.testing.assert_array_equal(m2, mask)
+
+
+# -------------------------------------------------------------- evaluation
+def test_evaluation_dry_run(tmp_path):
+    out = subprocess.run(
+        [sys.executable, str(REPO / "evaluation.py"), "--dry-run",
+         "--random-init", "-i", str(tmp_path)],
+        check=True, capture_output=True, text=True,
+    )
+    # all 14 reference runs enumerated (evaluation.sh:1-36)
+    assert out.stdout.count("== ") == 14
+    assert (tmp_path / "report.json").exists()
