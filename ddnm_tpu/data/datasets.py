@@ -106,6 +106,15 @@ def get_dataset(
     """Build a dataset by reference config name (CelebA_HQ, FFHQ, ImageNet...)."""
     if name.lower() in ("celeba_hq", "ffhq", "solvay", "oldphoto", "folder"):
         ds = FolderDataset(root, image_size)
+    elif name.upper() == "CELEBA":
+        from ddnm_tpu.data.extra_datasets import CelebADataset
+
+        ds = CelebADataset(root, image_size, split="test")
+    elif name.upper() == "LSUN":
+        from ddnm_tpu.data.extra_datasets import LSUNDataset
+
+        # root is <exp>/datasets/<path_y>; category from the final component
+        ds = LSUNDataset(Path(root).parent, Path(root).name, "val", image_size)
     elif name.lower() == "imagenet" and manifest is not None:
         ds = ImageNetManifestDataset(root, manifest, image_size)
     elif name.lower() == "imagenet":

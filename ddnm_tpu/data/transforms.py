@@ -11,8 +11,21 @@ import numpy as np
 __all__ = ["data_transform", "inverse_data_transform"]
 
 
-def data_transform(x, *, rescaled: bool = True, logit_transform: bool = False):
-    """[0,1] -> model domain."""
+def data_transform(x, *, rescaled: bool = True, logit_transform: bool = False,
+                   uniform_dequantization: bool = False,
+                   gaussian_dequantization: bool = False,
+                   rng: np.random.Generator | None = None):
+    """[0,1] -> model domain (reference datasets/__init__.py:201-215,
+    including the optional dequantizations the configs can enable)."""
+    if uniform_dequantization:
+        rng = rng or np.random.default_rng(0)
+        x = (np.asarray(x) * 255.0 + rng.uniform(size=np.shape(x))) / 256.0
+        x = jnp.asarray(x, jnp.float32)
+    if gaussian_dequantization:
+        rng = rng or np.random.default_rng(0)
+        x = jnp.asarray(
+            np.asarray(x) + rng.standard_normal(np.shape(x)) * 0.01, jnp.float32
+        )
     if logit_transform:
         lam = 1e-6
         x = lam + (1 - 2 * lam) * x

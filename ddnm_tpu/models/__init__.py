@@ -12,13 +12,22 @@ the checkpoints' NCHW convention.
 """
 
 from ddnm_tpu.models.unet_ddpm import DDPMUNet
-from ddnm_tpu.models.unet_adm import ADMUNet, ADMClassifier, classifier_guidance_fn
+from ddnm_tpu.models.unet_adm import (
+    ADMClassifier,
+    ADMSuperResModel,
+    ADMUNet,
+    classifier_guidance_fn,
+)
+from ddnm_tpu.models.nn import cast_torso, update_ema
 from ddnm_tpu.models.convert import torch_state_dict_to_flax
 
 __all__ = [
     "DDPMUNet",
     "ADMUNet",
+    "ADMSuperResModel",
     "ADMClassifier",
+    "update_ema",
+    "cast_torso",
     "classifier_guidance_fn",
     "torch_state_dict_to_flax",
 ]

@@ -21,6 +21,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 __all__ = [
+    "update_ema",
+    "cast_torso",
     "swish",
     "timestep_embedding_ddpm",
     "timestep_embedding_adm",
@@ -108,3 +110,27 @@ def attention(
     from ddnm_tpu.ops import fused_attention
 
     return fused_attention(q, k, v, scale)
+
+
+def update_ema(ema_params, params, rate: float = 0.9999):
+    """EMA pytree update: ema <- ema*rate + params*(1-rate)
+    (reference nn.py:55-65, functional over pytrees instead of in-place)."""
+    return jax.tree.map(
+        lambda e, p: e * rate + p.astype(e.dtype) * (1.0 - rate),
+        ema_params, params,
+    )
+
+
+def cast_torso(params, dtype):
+    """Cast floating-point parameters to `dtype` (the TPU-native analogue of
+    the reference's convert_module_to_f16, fp16_util.py:15-32 — on TPU the
+    torso runs bf16 via the model's `dtype` attr; this helper additionally
+    lets callers store params themselves in bf16 to halve HBM)."""
+    import jax.numpy as _jnp
+
+    def cast(x):
+        if hasattr(x, "dtype") and _jnp.issubdtype(x.dtype, _jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree.map(cast, params)

@@ -27,7 +27,7 @@ from flax import linen as nn
 
 from ddnm_tpu.models.nn import GroupNormF32, attention, nearest_upsample, swish, timestep_embedding_adm
 
-__all__ = ["ADMUNet", "ADMClassifier", "parse_channel_mult", "parse_attention_resolutions"]
+__all__ = ["ADMUNet", "ADMSuperResModel", "ADMClassifier", "parse_channel_mult", "parse_attention_resolutions"]
 
 
 def parse_channel_mult(channel_mult: str | Sequence[int], image_size: int) -> tuple[int, ...]:
@@ -402,6 +402,22 @@ class AttentionPool2d(nn.Module):
         out = out.reshape(b, heads, t + 1, ch).transpose(0, 2, 1, 3).reshape(b, t + 1, c)
         out = _dense(self.output_dim, "c_proj", dtype=self.dtype)(out)
         return out[:, 0]
+
+
+class ADMSuperResModel(ADMUNet):
+    """ADM SuperResModel (unet.py:667-681): conditions the UNet on a
+    bilinear-upsampled low-resolution image via channel concatenation.
+    Unused in the reference's main DDNM flow but part of its model zoo;
+    set in_channels=6 to load the upstream SR checkpoints."""
+
+    def __call__(self, x, timesteps, low_res=None, y=None):
+        if low_res is not None:
+            b, h, w, _ = x.shape
+            up = jax.image.resize(
+                low_res, (b, h, w, low_res.shape[-1]), method="bilinear"
+            )
+            x = jnp.concatenate([x, up.astype(x.dtype)], axis=-1)
+        return ADMUNet.__call__(self, x, timesteps, y)
 
 
 class ADMClassifier(_ADMBase):

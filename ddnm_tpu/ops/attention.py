@@ -80,10 +80,14 @@ def fused_attention(
 ) -> jnp.ndarray:
     """Attention over (B*, T, C) token grids; fp32 softmax.
 
-    Uses the Pallas kernel on TPU backends, XLA einsum elsewhere.
+    Uses the Pallas kernel on TPU backends (XLA einsum on CPU and on the
+    axon dev tunnel, whose remote Mosaic compiles cost minutes per shape).
     `force` in {"pallas", "xla", "interpret"} overrides (tests)."""
+    from ddnm_tpu.utils import is_remote_compile_backend
+
     backend = jax.default_backend()
-    mode = force or ("pallas" if backend in ("tpu", "axon") else "xla")
+    use_pallas = backend == "tpu" and not is_remote_compile_backend()
+    mode = force or ("pallas" if use_pallas else "xla")
     if mode == "xla":
         return _xla_attention(q, k, v, scale)
     return _pallas_attention(q, k, v, scale, interpret=(mode == "interpret"))

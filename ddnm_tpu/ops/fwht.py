@@ -96,8 +96,11 @@ def fwht(x: jnp.ndarray, norm: float, *, force: str | None = None) -> jnp.ndarra
     hb = jnp.asarray(hadamard_matrix(b))
     x2d = x.reshape(-1, a, b).astype(jnp.float32)
 
+    from ddnm_tpu.utils import is_remote_compile_backend
+
     backend = jax.default_backend()
-    mode = force or ("pallas" if backend in ("tpu", "axon") else "xla")
+    use_pallas = backend == "tpu" and not is_remote_compile_backend()
+    mode = force or ("pallas" if use_pallas else "xla")
     if mode == "xla":
         out = jnp.einsum(
             "ij,njk,kl->nil", ha, x2d, hb,

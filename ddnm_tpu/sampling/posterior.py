@@ -173,26 +173,13 @@ def _default_noise(key, shape):
     return jax.random.normal(key, shape, dtype=jnp.float32)
 
 
-def _is_remote_compile_backend() -> bool:
-    """True on the axon-tunnelled TPU (remote compiler; scan-over-UNet
-    compiles pathologically slowly there). The backend name reports plain
-    "tpu", so detect the plugin via its config/env fingerprints."""
-    import os
-
-    if any(k.startswith("PALLAS_AXON") or k == "AXON_LOOPBACK_RELAY" for k in os.environ):
-        return True
-    try:
-        platforms = jax.config.jax_platforms or ""
-    except Exception:
-        platforms = ""
-    return "axon" in platforms
-
-
 def _resolve_loop(loop: str) -> str:
     if loop == "auto":
+        from ddnm_tpu.utils import is_remote_compile_backend
+
         if jax.default_backend() == "cpu":
             return "scan"
-        return "host" if _is_remote_compile_backend() else "scan"
+        return "host" if is_remote_compile_backend() else "scan"
     return loop
 
 

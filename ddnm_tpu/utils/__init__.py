@@ -3,6 +3,7 @@
 from ddnm_tpu.utils.runtime import (
     apply_platform_env,
     enable_compilation_cache,
+    is_remote_compile_backend,
     jit_init,
     sync,
 )
@@ -11,6 +12,7 @@ from ddnm_tpu.utils.observability import MetricsLogger, StepTimer, profile
 __all__ = [
     "apply_platform_env",
     "enable_compilation_cache",
+    "is_remote_compile_backend",
     "jit_init",
     "sync",
     "MetricsLogger",

@@ -14,7 +14,13 @@ import os
 
 import jax
 
-__all__ = ["apply_platform_env", "enable_compilation_cache", "jit_init", "sync"]
+__all__ = [
+    "apply_platform_env",
+    "enable_compilation_cache",
+    "is_remote_compile_backend",
+    "jit_init",
+    "sync",
+]
 
 
 def apply_platform_env() -> None:
@@ -51,3 +57,22 @@ def sync(tree):
         if hasattr(leaf, "block_until_ready"):
             leaf.block_until_ready()
     return tree
+
+
+def is_remote_compile_backend() -> bool:
+    """True on the axon-tunnelled TPU dev environment (remote Mosaic/XLA
+    compiler; scan-over-UNet and Pallas compiles are pathologically slow
+    there — measured ~200 s for a trivial Pallas kernel). The backend name
+    reports plain "tpu", so detect the plugin via its env/config
+    fingerprints. Production TPU backends return False."""
+    import os
+
+    if jax.default_backend() == "cpu":
+        return False
+    if any(k.startswith("PALLAS_AXON") or k == "AXON_LOOPBACK_RELAY" for k in os.environ):
+        return True
+    try:
+        platforms = jax.config.jax_platforms or ""
+    except Exception:
+        platforms = ""
+    return "axon" in platforms
