@@ -35,11 +35,7 @@ from ddnm_tpu.data.metrics import psnr
 from ddnm_tpu.data.noise import add_noise
 from ddnm_tpu.data.transforms import data_transform, inverse_data_transform
 from ddnm_tpu.models import DDPMUNet, ADMUNet, ADMClassifier, classifier_guidance_fn
-from ddnm_tpu.models.convert import (
-    adm_key_map,
-    load_torch_checkpoint,
-    torch_state_dict_to_flax,
-)
+from ddnm_tpu.data.checkpoints import load_params
 from ddnm_tpu.operators import build_functional_operator, build_svd_operator
 from ddnm_tpu.sampling import build_schedule, sample_simplified, sample_svd
 from ddnm_tpu.utils import MetricsLogger, jit_init, profile
@@ -114,8 +110,7 @@ class Runner:
 
         if args.ckpt and Path(args.ckpt).exists():
             logger.info("loading checkpoint %s", args.ckpt)
-            sd = load_torch_checkpoint(args.ckpt)
-            params = {"params": torch_state_dict_to_flax(sd, adm_key_map)}
+            params = load_params(args.ckpt)
         elif args.random_init:
             logger.warning("random-init model (no checkpoint) — smoke/bench mode")
             dummy_t = jnp.zeros((1,))
@@ -145,8 +140,7 @@ class Runner:
         if class_cond and cfg.classifier is not None:
             clf = ADMClassifier.from_config(cfg.classifier, size, dtype=self.dtype)
             if args.classifier_ckpt and Path(args.classifier_ckpt).exists():
-                csd = load_torch_checkpoint(args.classifier_ckpt)
-                cparams = {"params": torch_state_dict_to_flax(csd, adm_key_map)}
+                cparams = load_params(args.classifier_ckpt)
             elif args.random_init:
                 cparams = jit_init(clf, rng, jnp.zeros((1, size, size, 3)), jnp.zeros((1,)))
             else:

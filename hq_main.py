@@ -95,9 +95,7 @@ def main(argv=None):
     from ddnm_tpu.config import load_hq_config
     from ddnm_tpu.data.io import load_image, load_mask, save_image
     from ddnm_tpu.models import ADMClassifier, classifier_guidance_fn
-    from ddnm_tpu.models.convert import (
-        adm_key_map, load_torch_checkpoint, torch_state_dict_to_flax,
-    )
+    from ddnm_tpu.data.checkpoints import load_params
     from ddnm_tpu.sampling.posterior import build_posterior_tables
     from ddnm_tpu.schedules import named_beta_schedule
     from ddnm_tpu.tiling import mask_shift_sample
@@ -116,8 +114,7 @@ def main(argv=None):
     ckpt = ns.ckpt or conf.model_path
     if ckpt and Path(ckpt).exists():
         logger.info("loading checkpoint %s", ckpt)
-        sd = load_torch_checkpoint(ckpt)
-        params = {"params": torch_state_dict_to_flax(sd, adm_key_map)}
+        params = load_params(ckpt)
     elif ns.random_init:
         logger.warning("random-init model — smoke mode")
         dummy = (jnp.zeros((1, size, size, 3)), jnp.zeros((1,)))
@@ -157,8 +154,7 @@ def main(argv=None):
             dtype=dtype,
         )
         if cckpt and Path(cckpt).exists():
-            csd = load_torch_checkpoint(cckpt)
-            cparams = {"params": torch_state_dict_to_flax(csd, adm_key_map)}
+            cparams = load_params(cckpt)
         elif ns.random_init:
             cparams = jit_init(clf, k_model, jnp.zeros((1, size, size, 3)), jnp.zeros((1,)))
         else:
