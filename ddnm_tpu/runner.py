@@ -221,6 +221,15 @@ class Runner:
         dataset = self.build_dataset()
         logger.info("dataset size %d, batch size %d", len(dataset), self.batch_size)
 
+        # multi-chip: shard the image batch over a 1-D data mesh; sharded
+        # inputs propagate through the jitted samplers (params replicate)
+        mesh = None
+        if jax.device_count() > 1 and self.batch_size % jax.device_count() == 0:
+            from ddnm_tpu.parallel import make_mesh, shard_batch
+
+            mesh = make_mesh()
+            logger.info("sharding batch over %d devices", jax.device_count())
+
         # reference scales sigma_y once for the [-1,1] domain (diffusion.py:294)
         sigma_y = 2.0 * args.sigma_y
 
@@ -245,6 +254,8 @@ class Runner:
                     y = add_noise(k_noise, y, sigma_y, args.noise_type)
                 apy = operator.Ap(y)
                 x_init = jax.random.normal(k_init, (len(imgs), size, size, 3))
+                if mesh is not None:
+                    x_init, y = shard_batch(mesh, (x_init, y))
                 x, _ = sample_simplified(
                     model_fn, x_init, y, operator, self.sched, k_samp,
                     eta=args.eta, sigma_y=sigma_y,
@@ -256,6 +267,8 @@ class Runner:
                     y = add_noise(k_noise, y, sigma_y, args.noise_type)
                 apy = self._apy_visualisation(operator, y, len(imgs))
                 x_init = jax.random.normal(k_init, (len(imgs), size, size, 3))
+                if mesh is not None:
+                    x_init, y = shard_batch(mesh, (x_init, y))
                 x, _ = sample_svd(
                     model_fn, x_init, y, operator, self.sched, k_samp,
                     eta=args.eta, sigma_y=sigma_y, guidance_fn=guidance_fn,
