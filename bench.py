@@ -46,11 +46,19 @@ def main():
     from ddnm_tpu.operators import build_functional_operator
     from ddnm_tpu.sampling import build_schedule, sample_simplified
 
+    import sys
+
+    def mark(msg):
+        print(f"# {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
+
+    mark("start")
     model = DDPMUNet(dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (BATCH, RES, RES, 3), dtype=jnp.float32)
     t = jnp.zeros((BATCH,))
     params = jit_init(model, rng, x[:1], t[:1])
+    jax.block_until_ready(params)
+    mark("init done")
 
     def model_fn(xx, tt):
         return model.apply(params, xx, tt)
@@ -59,16 +67,19 @@ def main():
         "linear", beta_start=1e-4, beta_end=0.02, num_diffusion_timesteps=1000
     )
     sched = build_schedule(betas=betas, t_sampling=T_SAMPLING)
+    mark("schedule built")
     op = build_functional_operator("sr_averagepooling", image_size=RES, deg_scale=4)
     y = op.A(x)
 
     kwargs = dict(eta=0.85, sigma_y=0.0)
 
     # warmup / compile
+    mark("warmup begin")
     out, _ = sample_simplified(
         model_fn, x, y, op, sched, jax.random.PRNGKey(1), **kwargs
     )
     jax.device_get(out)  # full sync (block_until_ready is unreliable on axon)
+    mark("warmup done")
 
     # timed runs
     n_runs = 3
