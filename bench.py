@@ -60,8 +60,8 @@ def main():
     jax.block_until_ready(params)
     mark("init done")
 
-    def model_fn(xx, tt):
-        return model.apply(params, xx, tt)
+    def model_fn(p, xx, tt):
+        return model.apply(p, xx, tt)
 
     betas = schedules.get_beta_schedule(
         "linear", beta_start=1e-4, beta_end=0.02, num_diffusion_timesteps=1000
@@ -76,7 +76,7 @@ def main():
     # warmup / compile
     mark("warmup begin")
     out, _ = sample_simplified(
-        model_fn, x, y, op, sched, jax.random.PRNGKey(1), **kwargs
+        model_fn, x, y, op, sched, jax.random.PRNGKey(1), params=params, **kwargs
     )
     jax.device_get(out)  # full sync (block_until_ready is unreliable on axon)
     mark("warmup done")
@@ -86,7 +86,8 @@ def main():
     t0 = time.perf_counter()
     for i in range(n_runs):
         out, _ = sample_simplified(
-            model_fn, x, y, op, sched, jax.random.PRNGKey(2 + i), **kwargs
+            model_fn, x, y, op, sched, jax.random.PRNGKey(2 + i),
+            params=params, **kwargs
         )
     jax.device_get(out)
     dt = time.perf_counter() - t0

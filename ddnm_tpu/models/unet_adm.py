@@ -516,20 +516,32 @@ class ADMClassifier(_ADMBase):
         )
 
 
-def classifier_guidance_fn(classifier_apply, params, classes, scale: float):
-    """Build grad_x log p(y|x) * scale (reference diffusion.py:183-191).
+def classifier_guidance_fn(classifier_apply, classes, scale: float,
+                           params=None):
+    """Build grad_x log p(y|x) * scale (reference diffusion.py:183-191),
+    for use as the samplers' guidance hook (et <- et - sqrt(1-at) * grad).
 
-    Returns a function (x_nhwc, t) -> gradient, for use as the sampler's
-    guidance hook (et <- et - sqrt(1-at) * grad)."""
+    Two calling conventions, matching the samplers' `params` modes:
+      - params given here (closure style): guidance(x, t, at=None);
+      - params=None here (traced style): guidance(run_params, x, t, at=None)
+        where run_params["classifier"] holds the classifier variables —
+        weights then travel as jit arguments, not HLO constants."""
 
-    def log_prob(x, t):
-        logits = classifier_apply(params, x, t)
+    def log_prob(cparams, x, t):
+        logits = classifier_apply(cparams, x, t)
         logp = jax.nn.log_softmax(logits, axis=-1)
         return jnp.take_along_axis(logp, classes[:, None], axis=-1).sum()
 
-    grad_fn = jax.grad(log_prob)
+    grad_fn = jax.grad(log_prob, argnums=1)
 
-    def guidance(x, t, at=None):
-        return grad_fn(x, t) * scale
+    if params is not None:
+
+        def guidance(x, t, at=None):
+            return grad_fn(params, x, t) * scale
+
+        return guidance
+
+    def guidance(run_params, x, t, at=None):
+        return grad_fn(run_params["classifier"], x, t) * scale
 
     return guidance

@@ -128,13 +128,13 @@ class Runner:
         if class_cond:
             classes = jnp.full((self.batch_size,), GUIDED_CLASS, dtype=jnp.int32)
 
-            def model_fn(x, t):
-                return model.apply(params, x, t, classes)
+            def model_fn(p, x, t):
+                return model.apply(p["model"], x, t, classes)
 
         else:
 
-            def model_fn(x, t):
-                return model.apply(params, x, t)
+            def model_fn(p, x, t):
+                return model.apply(p["model"], x, t)
 
         guidance_fn = None
         if class_cond and cfg.classifier is not None:
@@ -146,10 +146,15 @@ class Runner:
             else:
                 raise FileNotFoundError("classifier checkpoint missing")
             guidance_fn = classifier_guidance_fn(
-                clf.apply, cparams, jnp.full((self.batch_size,), GUIDED_CLASS, jnp.int32),
+                clf.apply, jnp.full((self.batch_size,), GUIDED_CLASS, jnp.int32),
                 cfg.classifier.classifier_scale,
             )
-        return model_fn, guidance_fn
+        else:
+            cparams = None
+        run_params = {"model": params}
+        if cparams is not None:
+            run_params["classifier"] = cparams
+        return model_fn, guidance_fn, run_params
 
     # -------------------------------------------------------------- operators
     def _mask(self) -> np.ndarray:
@@ -216,7 +221,7 @@ class Runner:
         key = jax.random.PRNGKey(args.seed)
         key, model_key = jax.random.split(key)
 
-        model_fn, guidance_fn = self.build_model(model_key)
+        model_fn, guidance_fn, run_params = self.build_model(model_key)
         operator = self.build_operator()
         dataset = self.build_dataset()
         logger.info("dataset size %d, batch size %d", len(dataset), self.batch_size)
@@ -258,7 +263,7 @@ class Runner:
                     x_init, y = shard_batch(mesh, (x_init, y))
                 x, _ = sample_simplified(
                     model_fn, x_init, y, operator, self.sched, k_samp,
-                    eta=args.eta, sigma_y=sigma_y,
+                    eta=args.eta, sigma_y=sigma_y, params=run_params,
                 )
             else:
                 x_vec = jnp.transpose(x_orig, (0, 3, 1, 2)).reshape(len(imgs), -1)
@@ -272,6 +277,7 @@ class Runner:
                 x, _ = sample_svd(
                     model_fn, x_init, y, operator, self.sched, k_samp,
                     eta=args.eta, sigma_y=sigma_y, guidance_fn=guidance_fn,
+                    params=run_params,
                 )
 
             x01 = inverse_data_transform(x, rescaled=cfg.data.rescaled)

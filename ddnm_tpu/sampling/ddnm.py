@@ -144,8 +144,18 @@ def _travel_step(x0_pred, at_next, noise):
     return jnp.sqrt(at_next) * x0_pred + noise * jnp.sqrt(1.0 - at_next)
 
 
-def _simplified_body(model_fn, operator, eta, sigma_y, x, y, t_f, at, at_next, noise):
-    et = model_fn(x, t_f)
+def _call_model(model_fn, params, x, t_f):
+    """Call the model with params as a traced argument when provided.
+
+    Closure-captured params become giant HLO *constants*; on remote-compile
+    backends that means shipping every weight inside the compile request
+    (observed: HTTP 413 at ~456 MB). Passing params as an argument keeps
+    the HLO small and lets shardings propagate."""
+    return model_fn(x, t_f) if params is None else model_fn(params, x, t_f)
+
+
+def _simplified_body(model_fn, operator, eta, sigma_y, params, x, y, t_f, at, at_next, noise):
+    et = _call_model(model_fn, params, x, t_f)
     et = et[..., :3] if et.shape[-1] == 6 else et
     # Eq. 12
     x0_t = (x - et * jnp.sqrt(1.0 - at)) / jnp.sqrt(at)
@@ -179,13 +189,15 @@ def _vec_to_nhwc(v: Array, shape: tuple) -> Array:
 
 
 def _svd_body(
-    model_fn, operator, eta, sigma_y, guidance_fn, x, y, t_f, at, at_next, noise
+    model_fn, operator, eta, sigma_y, guidance_fn, params, x, y, t_f, at, at_next, noise
 ):
     img_shape = x.shape
-    et = model_fn(x, t_f)
+    et = _call_model(model_fn, params, x, t_f)
     et = et[..., :3] if et.shape[-1] == 6 else et
     if guidance_fn is not None:
-        et = et - jnp.sqrt(1.0 - at) * guidance_fn(x, t_f, at)
+        g = (guidance_fn(x, t_f, at) if params is None
+             else guidance_fn(params, x, t_f, at))
+        et = et - jnp.sqrt(1.0 - at) * g
     x0_t = (x - et * jnp.sqrt(1.0 - at)) / jnp.sqrt(at)
 
     x0_vec = _nhwc_to_vec(x0_t)
@@ -223,7 +235,7 @@ def _svd_body(
     jax.jit,
     static_argnames=("body", "noise_fn"),
 )
-def _run_scan(body, noise_fn, x_init, y, sched: DDNMSchedule, key):
+def _run_scan(body, noise_fn, params, x_init, y, sched: DDNMSchedule, key):
     """Whole-trajectory scan; travel/normal via lax.cond on the static flag."""
     alpha_bar = jnp.asarray(sched.alpha_bar)
     n = x_init.shape[0]
@@ -238,7 +250,7 @@ def _run_scan(body, noise_fn, x_init, y, sched: DDNMSchedule, key):
 
         def normal(_):
             t_f = jnp.full((n,), t_i, dtype=jnp.float32)
-            return body(x, y, t_f, at, at_next, noise)
+            return body(params, x, y, t_f, at, at_next, noise)
 
         def travel_back(_):
             return _travel_step(x0_pred, at_next, noise), x0_pred
@@ -253,12 +265,12 @@ def _run_scan(body, noise_fn, x_init, y, sched: DDNMSchedule, key):
 
 
 @partial(jax.jit, static_argnames=("body", "noise_fn"))
-def _host_step(body, noise_fn, x, y, key, t_i, at, at_next):
+def _host_step(body, noise_fn, params, x, y, key, t_i, at, at_next):
     n = x.shape[0]
     key, k_noise = jax.random.split(key)
     noise = noise_fn(k_noise, x.shape)
     t_f = jnp.full((n,), t_i, dtype=jnp.float32)
-    x_next, x0_t = body(x, y, t_f, at, at_next, noise)
+    x_next, x0_t = body(params, x, y, t_f, at, at_next, noise)
     return x_next, x0_t, key
 
 
@@ -269,7 +281,7 @@ def _host_travel(noise_fn, x0_pred, key, at_next):
     return _travel_step(x0_pred, at_next, noise), key
 
 
-def _run_host(body, noise_fn, x_init, y, sched: DDNMSchedule, key):
+def _run_host(body, noise_fn, params, x_init, y, sched: DDNMSchedule, key):
     """Host-driven loop: one async jitted dispatch per step.
 
     The schedule is static numpy, so the travel branch is a *Python* branch
@@ -285,15 +297,15 @@ def _run_host(body, noise_fn, x_init, y, sched: DDNMSchedule, key):
             x, key = _host_travel(noise_fn, x0_pred, key, at_next)
         else:
             x, x0_pred, key = _host_step(
-                body, noise_fn, x, y, key, float(t_i), at, at_next
+                body, noise_fn, params, x, y, key, float(t_i), at, at_next
             )
     return x, x0_pred
 
 
-def _drive(loop, body, noise_fn, x_init, y, sched, key):
+def _drive(loop, body, noise_fn, params, x_init, y, sched, key):
     if _resolve_loop(loop) == "scan":
-        return _run_scan(body, noise_fn, x_init, y, sched, key)
-    return _run_host(body, noise_fn, x_init, y, sched, key)
+        return _run_scan(body, noise_fn, params, x_init, y, sched, key)
+    return _run_host(body, noise_fn, params, x_init, y, sched, key)
 
 
 # ----------------------------------------------------------------- public API
@@ -311,14 +323,19 @@ def sample_simplified(
     sigma_y: float = 0.0,
     noise_fn: NoiseFn = _default_noise,
     loop: str = "auto",
+    params=None,
 ) -> tuple[Array, Array]:
     """Simplified DDNM+ over NHWC images. Returns (x_final, x0_pred_final).
 
     `sigma_y` here is the *scaled* measurement noise (the runner doubles the
     CLI value to account for [-1,1] scaling, diffusion.py:294).
+
+    `params`: optional pytree passed to model_fn as its first argument
+    (model_fn(params, x, t)); REQUIRED for large models on remote-compile
+    backends so weights travel as jit arguments, not HLO constants.
     """
     body = _Body(_simplified_body, (model_fn, operator, eta, sigma_y))
-    return _drive(loop, body, noise_fn, x_init, y, sched, key)
+    return _drive(loop, body, noise_fn, params, x_init, y, sched, key)
 
 
 def sample_svd(
@@ -334,12 +351,15 @@ def sample_svd(
     noise_fn: NoiseFn = _default_noise,
     guidance_fn: Optional[Callable] = None,
     loop: str = "auto",
+    params=None,
 ) -> tuple[Array, Array]:
     """SVD-mode DDNM (sigma_y == 0) / DDNM+ (sigma_y > 0) over NHWC images.
 
     `y` is the measurement in the operator's flattened layout (B, M).
     `guidance_fn(x, t, at) -> eps_correction` implements classifier guidance
-    (svd_ddnm.py:49-52): et <- et - sqrt(1-at) * grad log p(y|x).
+    (svd_ddnm.py:49-52): et <- et - sqrt(1-at) * grad log p(y|x). When
+    `params` is given, model_fn and guidance_fn receive it as their first
+    argument (see sample_simplified).
     """
     body = _Body(_svd_body, (model_fn, operator, eta, sigma_y, guidance_fn))
-    return _drive(loop, body, noise_fn, x_init, y, sched, key)
+    return _drive(loop, body, noise_fn, params, x_init, y, sched, key)

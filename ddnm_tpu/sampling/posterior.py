@@ -188,6 +188,8 @@ def _posterior_body(
     operator,
     guidance_fn,
     clip_denoised,
+    # traced params pytree (None -> closure-captured weights)
+    params,
     # carried / per-tile state
     x,
     apy,
@@ -208,7 +210,7 @@ def _posterior_body(
     gaussian_diffusion.py:246-403,432-493)."""
     n = x.shape[0]
     t_b = jnp.full((n,), t_orig, dtype=jnp.float32)
-    out = model_fn(x, t_b)
+    out = model_fn(x, t_b) if params is None else model_fn(params, x, t_b)
     c = x.shape[-1]
     eps = out[..., :c]  # var_values out[..., c:] unused: DDNM sets var=gamma_t
 
@@ -225,7 +227,8 @@ def _posterior_body(
 
     mean = coef1 * x0_hat_new + coef2 * x
     if guidance_fn is not None:
-        mean = mean + gamma * guidance_fn(x, t_b)
+        g = guidance_fn(x, t_b) if params is None else guidance_fn(params, x, t_b)
+        mean = mean + gamma * g
     x_next = mean + nonzero * jnp.sqrt(jnp.maximum(gamma, 0.0)) * noise
     return x_next, x0_hat_new
 
@@ -246,8 +249,8 @@ class _PBody:
 
 
 @partial(jax.jit, static_argnames=("body", "noise_fn", "has_paste"))
-def _run_scan(body, noise_fn, has_paste, x_init, apy, paste_mask, paste_content,
-              tables, key):
+def _run_scan(body, noise_fn, has_paste, params, x_init, apy, paste_mask,
+              paste_content, tables, key):
     tb = jax.tree.map(jnp.asarray, tables)
 
     def step(carry, inputs):
@@ -258,7 +261,7 @@ def _run_scan(body, noise_fn, has_paste, x_init, apy, paste_mask, paste_content,
 
         def normal(_):
             return body(
-                x, apy,
+                params, x, apy,
                 paste_mask if has_paste else None,
                 paste_content if has_paste else None,
                 noise,
@@ -290,13 +293,13 @@ def _run_scan(body, noise_fn, has_paste, x_init, apy, paste_mask, paste_content,
 
 
 @partial(jax.jit, static_argnames=("body", "noise_fn", "has_paste"))
-def _host_step(body, noise_fn, has_paste, x, apy, paste_mask, paste_content,
-               key, t_orig, sqrt_recip, sqrt_recipm1, lam, coef1, coef2, gamma,
-               nonzero):
+def _host_step(body, noise_fn, has_paste, params, x, apy, paste_mask,
+               paste_content, key, t_orig, sqrt_recip, sqrt_recipm1, lam,
+               coef1, coef2, gamma, nonzero):
     key, k_noise = jax.random.split(key)
     noise = noise_fn(k_noise, x.shape)
     x_next, x0_hat = body(
-        x, apy,
+        params, x, apy,
         paste_mask if has_paste else None,
         paste_content if has_paste else None,
         noise, t_orig, sqrt_recip, sqrt_recipm1, lam, coef1, coef2, gamma,
@@ -326,6 +329,7 @@ def sample_posterior(
     clip_denoised: bool = True,
     noise_fn: Callable = _default_noise,
     loop: str = "auto",
+    params=None,
 ) -> tuple[Array, Array]:
     """Run the full posterior DDNM jump-schedule loop on device.
 
@@ -341,6 +345,10 @@ def sample_posterior(
     Same dual loop drivers as ddnm.py (see its module docstring): "scan" is
     one executable, "host" dispatches a jitted step per timestep; "auto"
     picks "host" on the axon backend. Identical numerics either way.
+
+    `params`: optional pytree given to model_fn/guidance_fn as their first
+    argument, keeping weights out of the compiled HLO (required for large
+    models on remote-compile backends).
     """
     body = _PBody(model_fn, operator, guidance_fn, clip_denoised)
     has_paste = paste_mask is not None
@@ -350,8 +358,8 @@ def sample_posterior(
 
     if _resolve_loop(loop) == "scan":
         return _run_scan(
-            body, noise_fn, has_paste, x_init, apy, paste_mask, paste_content,
-            tables, key,
+            body, noise_fn, has_paste, params, x_init, apy, paste_mask,
+            paste_content, tables, key,
         )
 
     # host driver: static schedule -> Python branch per step, numpy tables
@@ -365,8 +373,8 @@ def sample_posterior(
             x, key = _host_undo(noise_fn, x, key, beta)
         else:
             x, x0_hat, key = _host_step(
-                body, noise_fn, has_paste, x, apy, paste_mask, paste_content,
-                key,
+                body, noise_fn, has_paste, params, x, apy, paste_mask,
+                paste_content, key,
                 float(tbl.timestep_map[t]),
                 float(tbl.sqrt_recip_alphas_cumprod[t]),
                 float(tbl.sqrt_recipm1_alphas_cumprod[t]),

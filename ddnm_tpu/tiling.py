@@ -129,6 +129,7 @@ def mask_shift_sample(
     resize_y: bool = False,
     mask: Optional[np.ndarray] = None,
     guidance_fn=None,
+    params=None,
     progress_fn: Optional[Callable[[Tile, np.ndarray], None]] = None,
 ) -> dict:
     """Restore an arbitrary-size image with Mask-Shift DDNM.
@@ -180,6 +181,7 @@ def mask_shift_sample(
             paste_mask=paste_mask,
             paste_content=paste_content,
             guidance_fn=guidance_fn,
+            params=params,
         )
         x0_np = np.asarray(x0_hat)
         canvas[:, h0 : h0 + TILE, w0 : w0 + TILE] = x0_np

@@ -129,14 +129,15 @@ def main(argv=None):
         label = ns.class_label if ns.class_label is not None else 0
         classes = jnp.full((1,), label, dtype=jnp.int32)
 
-        def model_fn(x, t):
-            return model.apply(params, x, t, classes)
+        def model_fn(p, x, t):
+            return model.apply(p["model"], x, t, classes)
     else:
 
-        def model_fn(x, t):
-            return model.apply(params, x, t)
+        def model_fn(p, x, t):
+            return model.apply(p["model"], x, t)
 
     guidance_fn = None
+    cparams = None
     cckpt = ns.classifier_ckpt or conf.classifier_path
     if conf.class_cond and float(conf.classifier_scale or 0) > 0:
         clf = ADMClassifier(
@@ -161,7 +162,7 @@ def main(argv=None):
             cparams = None
         if cparams is not None:
             guidance_fn = classifier_guidance_fn(
-                clf.apply, cparams, classes, float(conf.classifier_scale)
+                clf.apply, classes, float(conf.classifier_scale)
             )
 
     betas = named_beta_schedule(
@@ -180,9 +181,13 @@ def main(argv=None):
     gt = (gt * 2.0 - 1.0)[None]
     mask = load_mask(ns.mask_path) if ns.mask_path else None
 
+    run_params = {"model": params}
+    if cparams is not None:
+        run_params["classifier"] = cparams
     out = mask_shift_sample(
         model_fn, gt, ns.deg, tables, key,
         scale=ns.scale, resize_y=ns.resize_y, mask=mask, guidance_fn=guidance_fn,
+        params=run_params,
     )
 
     out_dir = Path(ns.image_folder)

@@ -109,3 +109,41 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_hq_cli_mask_shift_smoke(tmp_path):
+    """hq_main end-to-end on a synthetic 256px input: single-tile
+    colorization through the full posterior sampler + canvas assembly."""
+    import hq_main as hq
+    from ddnm_tpu.data.io import save_image
+
+    rng = np.random.default_rng(0)
+    src = tmp_path / "in.png"
+    save_image(rng.uniform(size=(256, 256, 3)).astype(np.float32), src)
+    out = hq.main([
+        "--config", "configs/hq/smoke.yml",
+        "--deg", "colorization",
+        "--path_y", str(src),
+        "--random_init",
+        "-i", str(tmp_path / "hq"),
+    ])
+    assert out["final"].shape[1:] == (256, 256, 3)
+    assert np.isfinite(out["final"]).all()
+    assert (tmp_path / "hq" / "final.png").exists()
+    assert (tmp_path / "hq" / "Apy.png").exists()
+
+
+@pytest.mark.skipif(not FIXTURES.exists(), reason="reference fixtures unavailable")
+def test_cli_poisson_noise_smoke(tmp_path):
+    import main as cli
+
+    stats = cli.main([
+        "--config", "configs/smoke.yml",
+        "--path_y", str(FIXTURES),
+        "--deg", "sr_averagepooling", "--deg_scale", "4",
+        "--sigma_y", "0.05", "--add_noise", "--noise_type", "poisson",
+        "--simplified", "--random_init", "--ni",
+        "-i", str(tmp_path / "out"),
+        "--max_images", "1", "--batch_size", "1",
+    ])
+    assert stats["num_samples"] == 1

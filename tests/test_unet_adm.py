@@ -160,7 +160,7 @@ def test_classifier_guidance_grad():
 
     from ddnm_tpu.models.unet_adm import classifier_guidance_fn
 
-    guidance = classifier_guidance_fn(model.apply, params, jnp.asarray(classes), 2.5)
+    guidance = classifier_guidance_fn(model.apply, jnp.asarray(classes), 2.5, params=params)
     g = guidance(jnp.asarray(np.transpose(x, (0, 2, 3, 1))), jnp.asarray(t))
     np.testing.assert_allclose(
         np.transpose(np.asarray(g), (0, 3, 1, 2)), ref_grad, atol=1e-4, rtol=1e-3
