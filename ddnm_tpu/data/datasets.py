@@ -129,20 +129,56 @@ def get_dataset(
     return ds
 
 
+def _load_batch(dataset, idx: list[int]):
+    items = [dataset[i] for i in idx]
+    imgs = np.stack([im for im, _ in items])
+    labels = np.asarray([lb for _, lb in items])
+    return imgs, labels
+
+
 def iterate_batches(
-    dataset, batch_size: int, *, drop_remainder: bool = False
+    dataset, batch_size: int, *, drop_remainder: bool = False,
+    prefetch: int = 2, num_workers: int = 4,
 ) -> Iterator[tuple[np.ndarray, np.ndarray, int]]:
     """Yield (images, labels, valid_count) NHWC batches, padding the tail
-    batch by repetition so jitted shapes stay static."""
+    batch by repetition so jitted shapes stay static.
+
+    Batches are decoded on a background thread pool with `prefetch` batches
+    in flight, overlapping PNG/JPEG decode with device compute (the
+    reference uses torch DataLoader workers, diffusion.py:234-241;
+    threads suffice here since PIL decode releases the GIL).
+    Set prefetch=0 for synchronous iteration.
+    """
     n = len(dataset)
+    batches = []
     for start in range(0, n, batch_size):
         idx = list(range(start, min(start + batch_size, n)))
         valid = len(idx)
         if valid < batch_size:
             if drop_remainder:
-                return
+                break
             idx = idx + [idx[-1]] * (batch_size - valid)
-        items = [dataset[i] for i in idx]
-        imgs = np.stack([im for im, _ in items])
-        labels = np.asarray([lb for _, lb in items])
-        yield imgs, labels, valid
+        batches.append((idx, valid))
+
+    if prefetch <= 0 or len(batches) <= 1:
+        for idx, valid in batches:
+            imgs, labels = _load_batch(dataset, idx)
+            yield imgs, labels, valid
+        return
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        futures = []
+        b_iter = iter(batches)
+        for idx, valid in batches[: prefetch + 1]:
+            futures.append((pool.submit(_load_batch, dataset, idx), valid))
+            next(b_iter)
+        for idx, valid in b_iter:
+            fut, v = futures.pop(0)
+            imgs, labels = fut.result()
+            futures.append((pool.submit(_load_batch, dataset, idx), valid))
+            yield imgs, labels, v
+        for fut, v in futures:
+            imgs, labels = fut.result()
+            yield imgs, labels, v

@@ -69,3 +69,22 @@ def test_dequantization_transforms():
     assert np.asarray(g).std() > 0
     back = inverse_data_transform(data_transform(x))
     np.testing.assert_allclose(np.asarray(back), x, atol=1e-6)
+
+
+def test_iterate_batches_prefetch_order(tmp_path):
+    """Prefetching iterator yields identical batches in identical order."""
+    from ddnm_tpu.data.datasets import FolderDataset, iterate_batches
+
+    rng = np.random.default_rng(5)
+    for i in range(7):
+        save_image(rng.uniform(size=(16, 16, 3)).astype(np.float32),
+                   tmp_path / f"{i}.png")
+    ds = FolderDataset(tmp_path, image_size=16)
+    sync = list(iterate_batches(ds, 3, prefetch=0))
+    pre = list(iterate_batches(ds, 3, prefetch=2))
+    assert len(sync) == len(pre) == 3
+    for (a, la, va), (b, lb, vb) in zip(sync, pre):
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(la, lb)
+        assert va == vb
+    assert [v for _, _, v in sync] == [3, 3, 1]
