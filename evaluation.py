@@ -31,18 +31,18 @@ CELEBA_RUNS = [
     ("celeba_sr_ap_4x", "celeba_hq.yml", "sr_averagepooling", 4.0, 0.0, False, False),
     ("celeba_deblur_gauss", "celeba_hq.yml", "deblur_gauss", 4.0, 0.0, False, False),
     ("celeba_colorization", "celeba_hq.yml", "colorization", 4.0, 0.0, False, False),
-    ("celeba_cs_wh_025", "celeba_hq.yml", "cs_walshhadamard", 4.0, 0.0, False, False),
+    ("celeba_cs_wh_025", "celeba_hq.yml", "cs_walshhadamard", 0.25, 0.0, False, False),
     ("celeba_inpainting", "celeba_hq.yml", "inpainting", 4.0, 0.0, False, False),
     # noisy (evaluation.sh:21-24)
     ("celeba_sr_ap_16x_noisy", "celeba_hq.yml", "sr_averagepooling", 16.0, 0.2, False, True),
-    ("celeba_cs_wh_noisy", "celeba_hq.yml", "cs_walshhadamard", 4.0, 0.2, False, True),
+    ("celeba_cs_wh_noisy", "celeba_hq.yml", "cs_walshhadamard", 0.25, 0.2, False, True),
 ]
 IMAGENET_RUNS = [
     ("imagenet_sr_bicubic_4x", "imagenet_256.yml", "sr_bicubic", 4.0, 0.0, False, False),
     ("imagenet_sr_ap_4x", "imagenet_256.yml", "sr_averagepooling", 4.0, 0.0, False, False),
     ("imagenet_deblur_gauss", "imagenet_256.yml", "deblur_gauss", 4.0, 0.0, False, False),
     ("imagenet_colorization", "imagenet_256.yml", "colorization", 4.0, 0.0, False, False),
-    ("imagenet_cs_wh_025", "imagenet_256.yml", "cs_walshhadamard", 4.0, 0.0, False, False),
+    ("imagenet_cs_wh_025", "imagenet_256.yml", "cs_walshhadamard", 0.25, 0.0, False, False),
     ("imagenet_inpainting", "imagenet_256.yml", "inpainting", 4.0, 0.0, False, False),
 ]
 
