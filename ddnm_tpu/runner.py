@@ -249,6 +249,38 @@ class Runner:
         prof = profile(args.trace_dir) if args.trace_dir else None
         if prof is not None:
             prof.__enter__()
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        io_pool = ThreadPoolExecutor(max_workers=4)
+        save_futures: list = []
+        pending = None  # previous batch awaiting host-side processing
+
+        def drain(x, x_orig, apy, valid, idx0):
+            nonlocal total_psnr, count
+            x01 = inverse_data_transform(x, rescaled=cfg.data.rescaled)
+            orig01 = inverse_data_transform(x_orig, rescaled=cfg.data.rescaled)
+            apy01 = inverse_data_transform(apy, rescaled=cfg.data.rescaled)
+            batch_psnr = np.asarray(psnr(x01, orig01))
+            x01_np = np.asarray(x01)
+            apy_np = np.asarray(apy01)
+            orig_np = np.asarray(orig01)
+            for i in range(valid):
+                save_futures.append(io_pool.submit(
+                    save_image, apy_np[i], out_dir / "Apy" / f"Apy_{idx0 + i}.png"))
+                save_futures.append(io_pool.submit(
+                    save_image, orig_np[i], out_dir / "Apy" / f"orig_{idx0 + i}.png"))
+                save_futures.append(io_pool.submit(
+                    save_image, x01_np[i], out_dir / f"{idx0 + i}_0.png"))
+                total_psnr += float(batch_psnr[i])
+                count += 1
+            metrics.logkv_mean("psnr", float(np.mean(batch_psnr[:valid])))
+            metrics.logkv("images", count)
+            metrics.logkv(
+                "images_per_sec", count / (time.perf_counter() - wall_start)
+            )
+            metrics.dumpkvs()
+            logger.info("PSNR: %.2f", total_psnr / max(count, 1))
         for imgs, labels, valid in iterate_batches(dataset, self.batch_size):
             x_orig = data_transform(jnp.asarray(imgs), rescaled=cfg.data.rescaled)
             key, k_init, k_noise, k_samp = jax.random.split(key, 4)
@@ -280,29 +312,18 @@ class Runner:
                     params=run_params,
                 )
 
-            x01 = inverse_data_transform(x, rescaled=cfg.data.rescaled)
-            orig01 = inverse_data_transform(x_orig, rescaled=cfg.data.rescaled)
-            apy01 = inverse_data_transform(apy, rescaled=cfg.data.rescaled)
-            batch_psnr = np.asarray(psnr(x01, orig01))
-
-            x01_np = np.asarray(x01)
-            apy_np = np.asarray(apy01)
-            orig_np = np.asarray(orig01)
-            for i in range(valid):
-                save_image(apy_np[i], out_dir / "Apy" / f"Apy_{idx_so_far + i}.png")
-                save_image(orig_np[i], out_dir / "Apy" / f"orig_{idx_so_far + i}.png")
-                save_image(x01_np[i], out_dir / f"{idx_so_far + i}_0.png")
-                total_psnr += float(batch_psnr[i])
-                count += 1
+            # pipeline: drain the previous batch's results (host transfer +
+            # PNG writes) while the device computes this batch's trajectory
+            if pending is not None:
+                drain(*pending)
+            pending = (x, x_orig, apy, valid, idx_so_far)
             idx_so_far += valid
-            metrics.logkv_mean("psnr", float(np.mean(batch_psnr[:valid])))
-            metrics.logkv("images", count)
-            metrics.logkv(
-                "images_per_sec", count / (time.perf_counter() - wall_start)
-            )
-            metrics.dumpkvs()
-            logger.info("PSNR: %.2f", total_psnr / max(count, 1))
 
+        if pending is not None:
+            drain(*pending)
+        for f in save_futures:
+            f.result()
+        io_pool.shutdown(wait=True)
         if prof is not None:
             prof.__exit__(None, None, None)
         metrics.close()
