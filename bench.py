@@ -33,7 +33,6 @@ T_SAMPLING = 100
 
 
 def main():
-    import numpy as np
     import jax
     import jax.numpy as jnp
 

@@ -19,7 +19,6 @@ import hashlib
 import logging
 import os
 from pathlib import Path
-from typing import Optional
 
 logger = logging.getLogger("ddnm_tpu")
 

@@ -14,7 +14,6 @@ Parity notes vs the reference:
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,9 +13,8 @@ torch "down.0.block.1.conv1.weight" -> flax params["down_0"]["block_1"]["conv1"]
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -19,8 +19,6 @@ by img_dim (= sqrt(P)), making the transform self-inverse.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -26,9 +26,6 @@ import jax
 import jax.numpy as jnp
 
 from ddnm_tpu.config import Config
-from ddnm_tpu.data import (
-    datasets as ds_mod,
-)
 from ddnm_tpu.data.datasets import get_dataset, iterate_batches
 from ddnm_tpu.data.io import load_mask, save_image
 from ddnm_tpu.data.metrics import psnr
