@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""hq qualitative demo sweep — the reference's hq_demo/evaluation.sh:3-17 as
+a harness: five class-conditional arbitrary-size SR demos (orange/bear/zebra
+at 4x, flamingo/kimono at 2x, all with --resize_y).
+
+Point --data at a folder containing the demo images (orange.png, bear.png,
+flamingo.png, kimono.png, zebra.png — the reference keeps them under
+hq_demo/data/datasets/gts/inet256). Any missing image is skipped with a
+note. Use --random-init for a weights-free smoke sweep.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+# (name, class label, SR scale) — hq_demo/evaluation.sh
+DEMOS = [
+    ("orange", 950, 4),
+    ("bear", 294, 4),
+    ("flamingo", 130, 2),
+    ("kimono", 614, 2),
+    ("zebra", 340, 4),
+]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="hq Mask-Shift demo sweep")
+    p.add_argument("--config", type=str, default="configs/hq/inet256.yml")
+    p.add_argument("--data", type=str, default="exp/datasets/inet256")
+    p.add_argument("-i", "--out", type=str, default="exp/hq_eval")
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--classifier_ckpt", type=str, default=None)
+    p.add_argument("--random-init", action="store_true")
+    p.add_argument("--demos", type=str, default=None,
+                   help="comma-separated demo-name filter")
+    p.add_argument("--dry-run", action="store_true")
+    ns = p.parse_args(argv)
+
+    import hq_main as hq
+
+    demos = DEMOS
+    if ns.demos:
+        keep = {d.strip() for d in ns.demos.split(",")}
+        demos = [d for d in demos if d[0] in keep]
+
+    results = {}
+    for name, cls, scale in demos:
+        src = Path(ns.data) / f"{name}.png"
+        if not src.exists():
+            print(f"-- {name}: {src} missing, skipped")
+            continue
+        argv_run = [
+            "--config", ns.config, "--deg", "sr_averagepooling",
+            "--scale", str(scale), "--resize_y",
+            "--path_y", str(src), "--class", str(cls),
+            "-i", str(Path(ns.out) / name),
+        ]
+        if ns.ckpt:
+            argv_run += ["--ckpt", ns.ckpt]
+        elif ns.random_init:
+            argv_run.append("--random_init")
+        if ns.classifier_ckpt:
+            argv_run += ["--classifier_ckpt", ns.classifier_ckpt]
+        print(f"== {name}: hq_main.py {' '.join(argv_run)}")
+        if ns.dry_run:
+            continue
+        results[name] = hq.main(argv_run)
+    return results
+
+
+if __name__ == "__main__":
+    main()
