@@ -50,11 +50,13 @@ def _fwht_kernel(q_ref, ha_ref, hb_ref, o_ref):
         ha_ref[:], x,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     o_ref[0] = jax.lax.dot_general(
         t, hb_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -94,11 +96,9 @@ def fwht(x: jnp.ndarray, norm: float, *, force: str | None = None) -> jnp.ndarra
     hb = jnp.asarray(hadamard_matrix(b))
     x2d = x.reshape(-1, a, b).astype(jnp.float32)
 
-    from ddnm_tpu.utils import is_remote_compile_backend
-
-    backend = jax.default_backend()
-    use_pallas = backend == "tpu" and not is_remote_compile_backend()
-    mode = force or ("pallas" if use_pallas else "xla")
+    # default: XLA einsum (MXU matmuls; XLA fuses the pair well). The
+    # fused Pallas kernel is a verified alternate selected via `force`.
+    mode = force or "xla"
     if mode == "xla":
         out = jnp.einsum(
             "ij,njk,kl->nil", ha, x2d, hb,
