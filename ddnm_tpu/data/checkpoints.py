@@ -22,7 +22,7 @@ from pathlib import Path
 
 logger = logging.getLogger("ddnm_tpu")
 
-__all__ = ["CHECKPOINTS", "fetch", "md5sum", "load_params"]
+__all__ = ["CHECKPOINTS", "fetch", "md5sum", "load_params", "save_orbax", "load_orbax"]
 
 
 # name -> (url, md5 or None, target filename)
@@ -163,3 +163,29 @@ def load_params(ckpt_path: str | Path, *, cache: bool = True) -> dict:
         np.savez(cache_path, **flat)
         logger.info("cached converted params at %s", cache_path)
     return {"params": params}
+
+
+def save_orbax(params: dict, path: str | Path) -> None:
+    """Save a params pytree as an Orbax checkpoint (the TPU-native format:
+    async-capable, shardable on restore across a device mesh — the
+    production counterpart of the reference's pickled torch state dicts)."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, params, force=True)
+
+
+def load_orbax(path: str | Path, *, target=None) -> dict:
+    """Restore an Orbax checkpoint saved by `save_orbax`.
+
+    `target`: optional pytree of jax.ShapeDtypeStruct (with `.sharding` set
+    for multi-chip placement) matching the params structure — arrays restore
+    directly into the requested placement without a host round-trip."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        if target is None:
+            return ckptr.restore(path)
+        return ckptr.restore(path, target)

@@ -74,6 +74,7 @@ class RunArgs:
     mask_path: Optional[str] = None
     manifest: Optional[str] = None
     max_images: Optional[int] = None
+    resume: bool = False  # skip images whose output PNG already exists
 
 
 class Runner:
@@ -279,6 +280,14 @@ class Runner:
             metrics.dumpkvs()
             logger.info("PSNR: %.2f", total_psnr / max(count, 1))
         for imgs, labels, valid in iterate_batches(dataset, self.batch_size):
+            if args.resume and all(
+                (out_dir / f"{idx_so_far + i}_0.png").exists()
+                for i in range(valid)
+            ):
+                logger.info("resume: skipping images %d..%d", idx_so_far,
+                            idx_so_far + valid - 1)
+                idx_so_far += valid
+                continue
             x_orig = data_transform(jnp.asarray(imgs), rescaled=cfg.data.rescaled)
             key, k_init, k_noise, k_samp = jax.random.split(key, 4)
 

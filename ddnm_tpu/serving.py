@@ -1,0 +1,84 @@
+"""Serving export: serialize the jitted DDNM step as a portable artifact.
+
+Production deployments serve compiled programs, not Python. This module
+exports the sampling step (UNet forward + DDNM projection + DDIM update)
+through `jax.export` into a self-contained serialized StableHLO function
+that any JAX runtime (same or newer jaxlib, matching platform) can
+deserialize and call without the ddnm_tpu Python stack — the TPU-native
+equivalent of shipping a TorchScript/ONNX file.
+
+The exported step has signature (params, x, y, key, t, at, at_next) -> x_next
+with a fixed batch/shape; export per deployment shape (static shapes are a
+feature: the serving binary never retraces).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ddnm_tpu.operators.functional import FunctionalOperator
+from ddnm_tpu.sampling.ddnm import _simplified_body
+
+__all__ = ["export_simplified_step", "load_exported"]
+
+
+def export_simplified_step(
+    model_fn: Callable,
+    params,
+    operator: FunctionalOperator,
+    *,
+    batch: int,
+    image_size: int,
+    y_shape: tuple,
+    eta: float = 0.85,
+    sigma_y: float = 0.0,
+    platforms: tuple[str, ...] | None = None,
+    path: str | Path | None = None,
+) -> bytes:
+    """Serialize one simplified-DDNM step for serving.
+
+    model_fn(params, x, t) -> eps. Returns the serialized bytes (and writes
+    them to `path` when given). `platforms` defaults to the current backend;
+    pass ("tpu", "cpu") to produce a multi-platform artifact.
+    """
+
+    def step(params, x, y, key, t, at, at_next):
+        noise = jax.random.normal(key, x.shape, dtype=jnp.float32)
+        t_b = jnp.full((x.shape[0],), t, dtype=jnp.float32)
+        x_next, x0 = _simplified_body(
+            model_fn, operator, eta, sigma_y, params, x, y, t_b, at, at_next, noise
+        )
+        return x_next, x0
+
+    scalar = jax.ShapeDtypeStruct((), jnp.float32)
+    args = (
+        jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params),
+        jax.ShapeDtypeStruct((batch, image_size, image_size, 3), jnp.float32),
+        jax.ShapeDtypeStruct(y_shape, jnp.float32),
+        jax.ShapeDtypeStruct((2,), jnp.uint32),  # raw PRNG key
+        scalar,
+        scalar,
+        scalar,
+    )
+    exp = jax.export.export(
+        jax.jit(step),
+        platforms=list(platforms) if platforms else None,
+    )(*args)
+    blob = exp.serialize()
+    if path is not None:
+        Path(path).write_bytes(blob)
+    return blob
+
+
+def load_exported(blob_or_path):
+    """Deserialize an exported step; returns a callable `Exported.call`."""
+    if isinstance(blob_or_path, (str, Path)):
+        blob = Path(blob_or_path).read_bytes()
+    else:
+        blob = bytes(blob_or_path)
+    exp = jax.export.deserialize(blob)
+    return exp.call

@@ -144,3 +144,84 @@ def test_evaluation_dry_run(tmp_path):
     # all 14 reference runs enumerated (evaluation.sh:1-36)
     assert out.stdout.count("== ") == 14
     assert (tmp_path / "report.json").exists()
+
+
+def test_orbax_roundtrip_with_sharded_target(tmp_path):
+    """Orbax save/restore, including restore into explicit shardings on the
+    virtual multi-device mesh (production multi-chip restore path)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ddnm_tpu.data.checkpoints import load_orbax, save_orbax
+    from ddnm_tpu.parallel import make_mesh
+
+    params = {"params": {"dense": {"kernel": jnp.arange(64.0).reshape(8, 8),
+                                   "bias": jnp.zeros((8,))}}}
+    path = tmp_path / "ckpt"
+    save_orbax(params, path)
+
+    plain = load_orbax(path)
+    np.testing.assert_array_equal(
+        np.asarray(plain["params"]["dense"]["kernel"]),
+        np.asarray(params["params"]["dense"]["kernel"]),
+    )
+
+    mesh = make_mesh()
+    sharding = NamedSharding(mesh, P())
+    target = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=sharding),
+        params,
+    )
+    sharded = load_orbax(path, target=target)
+    k = sharded["params"]["dense"]["kernel"]
+    assert k.sharding == sharding
+    np.testing.assert_array_equal(np.asarray(k), np.arange(64.0).reshape(8, 8))
+
+
+def test_serving_export_roundtrip(tmp_path):
+    """Export the DDNM step via jax.export, reload, and match the live step."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddnm_tpu.models.unet_ddpm import DDPMUNet
+    from ddnm_tpu.operators import build_functional_operator
+    from ddnm_tpu.serving import export_simplified_step, load_exported
+
+    size, batch = 32, 2
+    model = DDPMUNet(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                     attn_resolutions=(16,), resolution=size)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (batch, size, size, 3))
+    params = model.init(rng, x, jnp.zeros((batch,)))
+
+    def model_fn(p, xx, tt):
+        return model.apply(p, xx, tt)
+
+    op = build_functional_operator("sr_averagepooling", image_size=size, deg_scale=4)
+    y = op.A(x)
+    blob = export_simplified_step(
+        model_fn, params, op, batch=batch, image_size=size,
+        y_shape=tuple(y.shape), path=tmp_path / "step.bin",
+    )
+    assert (tmp_path / "step.bin").stat().st_size == len(blob) > 0
+
+    call = load_exported(tmp_path / "step.bin")
+    key = jax.random.key_data(jax.random.PRNGKey(7)).astype(jnp.uint32)
+    out, x0 = call(params, x, y, key, 50.0, 0.9, 0.95)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+    # parity with the live (unexported) step
+    from ddnm_tpu.sampling.ddnm import _simplified_body
+
+    noise = jax.random.normal(
+        jax.random.wrap_key_data(key, impl="threefry2x32"), x.shape, jnp.float32
+    )
+    t_b = jnp.full((batch,), 50.0, jnp.float32)
+    ref_x, ref_x0 = _simplified_body(
+        model_fn, op, 0.85, 0.0, params, x, y, t_b,
+        jnp.float32(0.9), jnp.float32(0.95), noise,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(ref_x0), atol=1e-5)
