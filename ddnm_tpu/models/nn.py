@@ -97,14 +97,14 @@ def attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float,
-    precision=jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """Scaled dot-product attention over flat token grids.
 
-    q, k, v: (B*, T, C) with any number of leading batch/head dims folded into
-    B*. Softmax in fp32 (the reference does fp32 softmax under fp16 torsos,
-    unet.py:352,387). Dispatches to the fused Pallas kernel on TPU backends
-    (whole T x T score matrix VMEM-resident), XLA einsum elsewhere.
+    q, k, v: (B*, T, C) with any number of leading batch/head dims folded
+    into B*. Softmax in fp32, scores in the torso dtype (the reference does
+    fp32 softmax over half-precision scores under fp16 torsos,
+    unet.py:348,352,387). Dispatches through ddnm_tpu.ops.fused_attention
+    (XLA einsum default; fused Pallas kernel via force flag).
     """
     from ddnm_tpu.ops import fused_attention
 

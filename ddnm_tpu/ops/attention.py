@@ -23,11 +23,14 @@ __all__ = ["fused_attention"]
 
 
 def _xla_attention(q, k, v, scale):
-    w = jnp.einsum("btc,bsc->bts", q, k,
-                   precision=jax.lax.Precision.HIGHEST) * scale
+    # HIGHEST (fp32 contraction) only for fp32 inputs: the reference computes
+    # half-precision scores under fp16 torsos (unet.py:348) and some TPU
+    # lowerings reject fp32-contraction-of-bf16; softmax is always fp32.
+    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    w = jnp.einsum("btc,bsc->bts", q, k, precision=prec) * scale
     w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(q.dtype)
-    return jnp.einsum("bts,bsc->btc", w, v,
-                      precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("bts,bsc->btc", w, v, precision=prec)
 
 
 def _attn_kernel(scale: float, q_ref, k_ref, v_ref, o_ref):
