@@ -254,3 +254,53 @@ def test_simplified_sampler_parity(tiny_model, sigma_y):
     )
     ours = np.transpose(np.asarray(x), (0, 3, 1, 2))
     np.testing.assert_allclose(ours, x_ref.numpy(), atol=2e-3, rtol=1e-3)
+
+
+def test_svd_sampler_guidance_params_style():
+    """Classifier guidance through the params-passing path: the guidance
+    gradient must change the trajectory, and both params-style and
+    closure-style guidance must agree."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddnm_tpu.operators import build_svd_operator
+    from ddnm_tpu.sampling import build_schedule, sample_svd
+    from ddnm_tpu import schedules as sch
+
+    size, batch = 16, 2
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.uniform(-1, 1, (batch, size, size, 3)), jnp.float32)
+    betas = sch.get_beta_schedule(
+        "linear", beta_start=1e-4, beta_end=0.02, num_diffusion_timesteps=50
+    )
+    sched = build_schedule(betas=betas, t_sampling=5)
+    op = build_svd_operator("colorization", channels=3, image_size=size)
+    y = op.A(jnp.transpose(x0, (0, 3, 1, 2)).reshape(batch, -1))
+    x_init = jnp.asarray(rng.standard_normal((batch, size, size, 3)), jnp.float32)
+
+    def model_fn(p, x, t):
+        return p["model"]["scale"] * x
+
+    def guidance_closure(x, t, at=None):
+        return 0.1 * x
+
+    def guidance_params(p, x, t, at=None):
+        return p["clf"]["g"] * x
+
+    params = {"model": {"scale": jnp.float32(0.1)}, "clf": {"g": jnp.float32(0.1)}}
+    key = jax.random.PRNGKey(3)
+    zero = lambda k, s: jnp.zeros(s, jnp.float32)
+
+    a, _ = sample_svd(
+        lambda x, t: 0.1 * x, x_init, y, op, sched, key,
+        guidance_fn=guidance_closure, noise_fn=zero,
+    )
+    b, _ = sample_svd(
+        model_fn, x_init, y, op, sched, key,
+        guidance_fn=guidance_params, noise_fn=zero, params=params,
+    )
+    c, _ = sample_svd(
+        model_fn, x_init, y, op, sched, key, noise_fn=zero, params=params,
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert np.abs(np.asarray(b) - np.asarray(c)).max() > 1e-4  # guidance acts
