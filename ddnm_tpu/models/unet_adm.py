@@ -530,7 +530,8 @@ def classifier_guidance_fn(classifier_apply, classes, scale: float,
     def log_prob(cparams, x, t):
         logits = classifier_apply(cparams, x, t)
         logp = jax.nn.log_softmax(logits, axis=-1)
-        return jnp.take_along_axis(logp, classes[:, None], axis=-1).sum()
+        cls = jnp.broadcast_to(jnp.asarray(classes), logits.shape[:1])
+        return jnp.take_along_axis(logp, cls[:, None], axis=-1).sum()
 
     grad_fn = jax.grad(log_prob, argnums=1)
 

@@ -12,10 +12,18 @@ which enlarges its overlap to 256 - (dim % 128).
 TPU-native design: tile geometry (coords + paste masks) is computed host-side
 by `tile_grid`; every tile then runs the SAME jitted `sample_posterior` scan
 (paste as a masked blend), so the whole canvas is served by one compiled
-executable regardless of tile position or canvas size. Tiles are serialised
-row-major exactly like the reference (tile (i,j) reads canvas content written
-by (i-1, *) and (i, j-1)); anti-diagonal wavefronts could be batched across
-devices, but parity comes first.
+executable regardless of tile position or canvas size.
+
+Scheduling. Sequential mode reproduces the reference's row-major order
+exactly. Parallel mode exploits the dependency structure: tile (i, j) reads
+canvas content written only by (i, j-1), (i-1, j-1), (i-1, j), (i-1, j+1),
+so the skewed wavefront s = 2i + j is a valid schedule — and tiles sharing
+an s have pairwise-disjoint canvas reads/writes (their row ranges differ by
+>=1 stride only when their column ranges are disjoint), so a whole wavefront
+batches into ONE `sample_posterior` call along the batch axis. With
+deterministic noise the parallel schedule is bit-identical to sequential
+(tested); with stochastic noise the draws regroup across the batch, so
+trajectories are equal in distribution but not bitwise.
 """
 
 from __future__ import annotations
@@ -130,12 +138,18 @@ def mask_shift_sample(
     mask: Optional[np.ndarray] = None,
     guidance_fn=None,
     params=None,
+    parallel: bool = False,
+    noise_fn=None,
     progress_fn: Optional[Callable[[Tile, np.ndarray], None]] = None,
 ) -> dict:
     """Restore an arbitrary-size image with Mask-Shift DDNM.
 
     gt: (1, H, W, 3) float32 in [-1, 1] (NHWC). Returns dict with the final
     canvas, A+y canvas and y (all NHWC numpy, [-1, 1] domain).
+
+    `parallel=True` batches each s = 2i+j wavefront of independent tiles
+    into a single sampler call (see module docstring) — a large speedup for
+    big canvases on accelerators, exact for deterministic noise.
 
     `progress_fn(tile, x0_hat)` is called after each tile completes (the
     reference saves intermediate tiles every 25 steps; we expose a hook
@@ -161,32 +175,59 @@ def mask_shift_sample(
     canvas = np.zeros((1, h_target, w_target, 3), dtype=np.float32)
     apy_np = np.asarray(apy_temp)
 
-    logger.info(
-        "mask-shift: canvas %dx%d, %d tiles", h_target, w_target, len(tiles)
-    )
+    # per-tile RNG assigned in row-major order, so both schedules draw the
+    # same per-tile init keys
+    tile_keys = {}
     for tile in tiles:
-        h0, w0 = tile.h0, tile.w0
-        apy_tile = jnp.asarray(apy_np[:, h0 : h0 + TILE, w0 : w0 + TILE])
-        paste_mask = jnp.asarray(tile.paste_mask())
-        paste_content = jnp.asarray(canvas[:, h0 : h0 + TILE, w0 : w0 + TILE])
         key, k_init, k_samp = jax.random.split(key, 3)
-        x_init = jax.random.normal(k_init, (1, TILE, TILE, 3), dtype=jnp.float32)
-        _, x0_hat = sample_posterior(
+        tile_keys[tile.index] = (k_init, k_samp)
+
+    if parallel:
+        from itertools import groupby
+
+        skew = lambda t: 2 * t.index[0] + t.index[1]
+        ordered = sorted(tiles, key=lambda t: (skew(t), t.index))
+        groups = [list(g) for _, g in groupby(ordered, key=skew)]
+    else:
+        groups = [[t] for t in tiles]
+
+    logger.info(
+        "mask-shift: canvas %dx%d, %d tiles in %d %s steps",
+        h_target, w_target, len(tiles), len(groups),
+        "wavefront" if parallel else "sequential",
+    )
+    for group in groups:
+        n = len(group)
+        apy_b = jnp.asarray(np.concatenate([
+            apy_np[:, t.h0 : t.h0 + TILE, t.w0 : t.w0 + TILE] for t in group
+        ]))
+        mask_b = jnp.asarray(np.stack([t.paste_mask() for t in group]))
+        content_b = jnp.asarray(np.concatenate([
+            canvas[:, t.h0 : t.h0 + TILE, t.w0 : t.w0 + TILE] for t in group
+        ]))
+        x_init_b = jnp.concatenate([
+            jax.random.normal(tile_keys[t.index][0], (1, TILE, TILE, 3),
+                              dtype=jnp.float32)
+            for t in group
+        ])
+        _, x0_b = sample_posterior(
             model_fn,
-            x_init,
-            apy_tile,
+            x_init_b,
+            apy_b,
             op,
             tables,
-            k_samp,
-            paste_mask=paste_mask,
-            paste_content=paste_content,
+            tile_keys[group[0].index][1],
+            paste_mask=mask_b,
+            paste_content=content_b,
             guidance_fn=guidance_fn,
             params=params,
+            **({"noise_fn": noise_fn} if noise_fn is not None else {}),
         )
-        x0_np = np.asarray(x0_hat)
-        canvas[:, h0 : h0 + TILE, w0 : w0 + TILE] = x0_np
-        if progress_fn is not None:
-            progress_fn(tile, x0_np)
+        x0_np = np.asarray(x0_b)
+        for i, t in enumerate(group):
+            canvas[:, t.h0 : t.h0 + TILE, t.w0 : t.w0 + TILE] = x0_np[i : i + 1]
+            if progress_fn is not None:
+                progress_fn(t, x0_np[i : i + 1])
 
     return {
         "final": canvas,

@@ -42,6 +42,9 @@ def parse_args(argv=None):
     p.add_argument("--classifier_ckpt", type=str, default=None)
     p.add_argument("--random_init", action="store_true")
     p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--parallel_tiles", action="store_true",
+                   help="batch independent wavefront tiles into one sampler call "
+                        "(exact dependency semantics; see ddnm_tpu/tiling.py)")
     return p.parse_args(argv)
 
 
@@ -130,7 +133,9 @@ def main(argv=None):
         classes = jnp.full((1,), label, dtype=jnp.int32)
 
         def model_fn(p, x, t):
-            return model.apply(p["model"], x, t, classes)
+            # batch-size agnostic (wavefront tiling batches vary)
+            cls = jnp.full((x.shape[0],), label, dtype=jnp.int32)
+            return model.apply(p["model"], x, t, cls)
     else:
 
         def model_fn(p, x, t):
@@ -187,7 +192,7 @@ def main(argv=None):
     out = mask_shift_sample(
         model_fn, gt, ns.deg, tables, key,
         scale=ns.scale, resize_y=ns.resize_y, mask=mask, guidance_fn=guidance_fn,
-        params=run_params,
+        params=run_params, parallel=ns.parallel_tiles,
     )
 
     out_dir = Path(ns.image_folder)
