@@ -196,19 +196,29 @@ def mask_shift_sample(
         h_target, w_target, len(tiles), len(groups),
         "wavefront" if parallel else "sequential",
     )
+    def _pow2(n: int) -> int:
+        p = 1
+        while p < n:
+            p *= 2
+        return p
+
     for group in groups:
         n = len(group)
+        # pad the batch to the next power of two (repeat the first tile) so
+        # big canvases compile only O(log max_wavefront) step variants
+        pad = _pow2(n) - n if parallel else 0
+        padded = group + [group[0]] * pad
         apy_b = jnp.asarray(np.concatenate([
-            apy_np[:, t.h0 : t.h0 + TILE, t.w0 : t.w0 + TILE] for t in group
+            apy_np[:, t.h0 : t.h0 + TILE, t.w0 : t.w0 + TILE] for t in padded
         ]))
-        mask_b = jnp.asarray(np.stack([t.paste_mask() for t in group]))
+        mask_b = jnp.asarray(np.stack([t.paste_mask() for t in padded]))
         content_b = jnp.asarray(np.concatenate([
-            canvas[:, t.h0 : t.h0 + TILE, t.w0 : t.w0 + TILE] for t in group
+            canvas[:, t.h0 : t.h0 + TILE, t.w0 : t.w0 + TILE] for t in padded
         ]))
         x_init_b = jnp.concatenate([
             jax.random.normal(tile_keys[t.index][0], (1, TILE, TILE, 3),
                               dtype=jnp.float32)
-            for t in group
+            for t in padded
         ])
         _, x0_b = sample_posterior(
             model_fn,
