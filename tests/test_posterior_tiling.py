@@ -293,3 +293,56 @@ def test_wavefront_parallel_exact_parity():
     # deterministic noise + deterministic model: identical canvases proves
     # the wavefront schedule preserves the reference dependency semantics
     np.testing.assert_allclose(par["final"], seq["final"], atol=2e-5)
+
+
+def test_posterior_guidance_matches_condition_mean():
+    """Classifier-guided posterior step vs the reference condition_mean rule
+    (gaussian_diffusion.py:413-430): mean += variance * grad, zero noise."""
+    torch = pytest.importorskip("torch")
+
+    betas = sch.named_beta_schedule("linear", 100, use_scale=True)
+    tables = build_posterior_tables(
+        betas=betas, timestep_respacing="5", sigma_y=0.0,
+        schedule_jump_params=dict(t_T=5, n_sample=1, jump_length=5, jump_n_sample=1),
+    )
+    size = 32
+    rng = np.random.default_rng(4)
+    x_init = jnp.asarray(rng.standard_normal((1, size, size, 3)), jnp.float32)
+    gt = jnp.asarray(rng.uniform(-1, 1, (1, size, size, 3)), jnp.float32)
+    op = build_functional_operator("sr_averagepooling", image_size=size, deg_scale=4)
+    apy = op.Ap(op.A(gt))
+    zero = lambda k, s: jnp.zeros(s, jnp.float32)
+
+    def guidance(x, t):
+        return 0.3 * x  # stand-in for grad log p(y|x) * scale
+
+    toy = _toy_model_jax()
+    x_g, x0_g = sample_posterior(
+        toy, x_init, apy, op, tables, jax.random.PRNGKey(0),
+        guidance_fn=guidance, noise_fn=zero,
+    )
+
+    # manual reference recurrence with condition_mean
+    sd_like = tables
+    x = np.asarray(x_init)
+    x0_hat = np.zeros_like(x)
+    for t, travel in zip(sd_like.t_cur, sd_like.is_travel):
+        t = int(t)
+        if travel:
+            beta = float(sd_like.betas[min(t + 1, len(sd_like.betas) - 1)])
+            x = np.sqrt(1.0 - beta) * x
+            continue
+        eps = 0.1 * x
+        x0 = (sd_like.sqrt_recip_alphas_cumprod[t] * x
+              - sd_like.sqrt_recipm1_alphas_cumprod[t] * eps)
+        x0 = np.clip(x0, -1, 1)
+        x0h = np.asarray(apy) + x0 - np.asarray(op.Ap(op.A(jnp.asarray(x0))))
+        mean = (sd_like.posterior_mean_coef1[t] * x0h
+                + sd_like.posterior_mean_coef2[t] * x)
+        var = sd_like.gamma_t[t]
+        mean = mean + var * (0.3 * x)  # condition_mean
+        x = mean
+        x0_hat = x0h
+
+    np.testing.assert_allclose(np.asarray(x_g), x, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(x0_g), x0_hat, atol=2e-5)
