@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "FunctionalOperator",
+    "compose",
     "color2gray",
     "gray2color",
     "avg_pool",
@@ -74,6 +75,28 @@ class FunctionalOperator:
     def project(self, x: Array, y: Array) -> Array:
         """Null-space data-consistency residual A+(A(x) - y) (Eq. 17 core)."""
         return self.Ap(self.A(x) - y)
+
+
+def compose(*ops: FunctionalOperator) -> FunctionalOperator:
+    """Chain degradations: A = A_n o ... o A_1, A+ = A1+ o ... o An+.
+
+    First-class form of the reference's edit-the-source "diy" task
+    (diffusion.py:275-290, which hand-writes exactly this composition for
+    mask -> gray -> pool)."""
+    if not ops:
+        raise ValueError("compose needs at least one operator")
+
+    def A(z):
+        for op in ops:
+            z = op.A(z)
+        return z
+
+    def Ap(z):
+        for op in reversed(ops):
+            z = op.Ap(z)
+        return z
+
+    return FunctionalOperator("o".join(op.name for op in ops), A, Ap)
 
 
 def build_functional_operator(

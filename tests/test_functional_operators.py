@@ -76,3 +76,31 @@ def test_project_zero_on_consistent_input():
     y = op.A(x)
     resid = op.project(x, y)
     np.testing.assert_allclose(resid, np.zeros_like(resid), atol=1e-6)
+
+
+def test_compose_matches_diy():
+    """compose(mask, gray, pool) == the built-in mask_color_sr/diy task."""
+    import numpy as np
+    from ddnm_tpu.operators.functional import (
+        FunctionalOperator, avg_pool, build_functional_operator, color2gray,
+        compose, gray2color, mean_upsample,
+    )
+
+    rng = np.random.default_rng(0)
+    mask = (rng.uniform(size=(32, 32)) > 0.3).astype(np.float32)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)), jnp.float32)
+
+    built = build_functional_operator(
+        "mask_color_sr", image_size=32, deg_scale=2, mask=mask
+    )
+    m = jnp.asarray(mask)[:, :, None]
+    parts = [
+        FunctionalOperator("mask", lambda z: z * m, lambda z: z * m),
+        FunctionalOperator("gray", color2gray, gray2color),
+        FunctionalOperator("pool", lambda z: avg_pool(z, 2),
+                           lambda z: mean_upsample(z, 2)),
+    ]
+    comp = compose(*parts)
+    np.testing.assert_allclose(np.asarray(comp.A(x)), np.asarray(built.A(x)), atol=1e-6)
+    y = built.A(x)
+    np.testing.assert_allclose(np.asarray(comp.Ap(y)), np.asarray(built.Ap(y)), atol=1e-6)
