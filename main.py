@@ -74,6 +74,27 @@ def main(argv=None):
     from ddnm_tpu.config import load_config
     from ddnm_tpu.runner import RunArgs, Runner
 
+    # reference output-dir semantics (main.py:110-131): relative -i nests
+    # under <exp>/image_samples/, existing dirs prompt unless --ni/--resume
+    out = Path(ns.image_folder)
+    if not out.is_absolute():
+        out = Path(ns.exp) / "image_samples" / ns.image_folder
+    if out.exists() and not ns.resume:
+        if ns.ni:
+            import shutil
+
+            shutil.rmtree(out)
+        else:
+            resp = input(f"Image folder {out} already exists. Overwrite? (Y/N) ")
+            if resp.strip().upper() == "Y":
+                import shutil
+
+                shutil.rmtree(out)
+            else:
+                print("Output image folder exists. Program halted.")
+                return None
+    ns.image_folder = str(out)
+
     cfg_path = Path(ns.config)
     if not cfg_path.exists():
         cfg_path = REPO_ROOT / "configs" / ns.config
