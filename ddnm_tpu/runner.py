@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ddnm_tpu.config import Config
 from ddnm_tpu.data.datasets import get_dataset, iterate_batches
 from ddnm_tpu.data.io import load_mask, save_image
-from ddnm_tpu.data.metrics import psnr
+from ddnm_tpu.data.metrics import psnr, ssim
 from ddnm_tpu.data.noise import add_noise
 from ddnm_tpu.data.transforms import data_transform, inverse_data_transform
 from ddnm_tpu.models import DDPMUNet, ADMUNet, ADMClassifier, classifier_guidance_fn
@@ -260,6 +260,7 @@ class Runner:
             orig01 = inverse_data_transform(x_orig, rescaled=cfg.data.rescaled)
             apy01 = inverse_data_transform(apy, rescaled=cfg.data.rescaled)
             batch_psnr = np.asarray(psnr(x01, orig01))
+            batch_ssim = np.asarray(ssim(x01, orig01))
             x01_np = np.asarray(x01)
             apy_np = np.asarray(apy01)
             orig_np = np.asarray(orig01)
@@ -273,6 +274,7 @@ class Runner:
                 total_psnr += float(batch_psnr[i])
                 count += 1
             metrics.logkv_mean("psnr", float(np.mean(batch_psnr[:valid])))
+            metrics.logkv_mean("ssim", float(np.mean(batch_ssim[:valid])))
             metrics.logkv("images", count)
             metrics.logkv(
                 "images_per_sec", count / (time.perf_counter() - wall_start)

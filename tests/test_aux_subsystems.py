@@ -225,3 +225,17 @@ def test_serving_export_roundtrip(tmp_path):
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_x), atol=1e-5)
     np.testing.assert_allclose(np.asarray(x0), np.asarray(ref_x0), atol=1e-5)
+
+
+def test_ssim_sanity():
+    from ddnm_tpu.data.metrics import ssim
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(size=(2, 64, 64, 3)), jnp.float32)
+    assert np.allclose(np.asarray(ssim(a, a)), 1.0, atol=1e-4)
+    noisy = jnp.clip(a + 0.25 * jnp.asarray(rng.standard_normal(a.shape)), 0, 1)
+    mid = np.asarray(ssim(a, noisy))
+    assert np.all((mid > 0.0) & (mid < 0.9))
+    b = jnp.asarray(rng.uniform(size=(2, 64, 64, 3)), jnp.float32)
+    low = np.asarray(ssim(a, b))
+    assert np.all(low < mid)
