@@ -75,6 +75,7 @@ class RunArgs:
     manifest: Optional[str] = None
     max_images: Optional[int] = None
     resume: bool = False  # skip images whose output PNG already exists
+    loop: str = "auto"  # sampler loop driver: auto | scan | host
 
 
 class Runner:
@@ -304,6 +305,7 @@ class Runner:
                 x, _ = sample_simplified(
                     model_fn, x_init, y, operator, self.sched, k_samp,
                     eta=args.eta, sigma_y=sigma_y, params=run_params,
+                    loop=args.loop,
                 )
             else:
                 x_vec = jnp.transpose(x_orig, (0, 3, 1, 2)).reshape(len(imgs), -1)
@@ -317,7 +319,7 @@ class Runner:
                 x, _ = sample_svd(
                     model_fn, x_init, y, operator, self.sched, k_samp,
                     eta=args.eta, sigma_y=sigma_y, guidance_fn=guidance_fn,
-                    params=run_params,
+                    params=run_params, loop=args.loop,
                 )
 
             # pipeline: drain the previous batch's results (host transfer +

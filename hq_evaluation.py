@@ -39,6 +39,7 @@ def main(argv=None):
     p.add_argument("--random-init", action="store_true")
     p.add_argument("--demos", type=str, default=None,
                    help="comma-separated demo-name filter")
+    p.add_argument("--parallel_tiles", action="store_true")
     p.add_argument("--dry-run", action="store_true")
     ns = p.parse_args(argv)
 
@@ -67,6 +68,8 @@ def main(argv=None):
             argv_run.append("--random_init")
         if ns.classifier_ckpt:
             argv_run += ["--classifier_ckpt", ns.classifier_ckpt]
+        if ns.parallel_tiles:
+            argv_run.append("--parallel_tiles")
         print(f"== {name}: hq_main.py {' '.join(argv_run)}")
         if ns.dry_run:
             continue

@@ -53,6 +53,9 @@ def parse_args(argv=None):
     p.add_argument("--mask_path", type=str, default=None)
     p.add_argument("--manifest", type=str, default=None, help="imagenet manifest txt")
     p.add_argument("--max_images", type=int, default=None)
+    p.add_argument("--loop", type=str, default="auto",
+                   choices=["auto", "scan", "host"],
+                   help="sampler loop driver (auto picks per backend)")
     p.add_argument("--resume", action="store_true",
                    help="skip images whose outputs already exist (restart-friendly; "
                         "the reference can only resume via manual --subset ranges)")
@@ -125,6 +128,7 @@ def main(argv=None):
         manifest=ns.manifest,
         max_images=ns.max_images,
         resume=ns.resume,
+        loop=ns.loop,
     )
     runner = Runner(args, config)
     try:
