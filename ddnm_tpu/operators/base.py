@@ -139,8 +139,28 @@ class SVDOperator:
         return self.V(self.add_zeros(temp))
 
     # --- DDNM+ hooks ---------------------------------------------------------
+    # Generic spectral-space defaults: Eq.17/Eq.51 are diagonal in the SVD
+    # basis, so V . diag(coef(s)) . Vt is exact for ANY operator in this
+    # protocol. The reference implements these per-op and simply OMITS them
+    # for SRConv and Deblurring2D (noisy sr_bicubic / deblur_aniso crash
+    # there, SURVEY.md §2 #10/#12); with these defaults every operator here
+    # is noisy-DDNM+-capable. Concrete ops still override where the
+    # reference has op-specific quirks to reproduce (e.g. Deblurring's
+    # pre-threshold `_singulars_orig` coefficients, or Lambda_noise's
+    # skip-the-rotation treatment of isotropic noise).
+
+    def _singulars_full(self) -> jnp.ndarray:
+        """Singular values placed on the full spectral axis (zeros in the
+        null space), using the op's own add_zeros layout."""
+        s = self.singulars()
+        return self.add_zeros(s[None])[0]
+
     def Lambda(self, vec, a, sigma_y, sigma_t, eta):
-        raise NotImplementedError
+        s_full = self._singulars_full()
+        lam = ddnm_plus_lambda(s_full, a, sigma_y, sigma_t, eta)
+        return self.V(lam[None] * self.Vt(vec))
 
     def Lambda_noise(self, vec, a, sigma_y, sigma_t, eta, epsilon):
-        raise NotImplementedError
+        s_full = self._singulars_full()
+        d1, d2 = ddnm_plus_noise_coeffs(s_full, a, sigma_y, sigma_t, eta)
+        return self.V(d1[None] * self.Vt(vec) + d2[None] * self.Vt(epsilon))
