@@ -14,7 +14,6 @@ generator (the heavy lifting is on-device)."""
 
 from __future__ import annotations
 
-import random
 from pathlib import Path
 from typing import Iterator
 
@@ -48,9 +47,11 @@ class FolderDataset:
         if not self.paths:
             raise FileNotFoundError(f"no images under {root}")
         if shuffle_seed is not None:
-            rng = random.Random(shuffle_seed)
-            idx = list(range(len(self.paths)))
-            rng.shuffle(idx)
+            # the reference shuffles with numpy's legacy global RNG seeded
+            # 2019 (datasets/__init__.py:150-155); RandomState reproduces the
+            # exact order so per-index outputs/subset ranges line up
+            idx = np.arange(len(self.paths))
+            np.random.RandomState(shuffle_seed).shuffle(idx)
             self.paths = [self.paths[i] for i in idx]
         self.image_size = image_size
 
