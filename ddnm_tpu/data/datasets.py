@@ -40,10 +40,20 @@ def CenterCropLongEdge(img: np.ndarray) -> np.ndarray:
 
 
 class FolderDataset:
-    """ImageFolder-equivalent with the reference's fixed shuffle."""
+    """ImageFolder-equivalent with the reference's fixed shuffle.
 
-    def __init__(self, root: str | Path, image_size: int = 256, shuffle_seed: int | None = 2019):
+    Preprocessing matches the reference per dataset family:
+      - crop_long_edge=False (CelebA_HQ/FFHQ): squash-resize to (s, s) with
+        BILINEAR, no crop (torchvision Resize([s, s]),
+        datasets/__init__.py:146-148);
+      - crop_long_edge=True (ImageNet): CenterCropLongEdge then BILINEAR
+        resize (imagenet_subset.py:5-23 + Resize(s)).
+    """
+
+    def __init__(self, root: str | Path, image_size: int = 256,
+                 shuffle_seed: int | None = 2019, crop_long_edge: bool = False):
         self.paths = _list_images(Path(root))
+        self.crop_long_edge = crop_long_edge
         if not self.paths:
             raise FileNotFoundError(f"no images under {root}")
         if shuffle_seed is not None:
@@ -59,21 +69,24 @@ class FolderDataset:
         return len(self.paths)
 
     def __getitem__(self, i: int) -> tuple[np.ndarray, int]:
-        img = load_image(self.paths[i])
-        img = CenterCropLongEdge(img)
-        if img.shape[0] != self.image_size:
-            from PIL import Image
+        from PIL import Image
 
-            pil = Image.fromarray((img * 255).astype(np.uint8))
-            pil = pil.resize((self.image_size, self.image_size), Image.BICUBIC)
-            img = np.asarray(pil, dtype=np.float32) / 255.0
-        return img, 0
+        pil = Image.open(self.paths[i]).convert("RGB")
+        if self.crop_long_edge:
+            s = min(pil.size)
+            left = (pil.size[0] - s) // 2
+            top = (pil.size[1] - s) // 2
+            pil = pil.crop((left, top, left + s, top + s))
+        if pil.size != (self.image_size, self.image_size):
+            pil = pil.resize((self.image_size, self.image_size), Image.BILINEAR)
+        return np.asarray(pil, dtype=np.float32) / 255.0, 0
 
 
 class ImageNetManifestDataset(FolderDataset):
     """Images + class labels from a `(filename class)` manifest txt."""
 
     def __init__(self, root: str | Path, manifest: str | Path, image_size: int = 256):
+        self.crop_long_edge = True  # CenterCropLongEdge (imagenet_subset.py:5-23)
         root = Path(root)
         entries = []
         with open(manifest) as f:
@@ -119,7 +132,7 @@ def get_dataset(
     elif name.lower() == "imagenet" and manifest is not None:
         ds = ImageNetManifestDataset(root, manifest, image_size)
     elif name.lower() == "imagenet":
-        ds = FolderDataset(root, image_size, shuffle_seed=None)
+        ds = FolderDataset(root, image_size, shuffle_seed=None, crop_long_edge=True)
     else:
         raise ValueError(f"unknown dataset {name}")
     if subset is not None:
