@@ -81,6 +81,11 @@ def main():
         model_fn, x, y, op, sched_warm, jax.random.PRNGKey(1), params=params, **kwargs
     )
     jax.device_get(out)  # full sync (block_until_ready is unreliable on axon)
+    # one full-length run to absorb residual first-execution costs
+    out, _ = sample_simplified(
+        model_fn, x, y, op, sched, jax.random.PRNGKey(99), params=params, **kwargs
+    )
+    jax.device_get(out)
     mark("warmup done")
 
     # timed runs
