@@ -139,6 +139,7 @@ def mask_shift_sample(
     guidance_fn=None,
     params=None,
     parallel: bool = False,
+    mesh=None,
     noise_fn=None,
     progress_fn: Optional[Callable[[Tile, np.ndarray], None]] = None,
 ) -> dict:
@@ -149,7 +150,10 @@ def mask_shift_sample(
 
     `parallel=True` batches each s = 2i+j wavefront of independent tiles
     into a single sampler call (see module docstring) — a large speedup for
-    big canvases on accelerators, exact for deterministic noise.
+    big canvases on accelerators, exact for deterministic noise. With a
+    `mesh` (jax.sharding.Mesh), wavefront batches whose padded size divides
+    the device count are sharded across chips (params replicate), scaling
+    large-canvas restoration over a pod slice.
 
     `progress_fn(tile, x0_hat)` is called after each tile completes (the
     reference saves intermediate tiles every 25 steps; we expose a hook
@@ -220,6 +224,12 @@ def mask_shift_sample(
                               dtype=jnp.float32)
             for t in padded
         ])
+        if mesh is not None and x_init_b.shape[0] % mesh.size == 0:
+            from ddnm_tpu.parallel import shard_batch
+
+            x_init_b, apy_b, mask_b, content_b = shard_batch(
+                mesh, (x_init_b, apy_b, mask_b, content_b)
+            )
         _, x0_b = sample_posterior(
             model_fn,
             x_init_b,

@@ -346,3 +346,29 @@ def test_posterior_guidance_matches_condition_mean():
 
     np.testing.assert_allclose(np.asarray(x_g), x, atol=2e-5)
     np.testing.assert_allclose(np.asarray(x0_g), x0_hat, atol=2e-5)
+
+
+def test_wavefront_sharded_matches_unsharded():
+    """Wavefront tiling with tile batches sharded over the virtual device
+    mesh produces the same canvas as unsharded parallel tiling."""
+    from ddnm_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(6)
+    gt = rng.uniform(-1, 1, (1, 512, 512, 3)).astype(np.float32)
+    betas = sch.named_beta_schedule("linear", 100, use_scale=True)
+    tables = build_posterior_tables(
+        betas=betas, timestep_respacing="3", sigma_y=0.0,
+        schedule_jump_params=dict(t_T=3, n_sample=1, jump_length=1, jump_n_sample=1),
+    )
+    import jax.numpy as jnp
+
+    toy = _toy_model_jax()
+    zero_noise = lambda key, shape: jnp.zeros(shape, jnp.float32)
+    common = dict(scale=4, resize_y=True, noise_fn=zero_noise, parallel=True)
+
+    plain = mask_shift_sample(toy, gt, "sr_averagepooling", tables,
+                              jax.random.PRNGKey(0), **common)
+    mesh = make_mesh(2)  # pow2-padded wavefront batches are divisible by 2
+    sharded = mask_shift_sample(toy, gt, "sr_averagepooling", tables,
+                                jax.random.PRNGKey(0), mesh=mesh, **common)
+    np.testing.assert_allclose(sharded["final"], plain["final"], atol=2e-5)
