@@ -9,6 +9,11 @@ nearest-x2 + conv upsample.
 Module/attribute names deliberately mirror the torch state-dict keys so the
 generic converter (convert.py) maps checkpoints mechanically:
 torch "down.0.block.1.conv1.weight" -> flax params["down_0"]["block_1"]["conv1"]["kernel"].
+
+Structured as setup() (not @nn.compact) so the torso splits into
+`encode` (down path + middle) and `decode` (up path + head): the
+encoder-propagation accelerator (sampling/accel.py) reuses cached encoder
+features across adjacent timesteps and runs only the decoder.
 """
 
 from __future__ import annotations
@@ -29,11 +34,12 @@ from ddnm_tpu.models.nn import (
 __all__ = ["DDPMUNet"]
 
 
-def _norm(name: str):
+def _norm(name: str | None = None):
     return GroupNormF32(num_groups=32, epsilon=1e-6, name=name)
 
 
-def _conv(features: int, kernel: int, name: str, stride: int = 1, dtype=jnp.float32):
+def _conv(features: int, kernel: int, name: str | None = None, stride: int = 1,
+          dtype=jnp.float32):
     return nn.Conv(
         features,
         (kernel, kernel),
@@ -121,7 +127,12 @@ class Upsample(nn.Module):
 
 
 class DDPMUNet(nn.Module):
-    """NHWC DDPM UNet; __call__(x, t) -> epsilon prediction."""
+    """NHWC DDPM UNet; __call__(x, t) -> epsilon prediction.
+
+    Also exposes `time_embed(t)`, `encode(x, temb)` and `decode(h, hs, temb)`
+    with __call__ == decode(encode(...)) — the split the encoder-propagation
+    accelerator uses.
+    """
 
     ch: int = 128
     out_ch: int = 3
@@ -132,68 +143,107 @@ class DDPMUNet(nn.Module):
     resamp_with_conv: bool = True
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, t):
-        ch_mult = tuple(self.ch_mult)
-        num_resolutions = len(ch_mult)
+    def setup(self):
+        mult = tuple(self.ch_mult)
         temb_ch = self.ch * 4
+        self.temb_dense_0 = nn.Dense(
+            temb_ch, dtype=self.dtype, param_dtype=jnp.float32
+        )
+        self.temb_dense_1 = nn.Dense(
+            temb_ch, dtype=self.dtype, param_dtype=jnp.float32
+        )
+        self.conv_in = _conv(self.ch, 3, dtype=self.dtype)
 
-        temb = timestep_embedding_ddpm(t, self.ch)
-        temb = nn.Dense(temb_ch, name="temb_dense_0", dtype=self.dtype, param_dtype=jnp.float32)(temb)
-        temb = nn.Dense(temb_ch, name="temb_dense_1", dtype=self.dtype, param_dtype=jnp.float32)(swish(temb))
-
-        x = x.astype(self.dtype)
-        hs = [_conv(self.ch, 3, "conv_in", dtype=self.dtype)(x)]
-
-        # down path
+        # down path; attribute names match the converter's key map exactly
         curr_res = self.resolution
-        in_ch_mult = (1,) + ch_mult
-        block_in = None
-        for i_level in range(num_resolutions):
-            block_in = self.ch * in_ch_mult[i_level]
-            block_out = self.ch * ch_mult[i_level]
+        attn_levels = []
+        for i_level in range(len(mult)):
+            block_out = self.ch * mult[i_level]
             for i_block in range(self.num_res_blocks):
-                h = ResnetBlock(
-                    block_out, dtype=self.dtype, name=f"down_{i_level}_block_{i_block}"
-                )(hs[-1], temb)
-                block_in = block_out
+                setattr(self, f"down_{i_level}_block_{i_block}",
+                        ResnetBlock(block_out, dtype=self.dtype))
                 if curr_res in self.attn_resolutions:
-                    h = AttnBlock(self.dtype, name=f"down_{i_level}_attn_{i_block}")(h)
-                hs.append(h)
-            if i_level != num_resolutions - 1:
-                hs.append(
-                    Downsample(
-                        self.resamp_with_conv, self.dtype,
-                        name=f"down_{i_level}_downsample",
-                    )(hs[-1])
-                )
+                    setattr(self, f"down_{i_level}_attn_{i_block}",
+                            AttnBlock(self.dtype))
+            attn_levels.append(curr_res in self.attn_resolutions)
+            if i_level != len(mult) - 1:
+                setattr(self, f"down_{i_level}_downsample",
+                        Downsample(self.resamp_with_conv, self.dtype))
                 curr_res //= 2
+        self._attn_levels = tuple(attn_levels)
 
-        # middle
-        h = hs[-1]
-        h = ResnetBlock(block_in, dtype=self.dtype, name="mid_block_1")(h, temb)
-        h = AttnBlock(self.dtype, name="mid_attn_1")(h)
-        h = ResnetBlock(block_in, dtype=self.dtype, name="mid_block_2")(h, temb)
+        block_in = self.ch * mult[-1]
+        self.mid_block_1 = ResnetBlock(block_in, dtype=self.dtype)
+        self.mid_attn_1 = AttnBlock(self.dtype)
+        self.mid_block_2 = ResnetBlock(block_in, dtype=self.dtype)
 
-        # up path
-        for i_level in reversed(range(num_resolutions)):
-            block_out = self.ch * ch_mult[i_level]
+        # up path (curr_res is now the bottleneck resolution)
+        up_attn = {}
+        res = curr_res
+        for i_level in reversed(range(len(mult))):
+            block_out = self.ch * mult[i_level]
             for i_block in range(self.num_res_blocks + 1):
-                h = ResnetBlock(
-                    block_out, dtype=self.dtype, name=f"up_{i_level}_block_{i_block}"
-                )(jnp.concatenate([h, hs.pop()], axis=-1), temb)
-                if curr_res in self.attn_resolutions:
-                    h = AttnBlock(self.dtype, name=f"up_{i_level}_attn_{i_block}")(h)
+                setattr(self, f"up_{i_level}_block_{i_block}",
+                        ResnetBlock(block_out, dtype=self.dtype))
+                if res in self.attn_resolutions:
+                    setattr(self, f"up_{i_level}_attn_{i_block}",
+                            AttnBlock(self.dtype))
+            up_attn[i_level] = res in self.attn_resolutions
             if i_level != 0:
-                h = Upsample(
-                    self.resamp_with_conv, self.dtype, name=f"up_{i_level}_upsample"
-                )(h)
-                curr_res *= 2
+                setattr(self, f"up_{i_level}_upsample",
+                        Upsample(self.resamp_with_conv, self.dtype))
+                res *= 2
+        self._up_attn = tuple(up_attn[i] for i in range(len(mult)))
 
-        h = _norm("norm_out")(h)
-        h = swish(h)
-        h = _conv(self.out_ch, 3, "conv_out", dtype=self.dtype)(h)
-        return h.astype(jnp.float32)
+        self.norm_out = _norm()
+        self.conv_out = _conv(self.out_ch, 3, dtype=self.dtype)
+
+    def time_embed(self, t):
+        temb = timestep_embedding_ddpm(t, self.ch)
+        return self.temb_dense_1(swish(self.temb_dense_0(temb)))
+
+    def encode(self, x, temb):
+        """Down path + middle; returns (h, skip list) — the cacheable half."""
+        mult = tuple(self.ch_mult)
+        x = x.astype(self.dtype)
+        hs = [self.conv_in(x)]
+        for i_level in range(len(mult)):
+            for i_block in range(self.num_res_blocks):
+                h = getattr(self, f"down_{i_level}_block_{i_block}")(hs[-1], temb)
+                if self._attn_levels[i_level]:
+                    h = getattr(self, f"down_{i_level}_attn_{i_block}")(h)
+                hs.append(h)
+            if i_level != len(mult) - 1:
+                hs.append(getattr(self, f"down_{i_level}_downsample")(hs[-1]))
+
+        h = hs[-1]
+        h = self.mid_block_1(h, temb)
+        h = self.mid_attn_1(h)
+        h = self.mid_block_2(h, temb)
+        return h, hs
+
+    def decode(self, h, hs, temb, orig_dtype=jnp.float32):
+        """Up path + output head, consuming encoder skips."""
+        mult = tuple(self.ch_mult)
+        hs = list(hs)
+        for i_level in reversed(range(len(mult))):
+            for i_block in range(self.num_res_blocks + 1):
+                h = getattr(self, f"up_{i_level}_block_{i_block}")(
+                    jnp.concatenate([h, hs.pop()], axis=-1), temb
+                )
+                if self._up_attn[i_level]:
+                    h = getattr(self, f"up_{i_level}_attn_{i_block}")(h)
+            if i_level != 0:
+                h = getattr(self, f"up_{i_level}_upsample")(h)
+
+        h = h.astype(orig_dtype)
+        h = swish(self.norm_out(h))
+        return self.conv_out(h).astype(jnp.float32)
+
+    def __call__(self, x, t):
+        temb = self.time_embed(t)
+        h, hs = self.encode(x, temb)
+        return self.decode(h, hs, temb, orig_dtype=x.dtype)
 
     @classmethod
     def from_config(cls, config, dtype=jnp.float32) -> "DDPMUNet":

@@ -76,6 +76,7 @@ class RunArgs:
     max_images: Optional[int] = None
     resume: bool = False  # skip images whose output PNG already exists
     loop: str = "auto"  # sampler loop driver: auto | scan | host
+    encoder_cache: int = 1  # >1: approximate encoder-propagation accel
 
 
 class Runner:
@@ -123,6 +124,8 @@ class Runner:
                 f"checkpoint {args.ckpt!r} not found; pass --ckpt or --random-init"
             )
 
+        self._model = model
+        self._params = params
         class_cond = cfg.model.type == "openai" and cfg.model.class_cond
         if class_cond:
             classes = jnp.full((self.batch_size,), GUIDED_CLASS, dtype=jnp.int32)
@@ -302,11 +305,22 @@ class Runner:
                 x_init = jax.random.normal(k_init, (len(imgs), size, size, 3))
                 if mesh is not None:
                     x_init, y = shard_batch(mesh, (x_init, y))
-                x, _ = sample_simplified(
-                    model_fn, x_init, y, operator, self.sched, k_samp,
-                    eta=args.eta, sigma_y=sigma_y, params=run_params,
-                    loop=args.loop,
-                )
+                if args.encoder_cache > 1 and cfg.model.type == "simple":
+                    from ddnm_tpu.sampling.accel import (
+                        sample_simplified_encoder_prop,
+                    )
+
+                    x, _ = sample_simplified_encoder_prop(
+                        self._model, self._params, x_init, y, operator,
+                        self.sched, k_samp, eta=args.eta, sigma_y=sigma_y,
+                        interval=args.encoder_cache,
+                    )
+                else:
+                    x, _ = sample_simplified(
+                        model_fn, x_init, y, operator, self.sched, k_samp,
+                        eta=args.eta, sigma_y=sigma_y, params=run_params,
+                        loop=args.loop,
+                    )
             else:
                 x_vec = jnp.transpose(x_orig, (0, 3, 1, 2)).reshape(len(imgs), -1)
                 y = operator.A(x_vec)

@@ -154,8 +154,9 @@ def _call_model(model_fn, params, x, t_f):
     return model_fn(x, t_f) if params is None else model_fn(params, x, t_f)
 
 
-def _simplified_body(model_fn, operator, eta, sigma_y, params, x, y, t_f, at, at_next, noise):
-    et = _call_model(model_fn, params, x, t_f)
+def _simplified_update(operator, eta, sigma_y, x, y, et, at, at_next, noise):
+    """The pure DDNM+ update given the model's eps prediction
+    (Eq.12 / Eq.19 / Eq.17 / gamma-gated DDIM, diffusion.py:365-384)."""
     et = et[..., :3] if et.shape[-1] == 6 else et
     # Eq. 12
     x0_t = (x - et * jnp.sqrt(1.0 - at)) / jnp.sqrt(at)
@@ -175,6 +176,11 @@ def _simplified_body(model_fn, operator, eta, sigma_y, params, x, y, t_f, at, at
     c2 = jnp.sqrt(1.0 - at_next) * (1.0 - eta**2) ** 0.5
     x_next = jnp.sqrt(at_next) * x0_t_hat + gamma_t * (c1 * noise + c2 * et)
     return x_next, x0_t
+
+
+def _simplified_body(model_fn, operator, eta, sigma_y, params, x, y, t_f, at, at_next, noise):
+    et = _call_model(model_fn, params, x, t_f)
+    return _simplified_update(operator, eta, sigma_y, x, y, et, at, at_next, noise)
 
 
 def _nhwc_to_vec(x: Array) -> Array:

@@ -53,6 +53,10 @@ def parse_args(argv=None):
     p.add_argument("--mask_path", type=str, default=None)
     p.add_argument("--manifest", type=str, default=None, help="imagenet manifest txt")
     p.add_argument("--max_images", type=int, default=None)
+    p.add_argument("--encoder_cache", type=int, default=1,
+                   help="encoder-propagation interval (>1 = approximate "
+                        "Faster-Diffusion acceleration; simplified mode, "
+                        "simple model family only)")
     p.add_argument("--loop", type=str, default="auto",
                    choices=["auto", "scan", "host"],
                    help="sampler loop driver (auto picks per backend)")
@@ -129,6 +133,7 @@ def main(argv=None):
         max_images=ns.max_images,
         resume=ns.resume,
         loop=ns.loop,
+        encoder_cache=ns.encoder_cache,
     )
     runner = Runner(args, config)
     try:

@@ -86,7 +86,7 @@ def tiny_model():
     def model_fn(x, t):
         return model.apply(params, x, t)
 
-    return ref, model_fn
+    return ref, model_fn, model, params
 
 
 def _betas():
@@ -104,7 +104,7 @@ def test_svd_sampler_parity(tiny_model, travel_l, travel_r, sigma_y):
     torch = pytest.importorskip("torch")
     svd_ddnm = import_reference("functions.svd_ddnm")
 
-    ref_model, model_fn = tiny_model
+    ref_model, model_fn, _, _ = tiny_model
     betas = _betas()
     op = build_svd_operator("sr_averagepooling", image_size=RES, deg_scale=2)
 
@@ -178,7 +178,7 @@ def test_svd_sampler_parity(tiny_model, travel_l, travel_r, sigma_y):
 def test_simplified_sampler_parity(tiny_model, sigma_y):
     """Eager torch transcription of diffusion.py:346-396 vs our scan."""
     torch = pytest.importorskip("torch")
-    ref_model, model_fn = tiny_model
+    ref_model, model_fn, _, _ = tiny_model
     betas = _betas()
     scale = 2
     op = build_functional_operator("sr_averagepooling", image_size=RES, deg_scale=scale)
@@ -304,3 +304,34 @@ def test_svd_sampler_guidance_params_style():
     )
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
     assert np.abs(np.asarray(b) - np.asarray(c)).max() > 1e-4  # guidance acts
+
+
+def test_encoder_prop_interval1_exact_and_interval3_close(tiny_model):
+    """Encoder-propagation sampler: interval=1 equals the exact host-loop
+    sampler; interval=3 is a finite approximation that actually differs."""
+    from ddnm_tpu.sampling.accel import sample_simplified_encoder_prop
+
+    _, model_fn, model, params = tiny_model
+    betas = _betas()
+    sched = build_schedule(betas=betas, t_sampling=T_SAMPLING)
+    op = build_functional_operator("sr_averagepooling", image_size=RES, deg_scale=4)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.uniform(-1, 1, (1, RES, RES, 3)), jnp.float32)
+    y = op.A(x0)
+    x_init = jnp.asarray(rng.standard_normal((1, RES, RES, 3)), jnp.float32)
+    key = jax.random.PRNGKey(5)
+
+    exact, _ = sample_simplified(
+        model_fn, x_init, y, op, sched, key, noise_fn=ZERO_NOISE, loop="host"
+    )
+    acc1, _ = sample_simplified_encoder_prop(
+        model, params, x_init, y, op, sched, key, interval=1, noise_fn=ZERO_NOISE
+    )
+    np.testing.assert_allclose(np.asarray(acc1), np.asarray(exact), atol=1e-5)
+
+    acc3, _ = sample_simplified_encoder_prop(
+        model, params, x_init, y, op, sched, key, interval=3, noise_fn=ZERO_NOISE
+    )
+    diff = float(np.abs(np.asarray(acc3) - np.asarray(exact)).max())
+    assert 0.0 < diff < 1.0  # approximate but bounded
+    assert np.isfinite(np.asarray(acc3)).all()
