@@ -14,9 +14,12 @@ validated per checkpoint before production use — we deliberately ship it
 off-by-default and unvalidated on real weights (none are reachable in this
 build environment).
 
-Speedup bound: the decoder is roughly half of this UNet's FLOPs, so
-interval k saves ~(1 - 1/k) * encoder_share of compute (about 1.33x
-end-to-end at k=3 for the CelebA UNet).
+Measured speedup (v5e, CelebA UNet, batch 8, 100 steps): ~10-12% at
+interval 3 (2.41 -> 2.69 img/s). Modest because this UNet is decoder-heavy
+(the up path has num_res_blocks+1 blocks per level on concatenated
+channels, so the skipped encoder is only ~1/3 of FLOPs); the technique
+pays more on encoder-heavy text-to-image UNets, which is the paper's
+setting.
 """
 
 from __future__ import annotations
