@@ -165,3 +165,19 @@ def test_cli_resume_skips_existing(tmp_path):
     assert s1["num_samples"] == 2
     s2 = cli.main(argv + ["--resume"])
     assert s2["num_samples"] == 0  # everything skipped
+
+
+@pytest.mark.skipif(not FIXTURES.exists(), reason="reference fixtures unavailable")
+def test_cli_encoder_cache_smoke(tmp_path):
+    import main as cli
+
+    stats = cli.main([
+        "--config", "configs/smoke.yml",
+        "--path_y", str(FIXTURES),
+        "--deg", "sr_averagepooling", "--deg_scale", "4",
+        "--simplified", "--random_init", "--ni",
+        "-i", str(tmp_path / "out"),
+        "--max_images", "1", "--batch_size", "1",
+        "--encoder_cache", "2",
+    ])
+    assert stats["num_samples"] == 1
