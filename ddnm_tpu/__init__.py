@@ -5,8 +5,9 @@ A from-scratch JAX/XLA/Pallas framework with the capabilities of wyhuai/DDNM
 Model"): super-resolution, deblurring, inpainting, colorization, compressed
 sensing, denoising, old-photo restoration and arbitrary-size generation via
 mask-shift tiling — all driven by a pretrained diffusion UNet and the
-DDNM/DDNM+ null-space sampling rule, compiled into a single `lax.scan` with
-zero host round-trips and sharded across TPU meshes.
+DDNM/DDNM+ null-space sampling rule, running entirely on device (one
+`lax.scan` executable, or an equivalent host-dispatched step loop on
+remote-compile backends) and sharded across TPU meshes.
 
 Layer map (ours, idiomatic JAX — see SURVEY.md for the reference's):
 
