@@ -285,7 +285,20 @@ class Runner:
             )
             metrics.dumpkvs()
             logger.info("PSNR: %.2f", total_psnr / max(count, 1))
+        try:
+            from tqdm import tqdm
+
+            n_batches = -(-len(dataset) // self.batch_size)
+            pbar = tqdm(total=n_batches, desc="batches")
+        except ImportError:  # pragma: no cover
+            pbar = None
+
         for imgs, labels, valid in iterate_batches(dataset, self.batch_size):
+            if pbar is not None:
+                pbar.update(1)
+                if count:
+                    # running PSNR on the bar (reference diffusion.py:411)
+                    pbar.set_description(f"PSNR: {total_psnr / count:.2f}")
             if args.resume and all(
                 (out_dir / f"{idx_so_far + i}_0.png").exists()
                 for i in range(valid)
@@ -345,6 +358,10 @@ class Runner:
 
         if pending is not None:
             drain(*pending)
+        if pbar is not None:
+            if count:
+                pbar.set_description(f"PSNR: {total_psnr / count:.2f}")
+            pbar.close()
         for f in save_futures:
             f.result()
         io_pool.shutdown(wait=True)
