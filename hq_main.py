@@ -189,14 +189,34 @@ def main(argv=None):
     run_params = {"model": params}
     if cparams is not None:
         run_params["classifier"] = cparams
+    out_dir = Path(ns.image_folder)
+    (out_dir / "tiles").mkdir(parents=True, exist_ok=True)
+    try:
+        from tqdm import tqdm
+
+        pbar = tqdm(desc="tiles")
+    except ImportError:  # pragma: no cover
+        pbar = None
+
+    def progress(tile, x0_np):
+        # per-tile intermediate save (the reference dumps intermediates under
+        # results/<save_path>/<shift_h>_<shift_w>, gaussian_diffusion.py:382-386)
+        i, j = tile.index
+        save_image(
+            np.clip((x0_np[0] + 1.0) / 2.0, 0.0, 1.0),
+            out_dir / "tiles" / f"{i}_{j}.png",
+        )
+        if pbar is not None:
+            pbar.update(1)
+
     out = mask_shift_sample(
         model_fn, gt, ns.deg, tables, key,
         scale=ns.scale, resize_y=ns.resize_y, mask=mask, guidance_fn=guidance_fn,
-        params=run_params, parallel=ns.parallel_tiles,
+        params=run_params, parallel=ns.parallel_tiles, progress_fn=progress,
     )
+    if pbar is not None:
+        pbar.close()
 
-    out_dir = Path(ns.image_folder)
-    out_dir.mkdir(parents=True, exist_ok=True)
     to01 = lambda a: np.clip((a + 1.0) / 2.0, 0.0, 1.0)
     save_image(to01(out["final"][0]), out_dir / "final.png")
     save_image(to01(out["apy"][0]), out_dir / "Apy.png")
