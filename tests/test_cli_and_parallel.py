@@ -181,3 +181,24 @@ def test_cli_encoder_cache_smoke(tmp_path):
         "--encoder_cache", "2",
     ])
     assert stats["num_samples"] == 1
+
+
+@pytest.mark.skipif(not FIXTURES.exists(), reason="reference fixtures unavailable")
+def test_cli_subset_range(tmp_path):
+    """--subset_start/--subset_end slice the dataset and offset output
+    indices (the reference's manual sharding/resume mechanism,
+    main.py:70-75 + diffusion.py:218-223)."""
+    import main as cli
+
+    stats = cli.main([
+        "--config", "configs/smoke.yml",
+        "--path_y", str(FIXTURES),
+        "--deg", "sr_averagepooling", "--deg_scale", "4",
+        "--simplified", "--random_init", "--ni",
+        "-i", str(tmp_path / "out"),
+        "--subset_start", "2", "--subset_end", "4",
+        "--batch_size", "2",
+    ])
+    assert stats["num_samples"] == 2
+    names = sorted(p.name for p in (tmp_path / "out").glob("*_0.png"))
+    assert names == ["2_0.png", "3_0.png"]  # indices offset by subset_start
