@@ -286,10 +286,13 @@ class Runner:
             metrics.dumpkvs()
             logger.info("PSNR: %.2f", total_psnr / max(count, 1))
         try:
+            import sys as _sys
+
             from tqdm import tqdm
 
             n_batches = -(-len(dataset) // self.batch_size)
-            pbar = tqdm(total=n_batches, desc="batches")
+            pbar = tqdm(total=n_batches, desc="batches",
+                        disable=not _sys.stderr.isatty())
         except ImportError:  # pragma: no cover
             pbar = None
 

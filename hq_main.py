@@ -192,9 +192,11 @@ def main(argv=None):
     out_dir = Path(ns.image_folder)
     (out_dir / "tiles").mkdir(parents=True, exist_ok=True)
     try:
+        import sys as _sys
+
         from tqdm import tqdm
 
-        pbar = tqdm(desc="tiles")
+        pbar = tqdm(desc="tiles", disable=not _sys.stderr.isatty())
     except ImportError:  # pragma: no cover
         pbar = None
 
