@@ -24,7 +24,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 BATCH, RES, T = 8, 256, 100
 
 
-def main():
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description="extended DDNM benchmarks")
+    ap.add_argument("--workloads", type=str, default=None,
+                    help="comma-separated filter: simplified_sr4, svd_deblur, "
+                         "svd_cs_wh, hq_tile")
+    ns = ap.parse_args(argv)
+    want = set(ns.workloads.split(",")) if ns.workloads else None
+
+    def wanted(name):
+        return want is None or name in want
+
     import jax
     import jax.numpy as jnp
 
@@ -70,9 +82,10 @@ def main():
     y = op.A(x)
     sample_simplified(model_fn, x, y, op, sched_warm, jax.random.PRNGKey(0),
                       params=params)  # absorb one-time costs
-    results["simplified_sr4"] = timeit(
-        lambda k: sample_simplified(model_fn, x, y, op, sched, k, params=params)
-    )
+    if wanted("simplified_sr4"):
+        results["simplified_sr4"] = timeit(
+            lambda k: sample_simplified(model_fn, x, y, op, sched, k, params=params)
+        )
 
     # 2) SVD deblur_gauss
     xvec = jnp.transpose(x, (0, 3, 1, 2)).reshape(BATCH, -1)
@@ -80,6 +93,8 @@ def main():
         ("svd_deblur", "deblur_gauss", {}),
         ("svd_cs_wh", "cs_walshhadamard", dict(deg_scale=0.25)),
     ]:
+        if not wanted(name):
+            continue
         sop = build_svd_operator(deg, channels=3, image_size=RES, **kw)
         ysvd = sop.A(xvec)
         results[name] = timeit(
@@ -93,6 +108,10 @@ def main():
         eps = model.apply(p, xx, tt)
         return jnp.concatenate([eps, jnp.zeros_like(eps)], axis=-1)
 
+    if not wanted("hq_tile"):
+        for k, v in results.items():
+            print(json.dumps({"metric": k, "value": round(float(v), 4), "unit": "img/s"}))
+        return
     tables = build_posterior_tables(
         betas=schedules.named_beta_schedule("linear", 1000, use_scale=True),
         timestep_respacing="100", sigma_y=0.0,
