@@ -372,3 +372,113 @@ def test_wavefront_sharded_matches_unsharded():
     sharded = mask_shift_sample(toy, gt, "sr_averagepooling", tables,
                                 jax.random.PRNGKey(0), mesh=mesh, **common)
     np.testing.assert_allclose(sharded["final"], plain["final"], atol=2e-5)
+
+
+def test_posterior_e2e_cross_framework_adm():
+    """Full cross-framework E2E for the hq family: the reference's
+    SpacedDiffusion.p_sample DDNM loop driving the real torch ADM UNet vs
+    our posterior sampler driving the converted weights — zero noise, same
+    jump schedule with travels. This composes the UNet parity, respacing,
+    posterior tables, Eq.17/19 and undo semantics in one trajectory."""
+    torch = pytest.importorskip("torch")
+    from tests._reference import import_reference
+    from ddnm_tpu.models.convert import adm_key_map, torch_state_dict_to_flax
+    from ddnm_tpu.models.unet_adm import ADMUNet
+
+    gd = import_hq_reference("gaussian_diffusion")
+    scheduler = import_hq_reference("scheduler")
+    ref_unet_mod = import_reference("guided_diffusion.unet")
+
+    size = 32
+    torch.manual_seed(0)
+    ref = ref_unet_mod.UNetModel(
+        image_size=size, in_channels=3, model_channels=32, out_channels=6,
+        num_res_blocks=1, attention_resolutions={2, 4}, channel_mult=(1, 2, 2),
+        num_heads=4, num_head_channels=16, use_scale_shift_norm=True,
+        resblock_updown=True,
+    )
+    ref.eval()
+    ours = ADMUNet(
+        image_size=size, in_channels=3, model_channels=32, out_channels=6,
+        num_res_blocks=1, attention_resolutions=(2, 4), channel_mult=(1, 2, 2),
+        num_heads=4, num_head_channels=16, use_scale_shift_norm=True,
+        resblock_updown=True,
+    )
+    params = {"params": torch_state_dict_to_flax(ref.state_dict(), adm_key_map)}
+
+    betas = sch.named_beta_schedule("linear", 100, use_scale=True)
+    respacing = "10"
+    jump = dict(t_T=10, n_sample=1, jump_length=3, jump_n_sample=2)
+
+    rng = np.random.default_rng(0)
+    x_init = rng.standard_normal((1, size, size, 3)).astype(np.float32)
+    gt = rng.uniform(-1, 1, (1, size, size, 3)).astype(np.float32)
+    scale = 4
+
+    # ---- ours ----
+    op = build_functional_operator("sr_averagepooling", image_size=size, deg_scale=scale)
+    apy = op.Ap(op.A(jnp.asarray(gt)))
+    tables = build_posterior_tables(
+        betas=betas, timestep_respacing=respacing, sigma_y=0.0,
+        schedule_jump_params=jump,
+    )
+    zero = lambda key, shape: jnp.zeros(shape, jnp.float32)
+
+    def model_fn(p, x, t):
+        return ours.apply(p, x, t)
+
+    x_fin, x0_fin = sample_posterior(
+        model_fn, jnp.asarray(x_init), apy, op, tables, jax.random.PRNGKey(0),
+        noise_fn=zero, params=params,
+    )
+
+    # ---- reference: SpacedDiffusion.p_sample loop, zero noise ----
+    sd = _oracle_spaced(betas, respacing)
+    gd.save_image = lambda *a, **k: None  # silence intermediate dumps
+
+    pool = torch.nn.AdaptiveAvgPool2d((size // scale, size // scale))
+
+    def up(z):
+        return z.repeat_interleave(scale, dim=2).repeat_interleave(scale, dim=3)
+
+    gt_t = torch.from_numpy(np.transpose(gt, (0, 3, 1, 2)).copy())
+    kwargs = {
+        "A": lambda z: pool(z), "Ap": up, "sigma_y": 0.0,
+        "Apy": up(pool(gt_t)),
+        "shift_w": 0, "shift_h": 0, "shift_w_total": 1, "shift_h_total": 1,
+        "H_target": size, "W_target": size, "x_temp": None, "save_path": "x",
+        "gt": None,
+    }
+
+    def tmodel(x, ts, **kw):
+        return ref(x, ts)
+
+    x = torch.from_numpy(np.transpose(x_init, (0, 3, 1, 2)).copy())
+    orig_randn = torch.randn_like
+    orig_ones = torch.ones
+    torch.randn_like = lambda z: torch.zeros_like(z)
+
+    def cpu_ones(*a, **kw):
+        kw.pop("device", None)  # p_sample hardcodes device='cuda' (:487)
+        return orig_ones(*a, **kw)
+
+    torch.ones = cpu_ones
+    try:
+        times = scheduler.get_schedule_jump(**jump)
+        out = None
+        with torch.no_grad():
+            for t_last, t_cur in zip(times[:-1], times[1:]):
+                tt = torch.tensor([t_last])
+                if t_cur < t_last:
+                    out = sd.p_sample(tmodel, x, tt, model_kwargs=kwargs)
+                    x = out["sample"]
+                else:
+                    x = sd.undo(None, x, est_x_0=None, t=tt + 1)
+    finally:
+        torch.randn_like = orig_randn
+        torch.ones = orig_ones
+
+    ref_x = np.transpose(x.numpy(), (0, 2, 3, 1))
+    ref_x0 = np.transpose(out["x0_t"].numpy(), (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(x_fin), ref_x, atol=3e-3)
+    np.testing.assert_allclose(np.asarray(x0_fin), ref_x0, atol=3e-3)
