@@ -482,3 +482,128 @@ def test_posterior_e2e_cross_framework_adm():
     ref_x0 = np.transpose(out["x0_t"].numpy(), (0, 2, 3, 1))
     np.testing.assert_allclose(np.asarray(x_fin), ref_x, atol=3e-3)
     np.testing.assert_allclose(np.asarray(x0_fin), ref_x0, atol=3e-3)
+
+
+def test_posterior_guided_e2e_cross_framework():
+    """Classifier-guided hq E2E: reference condition_mean with a real torch
+    EncoderUNet cond_fn (hq_demo/main.py:87-96 semantics) vs our guidance
+    hook on converted weights — zero noise."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from tests._reference import import_reference
+    from ddnm_tpu.models.convert import adm_key_map, torch_state_dict_to_flax
+    from ddnm_tpu.models.unet_adm import (
+        ADMClassifier, ADMUNet, classifier_guidance_fn,
+    )
+
+    gd = import_hq_reference("gaussian_diffusion")
+    scheduler = import_hq_reference("scheduler")
+    ref_unet_mod = import_reference("guided_diffusion.unet")
+
+    size, n_cls, scale_g = 32, 10, 2.0
+    torch.manual_seed(0)
+    ref = ref_unet_mod.UNetModel(
+        image_size=size, in_channels=3, model_channels=32, out_channels=6,
+        num_res_blocks=1, attention_resolutions={2, 4}, channel_mult=(1, 2, 2),
+        num_heads=4, num_head_channels=16, use_scale_shift_norm=True,
+        resblock_updown=True,
+    )
+    ref.eval()
+    torch.manual_seed(1)
+    ref_clf = ref_unet_mod.EncoderUNetModel(
+        image_size=size, in_channels=3, model_channels=32, out_channels=n_cls,
+        num_res_blocks=1, attention_resolutions={2, 4}, channel_mult=(1, 2, 2),
+        num_heads=4, num_head_channels=16, use_scale_shift_norm=True,
+        resblock_updown=True, pool="attention",
+    )
+    ref_clf.eval()
+
+    ours = ADMUNet(
+        image_size=size, in_channels=3, model_channels=32, out_channels=6,
+        num_res_blocks=1, attention_resolutions=(2, 4), channel_mult=(1, 2, 2),
+        num_heads=4, num_head_channels=16, use_scale_shift_norm=True,
+        resblock_updown=True,
+    )
+    clf = ADMClassifier(
+        image_size=size, in_channels=3, model_channels=32, out_channels=n_cls,
+        num_res_blocks=1, attention_resolutions=(2, 4), channel_mult=(1, 2, 2),
+        num_heads=4, num_head_channels=16, use_scale_shift_norm=True,
+        resblock_updown=True, pool="attention",
+    )
+    run_params = {
+        "model": {"params": torch_state_dict_to_flax(ref.state_dict(), adm_key_map)},
+        "classifier": {"params": torch_state_dict_to_flax(ref_clf.state_dict(), adm_key_map)},
+    }
+
+    betas = sch.named_beta_schedule("linear", 100, use_scale=True)
+    respacing, label = "5", 7
+    jump = dict(t_T=5, n_sample=1, jump_length=2, jump_n_sample=1)
+
+    rng = np.random.default_rng(3)
+    x_init = rng.standard_normal((1, size, size, 3)).astype(np.float32)
+    gt = rng.uniform(-1, 1, (1, size, size, 3)).astype(np.float32)
+
+    # ---- ours ----
+    op = build_functional_operator("sr_averagepooling", image_size=size, deg_scale=4)
+    apy = op.Ap(op.A(jnp.asarray(gt)))
+    tables = build_posterior_tables(
+        betas=betas, timestep_respacing=respacing, sigma_y=0.0,
+        schedule_jump_params=jump,
+    )
+    zero = lambda key, shape: jnp.zeros(shape, jnp.float32)
+    guidance = classifier_guidance_fn(
+        clf.apply, jnp.full((1,), label, jnp.int32), scale_g
+    )
+
+    def model_fn(p, x, t):
+        return ours.apply(p["model"], x, t)
+
+    x_fin, _ = sample_posterior(
+        model_fn, jnp.asarray(x_init), apy, op, tables, jax.random.PRNGKey(0),
+        noise_fn=zero, params=run_params, guidance_fn=guidance,
+    )
+
+    # ---- reference ----
+    sd = _oracle_spaced(betas, respacing)
+    gd.save_image = lambda *a, **k: None
+    pool = torch.nn.AdaptiveAvgPool2d((size // 4, size // 4))
+    up = lambda z: z.repeat_interleave(4, dim=2).repeat_interleave(4, dim=3)
+    gt_t = torch.from_numpy(np.transpose(gt, (0, 3, 1, 2)).copy())
+    kwargs = {
+        "A": lambda z: pool(z), "Ap": up, "sigma_y": 0.0, "Apy": up(pool(gt_t)),
+        "shift_w": 0, "shift_h": 0, "shift_w_total": 1, "shift_h_total": 1,
+        "H_target": size, "W_target": size, "x_temp": None, "save_path": "x",
+        "gt": None,
+    }
+
+    def cond_fn(x, t, **kw):
+        # hq_demo/main.py:87-96
+        with torch.enable_grad():
+            x_in = x.detach().requires_grad_(True)
+            logits = ref_clf(x_in, t)
+            logp = F.log_softmax(logits, dim=-1)
+            sel = logp[range(len(logits)), label]
+            return torch.autograd.grad(sel.sum(), x_in)[0] * scale_g
+
+    def tmodel(x, ts, **kw):
+        return ref(x, ts)
+
+    x = torch.from_numpy(np.transpose(x_init, (0, 3, 1, 2)).copy())
+    orig_randn, orig_ones = torch.randn_like, torch.ones
+    torch.randn_like = lambda z: torch.zeros_like(z)
+    torch.ones = lambda *a, **kw: orig_ones(*a, **{k: v for k, v in kw.items() if k != "device"})
+    try:
+        times = scheduler.get_schedule_jump(**jump)
+        for t_last, t_cur in zip(times[:-1], times[1:]):
+            tt = torch.tensor([t_last])
+            if t_cur < t_last:
+                out = sd.p_sample(tmodel, x, tt, cond_fn=cond_fn, model_kwargs=kwargs)
+                x = out["sample"]
+            else:
+                x = sd.undo(None, x, est_x_0=None, t=tt + 1)
+    finally:
+        torch.randn_like, torch.ones = orig_randn, orig_ones
+
+    ref_x = np.transpose(x.detach().numpy(), (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(x_fin), ref_x, atol=3e-3)
