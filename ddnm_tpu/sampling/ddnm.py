@@ -366,6 +366,13 @@ def sample_svd(
     (svd_ddnm.py:49-52): et <- et - sqrt(1-at) * grad log p(y|x). When
     `params` is given, model_fn and guidance_fn receive it as their first
     argument (see sample_simplified).
+
+    INTENTIONAL DIVERGENCE: the reference evaluates cls_fn on the sampler's
+    *initial noise* argument every step (svd_ddnm.py:52 passes `x`, which is
+    never reassigned, instead of `xt`) — an apparent bug that freezes the
+    guidance signal. We follow the reference's own hq pipeline instead
+    (condition on the current state, hq_demo gaussian_diffusion.py:423),
+    which is also what the guided-diffusion upstream does.
     """
     body = _Body(_svd_body, (model_fn, operator, eta, sigma_y, guidance_fn))
     return _drive(loop, body, noise_fn, params, x_init, y, sched, key)
