@@ -202,3 +202,19 @@ def test_cli_subset_range(tmp_path):
     assert stats["num_samples"] == 2
     names = sorted(p.name for p in (tmp_path / "out").glob("*_0.png"))
     assert names == ["2_0.png", "3_0.png"]  # indices offset by subset_start
+
+
+@pytest.mark.skipif(not FIXTURES.exists(), reason="reference fixtures unavailable")
+def test_cli_trace_dir_writes_profile(tmp_path):
+    import main as cli
+
+    cli.main([
+        "--config", "configs/smoke.yml",
+        "--path_y", str(FIXTURES),
+        "--deg", "sr_averagepooling", "--deg_scale", "4",
+        "--simplified", "--random_init", "--ni",
+        "-i", str(tmp_path / "out"),
+        "--max_images", "1", "--batch_size", "1",
+        "--trace_dir", str(tmp_path / "trace"),
+    ])
+    assert list((tmp_path / "trace").rglob("*.xplane.pb")), "no profiler trace written"
