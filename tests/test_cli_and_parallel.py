@@ -218,3 +218,24 @@ def test_cli_trace_dir_writes_profile(tmp_path):
         "--trace_dir", str(tmp_path / "trace"),
     ])
     assert list((tmp_path / "trace").rglob("*.xplane.pb")), "no profiler trace written"
+
+
+def test_cli_accepts_full_reference_flag_surface():
+    """Every flag of the reference CLI (main.py:19-90) parses, with the
+    same spellings, plus our extras."""
+    import main as cli
+
+    ns = cli.parse_args([
+        "--config", "celeba_hq.yml", "--seed", "1234", "--exp", "exp",
+        "--deg", "sr_averagepooling", "--path_y", "celeba_hq",
+        "--sigma_y", "0.2", "--eta", "0.85", "--simplified",
+        "-i", "demo", "--deg_scale", "4", "--verbose", "info", "--ni",
+        "--subset_start", "0", "--subset_end", "8",
+        "-n", "poisson", "--add_noise",
+        # TPU-native extras
+        "--ckpt", "x.ckpt", "--batch_size", "8", "--dtype", "bfloat16",
+        "--loop", "host", "--encoder_cache", "2", "--resume",
+        "--trace_dir", "/tmp/t",
+    ])
+    assert ns.deg == "sr_averagepooling" and ns.noise_type == "poisson"
+    assert ns.subset_end == 8 and ns.encoder_cache == 2
