@@ -239,3 +239,19 @@ def test_cli_accepts_full_reference_flag_surface():
     ])
     assert ns.deg == "sr_averagepooling" and ns.noise_type == "poisson"
     assert ns.subset_end == 8 and ns.encoder_cache == 2
+
+
+def test_hq_cli_accepts_reference_flag_surface():
+    """Reference hq_demo flags (hq_demo/main.py:171-214) all parse."""
+    import hq_main as hq
+
+    ns = hq.parse_args([
+        "--config", "configs/hq/inet256.yml", "--deg", "sr_averagepooling",
+        "--sigma_y", "0.0", "-i", "orange", "--scale", "4", "--resize_y",
+        "--path_y", "orange.png", "--class", "950",
+        # extras
+        "--ckpt", "m.pt", "--classifier_ckpt", "c.pt", "--dtype", "bfloat16",
+        "--parallel_tiles", "--seed", "7",
+    ])
+    assert ns.class_label == 950 and ns.scale == 4 and ns.resize_y
+    assert ns.parallel_tiles
