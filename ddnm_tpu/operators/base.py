@@ -138,6 +138,38 @@ class SVDOperator:
         temp = temp.at[:, : s.shape[0]].multiply(factors)
         return self.V(self.add_zeros(temp))
 
+    # --- fused DDNM projection ------------------------------------------------
+    # The samplers need A_pinv(A x - y) every step (svd_ddnm.py:59-61,
+    # :124-126). By linearity that splits into a per-image CONSTANT and a
+    # per-step range-space projection:
+    #
+    #     A_pinv(A x - y) = (A_pinv A) x - A_pinv y = range_project(x) - Apy
+    #
+    # `prepare_measurement` hoists A_pinv(y) out of the sampling loop;
+    # `range_project` is the per-step remainder P = A+ A = V 1{s>0} Vt
+    # (U cancels: Ut U = I). The base form costs one Vt + one V — already
+    # half the composed path — and concrete ops override it where the
+    # algebra collapses further (the spectral-ordering permutations inside
+    # Vt/V cancel against their inverses in P, so the overrides skip the
+    # 65k-element gathers that otherwise dominate the step's operator cost
+    # on TPU). Exact up to fp32 round-off vs the composed form (the fused
+    # form skips orthogonal-rotation round-trips, so it is the *more*
+    # accurate one).
+
+    def prepare_measurement(self, y):
+        """The per-image constant A_pinv(y). Compute once, outside the loop."""
+        return self.A_pinv(y)
+
+    def range_project(self, x_vec):
+        """P x = A_pinv(A x) = V(add_zeros(1{s>0} * Vt(x)[:M]))."""
+        s = self.singulars()
+        spec_x = self.Vt(x_vec)[:, : s.shape[0]]
+        return self.V(self.add_zeros(jnp.where(s == 0, 0.0, spec_x)))
+
+    def range_correction(self, x_vec, apy):
+        """A_pinv(A x - y), given apy = prepare_measurement(y)."""
+        return self.range_project(x_vec) - apy
+
     # --- DDNM+ hooks ---------------------------------------------------------
     # Generic spectral-space defaults: Eq.17/Eq.51 are diagonal in the SVD
     # basis, so V . diag(coef(s)) . Vt is exact for ANY operator in this

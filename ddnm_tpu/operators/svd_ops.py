@@ -96,6 +96,7 @@ class Denoising(SVDOperator):
     U = V
     Ut = V
     add_zeros = V
+    range_project = V  # A+ A = I
 
     def singulars(self):
         return self._singulars
@@ -157,6 +158,13 @@ class Colorization(SVDOperator):
         )
         return out.at[:, : self.img_dim**2].set(vec.reshape(vec.shape[0], -1))
 
+    def range_project(self, vec):
+        # P = per-needle projection onto the v0 direction (s0 > 0 always)
+        n = self._needles(vec)
+        v0 = self._v_small[:, 0]
+        out = (n @ v0)[..., None] * v0
+        return jnp.swapaxes(out, 1, 2).reshape(vec.shape[0], -1)
+
     def Lambda(self, vec, a, sigma_y, sigma_t, eta):
         needles = _mm(self._needles(vec), self._v_small)
         lam = ddnm_plus_lambda(self._s_needle, a, sigma_y, sigma_t, eta)
@@ -198,6 +206,11 @@ class Inpainting(SVDOperator):
         s_full = np.zeros(n, np.float32)
         s_full[: self._n_kept] = 1.0
         self._s_full = jnp.asarray(s_full)
+        # kept-coordinate indicator remapped interleaved -> C-major layout:
+        # interleaved index pixel*C + c  <->  C-major index c*P + pixel
+        self._kept_cmajor = jnp.asarray(
+            mask.reshape(-1, channels).T.reshape(1, -1).astype(np.float32)
+        )
 
     def V(self, vec):
         out = vec.reshape(vec.shape[0], -1)[:, self._inv_sel]
@@ -221,6 +234,10 @@ class Inpainting(SVDOperator):
         out = jnp.zeros((vec.shape[0], n), vec.dtype)
         r = vec.reshape(vec.shape[0], -1)
         return out.at[:, : r.shape[1]].set(r)
+
+    def range_project(self, vec):
+        # V and Vt are permutations, so P collapses to the kept-pixel mask
+        return vec.reshape(vec.shape[0], -1) * self._kept_cmajor
 
     def Lambda(self, vec, a, sigma_y, sigma_t, eta):
         t = _interleave(vec.reshape(vec.shape[0], self.channels, -1))[:, self._sel]
@@ -311,6 +328,13 @@ class SuperResolution(SVDOperator):
         r = vec.reshape(vec.shape[0], -1)
         out = jnp.zeros((vec.shape[0], r.shape[1] * self.ratio**2), vec.dtype)
         return out.at[:, : r.shape[1]].set(r)
+
+    def range_project(self, vec):
+        # P projects every patch onto the v0 direction (for average pooling
+        # v0 = 1/r * ones, i.e. broadcast the patch mean); s0 = 1/r > 0.
+        p = self._patchize(vec)
+        v0 = self._v_small[:, 0]
+        return self._unpatchize((p @ v0)[..., None] * v0)
 
     def Lambda(self, vec, a, sigma_y, sigma_t, eta):
         p = _mm(self._patchize(vec), self._v_small)
@@ -411,6 +435,13 @@ class SRConv(SVDOperator):
         sim[n:] = src[n:]
         self._v_idx = jnp.asarray(sim - 1)  # -1 => zero-fill
         self._v_zero = jnp.asarray(sim == 0)
+        # natural-layout range mask: spectral position (i, j) of the
+        # (V (x) V) Kronecker grid is kept iff i, j index measured rows
+        # (the P_1 block) and s_i * s_j survived thresholding
+        m1 = (s > 0).astype(np.float32)  # (sd,) — s is post-threshold
+        mask2d = np.zeros((img_dim, img_dim), np.float32)
+        mask2d[:sd, :sd] = np.outer(m1, m1)
+        self._range_mask = jnp.asarray(mask2d.reshape(1, 1, -1))
 
     def _by_v(self, x, left, right, dim):
         B = x.shape[0]
@@ -454,10 +485,36 @@ class SRConv(SVDOperator):
         out = jnp.zeros((vec.shape[0], r.shape[1] * self.ratio**2), vec.dtype)
         return out.at[:, : r.shape[1]].set(r)
 
+    def range_project(self, vec):
+        # P_1 and its inverse cancel; P = (V (x) V) mask (V (x) V)^T
+        t = self._by_v(vec, self._v_small.T, self._v_small, self.img_dim)
+        t = t * self._range_mask
+        out = self._by_v(t, self._v_small, self._v_small.T, self.img_dim)
+        return out.reshape(vec.shape[0], -1)
+
 
 # ---------------------------------------------------------------------------
 # Deblurring (dense 1-D conv, separable SVD)
 # ---------------------------------------------------------------------------
+def _deblur_range_mask(s_big_nat: np.ndarray, order: np.ndarray, channels: int):
+    """Effective A+ A mask for the Deblurring family in the *natural*
+    (pre-sort) spectral layout, per channel — (1, C, D^2).
+
+    REFERENCE-QUIRK: these ops expose singulars in a TILED channel layout
+    while Vt's output is channel-INTERLEAVED (svd_operators.py:1001,:1163),
+    so the composed A_pinv(A x) zeroes spectral slots through a shifted
+    mask that differs per channel. Reproduce that exactly, hoisted to a
+    host-precomputed mask so range_project needs no runtime gathers: the
+    flat interleaved index of natural slot q in channel c is
+    pos(q)*C + c, and the tiled mask value there is
+    m_sorted[(pos(q)*C + c) mod D^2]."""
+    D2 = len(s_big_nat)
+    m_sorted = (s_big_nat[order] > 0).astype(np.float32)
+    pos = np.argsort(order)  # natural slot -> sorted position
+    f = pos[None, :] * channels + np.arange(channels)[:, None]  # (C, D^2)
+    return jnp.asarray(m_sorted[f % D2][None])
+
+
 class Deblurring(SVDOperator):
     """Separable deblurring via SVD of the 1-D conv matrix
     (svd_operators.py:934-1091). See module REFERENCE-QUIRK note on the tiled
@@ -488,6 +545,7 @@ class Deblurring(SVDOperator):
         self._inv_perm = jnp.asarray(np.argsort(order))
         self._singulars_np = s_big[order].astype(np.float32)
         self._singulars_orig = jnp.asarray(s_big_orig[order].astype(np.float32))
+        self._range_mask = _deblur_range_mask(s_big, order, channels)
 
     def _by_mat(self, x, left, right):
         B = x.shape[0]
@@ -525,6 +583,12 @@ class Deblurring(SVDOperator):
 
     def add_zeros(self, vec):
         return vec.reshape(vec.shape[0], -1)
+
+    def range_project(self, vec):
+        t = self._by_mat(vec, self._v_small.T, self._v_small)
+        t = t * self._range_mask
+        out = self._by_mat(t, self._v_small, self._v_small.T)
+        return out.reshape(vec.shape[0], -1)
 
     def Lambda(self, vec, a, sigma_y, sigma_t, eta):
         B = vec.shape[0]
@@ -579,6 +643,7 @@ class Deblurring2D(SVDOperator):
         self._perm = jnp.asarray(order)
         self._inv_perm = jnp.asarray(np.argsort(order))
         self._singulars_np = s_big[order].astype(np.float32)
+        self._range_mask = _deblur_range_mask(s_big, order, channels)
 
     def _by_mat(self, x, left, right):
         B = x.shape[0]
@@ -617,6 +682,12 @@ class Deblurring2D(SVDOperator):
     def add_zeros(self, vec):
         return vec.reshape(vec.shape[0], -1)
 
+    def range_project(self, vec):
+        t = self._by_mat(vec, self._v1.T, self._v2)
+        t = t * self._range_mask
+        out = self._by_mat(t, self._v1, self._v2.T)
+        return out.reshape(vec.shape[0], -1)
+
 
 # ---------------------------------------------------------------------------
 # Walsh-Hadamard compressive sensing
@@ -638,6 +709,11 @@ class WalshHadamardCS(SVDOperator):
         s_full = np.zeros(channels * img_dim**2, np.float32)
         s_full[:n_kept] = 1.0
         self._s_full = jnp.asarray(s_full)
+        # kept WH coefficients in the *unpermuted* transform layout: the
+        # pixel permutation cancels inside P = A+ A
+        wh_mask = np.zeros(img_dim**2, np.float32)
+        wh_mask[perm[: img_dim**2 // ratio]] = 1.0
+        self._wh_mask = jnp.asarray(wh_mask.reshape(1, 1, -1))
 
     def fwht(self, a):
         """(B, C, P) -> (B, C, P), normalised by 1/img_dim.
@@ -672,6 +748,11 @@ class WalshHadamardCS(SVDOperator):
         out = jnp.zeros((vec.shape[0], n), vec.dtype)
         r = vec.reshape(vec.shape[0], -1)
         return out.at[:, : r.shape[1]].set(r)
+
+    def range_project(self, vec):
+        B = vec.shape[0]
+        t = self.fwht(vec.reshape(B, self.channels, -1))
+        return self.fwht(t * self._wh_mask).reshape(B, -1)
 
     def Lambda(self, vec, a, sigma_y, sigma_t, eta):
         B = vec.shape[0]
@@ -762,6 +843,11 @@ class BlockCS(SVDOperator):
         out = jnp.zeros((vec.shape[0], n), vec.dtype)
         r = vec.reshape(vec.shape[0], -1)
         return out.at[:, : r.shape[1]].set(r)
+
+    def range_project(self, vec):
+        # per-patch projection onto the first cs_size measurement directions
+        p = _mm(self._patchize(vec), self._v_small[:, : self.cs_size])
+        return self._unpatchize(_mm(p, self._v_small[:, : self.cs_size].T))
 
 
 # ---------------------------------------------------------------------------

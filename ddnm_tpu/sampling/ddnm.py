@@ -195,8 +195,12 @@ def _vec_to_nhwc(v: Array, shape: tuple) -> Array:
 
 
 def _svd_body(
-    model_fn, operator, eta, sigma_y, guidance_fn, params, x, y, t_f, at, at_next, noise
+    model_fn, operator, eta, sigma_y, guidance_fn, params, x, y_spec, t_f, at, at_next, noise
 ):
+    """`y_spec` is the per-image constant A_pinv(y)
+    (operator.prepare_measurement(y)), hoisted out of the loop by sample_svd;
+    A_pinv(A x0 - y) then costs one range-space projection per step instead
+    of four spectral transforms (see operators/base.py range_correction)."""
     img_shape = x.shape
     et = _call_model(model_fn, params, x, t_f)
     et = et[..., :3] if et.shape[-1] == 6 else et
@@ -207,10 +211,10 @@ def _svd_body(
     x0_t = (x - et * jnp.sqrt(1.0 - at)) / jnp.sqrt(at)
 
     x0_vec = _nhwc_to_vec(x0_t)
-    resid = operator.A(x0_vec) - y
+    correction = operator.range_correction(x0_vec, y_spec)
     if sigma_y == 0.0:
         # svd_ddnm.py:59-65
-        x0_hat = x0_vec - operator.A_pinv(resid)
+        x0_hat = x0_vec - correction
         c1 = jnp.sqrt(1.0 - at_next) * eta
         c2 = jnp.sqrt(1.0 - at_next) * (1.0 - eta**2) ** 0.5
         x_next = (
@@ -223,7 +227,7 @@ def _svd_body(
         a = jnp.sqrt(at_next)
         sigma_t = jnp.sqrt(1.0 - at_next)
         x0_hat = x0_vec - operator.Lambda(
-            operator.A_pinv(resid), a, sigma_y, sigma_t, eta
+            correction, a, sigma_y, sigma_t, eta
         )
         spectral_noise = operator.Lambda_noise(
             _nhwc_to_vec(noise), a, sigma_y, sigma_t, eta, _nhwc_to_vec(et)
@@ -375,4 +379,5 @@ def sample_svd(
     which is also what the guided-diffusion upstream does.
     """
     body = _Body(_svd_body, (model_fn, operator, eta, sigma_y, guidance_fn))
-    return _drive(loop, body, noise_fn, params, x_init, y, sched, key)
+    y_spec = operator.prepare_measurement(y)
+    return _drive(loop, body, noise_fn, params, x_init, y_spec, sched, key)

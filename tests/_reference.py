@@ -84,7 +84,10 @@ def import_reference(module: str):
     """Import a module from the reference repo, or skip the test."""
     _ensure_stubs()
     if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+        # APPEND, never prepend: the reference root has its own top-level
+        # `main.py`, which would otherwise shadow this repo's CLI module for
+        # any test that runs after a parity test (order-dependent failures).
+        sys.path.append(REFERENCE_ROOT)
     try:
         import torch  # noqa: F401
     except ImportError:

@@ -116,6 +116,27 @@ def _full_dim(op):
     return C * D * D
 
 
+def test_fused_range_correction_matches_composed(op_cases):
+    """The samplers' fused per-step projection (operators/base.py
+    range_project / range_correction, including every per-op gather-free
+    override) must equal the composed A_pinv(A x - y)."""
+    for name, ours, _ in op_cases:
+        n = _full_dim(ours)
+        x = jnp.asarray(RNG.randn(B, n).astype(np.float32))
+        y = ours.A(jnp.asarray(RNG.randn(B, n).astype(np.float32)))
+        proj = ours.range_project(x)
+        np.testing.assert_allclose(
+            proj, ours.A_pinv(ours.A(x)), atol=2e-4,
+            err_msg=f"range_project != A+ A [{name}]",
+        )
+        composed = ours.A_pinv(ours.A(x) - y)
+        fused = ours.range_correction(x, ours.prepare_measurement(y))
+        np.testing.assert_allclose(
+            fused, composed, atol=2e-4,
+            err_msg=f"fused range_correction != A+(Ax-y) [{name}]",
+        )
+
+
 def test_pinv_identities(op_cases):
     for name, ours, _ in op_cases:
         n = _full_dim(ours)
