@@ -170,6 +170,21 @@ class SVDOperator:
         """A_pinv(A x - y), given apy = prepare_measurement(y)."""
         return self.range_project(x_vec) - apy
 
+    def noisy_update(self, x0_vec, prepared, a, sigma_y, sigma_t, eta,
+                     noise_vec, et_vec):
+        """The two operator-dependent pieces of the noisy DDNM+ step
+        (svd_ddnm.py:124-131): returns
+            (Lambda(A_pinv(A x0 - y)),  Lambda_noise(noise, ..., et)).
+        `prepared` is this op's prepare_measurement(y) output (opaque to the
+        sampler). Base: composed from range_correction/Lambda/Lambda_noise;
+        ops override with fused natural-spectral-layout versions that skip
+        the permutation gathers and redundant V·Vt round-trips (see
+        range_project note above)."""
+        corr = self.range_correction(x0_vec, prepared)
+        lam_corr = self.Lambda(corr, a, sigma_y, sigma_t, eta)
+        noise_term = self.Lambda_noise(noise_vec, a, sigma_y, sigma_t, eta, et_vec)
+        return lam_corr, noise_term
+
     # --- DDNM+ hooks ---------------------------------------------------------
     # Generic spectral-space defaults: Eq.17/Eq.51 are diagonal in the SVD
     # basis, so V . diag(coef(s)) . Vt is exact for ANY operator in this

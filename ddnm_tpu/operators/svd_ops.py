@@ -165,6 +165,20 @@ class Colorization(SVDOperator):
         out = (n @ v0)[..., None] * v0
         return jnp.swapaxes(out, 1, 2).reshape(vec.shape[0], -1)
 
+    def noisy_update(self, x0_vec, apy, a, sigma_y, sigma_t, eta,
+                     noise_vec, et_vec):
+        # correction is v0-component-only -> Lambda reduces to its s0 scalar;
+        # Lambda_noise's two needle transforms merge into one by linearity
+        corr = self.range_project(x0_vec) - apy
+        lam0 = ddnm_plus_lambda(self._s_needle[:1], a, sigma_y, sigma_t, eta)[0]
+        d1, d2 = ddnm_plus_noise_coeffs(self._s_needle, a, sigma_y, sigma_t, eta)
+        nv = self._needles(noise_vec)
+        ne = self._needles(et_vec)
+        out = _mm(nv * d1.reshape(1, 1, -1) + ne * d2.reshape(1, 1, -1),
+                  self._v_small.T)
+        noise_term = jnp.swapaxes(out, 1, 2).reshape(x0_vec.shape[0], -1)
+        return lam0 * corr, noise_term
+
     def Lambda(self, vec, a, sigma_y, sigma_t, eta):
         needles = _mm(self._needles(vec), self._v_small)
         lam = ddnm_plus_lambda(self._s_needle, a, sigma_y, sigma_t, eta)
@@ -238,6 +252,24 @@ class Inpainting(SVDOperator):
     def range_project(self, vec):
         # V and Vt are permutations, so P collapses to the kept-pixel mask
         return vec.reshape(vec.shape[0], -1) * self._kept_cmajor
+
+    def noisy_update(self, x0_vec, apy, a, sigma_y, sigma_t, eta,
+                     noise_vec, et_vec):
+        # the correction is zero on missing coords, so Lambda reduces to its
+        # s=1 scalar; the noise coefficients select s=1 (kept) vs s=0
+        # (missing) per coordinate — fully elementwise, no gathers
+        corr = self.range_project(x0_vec) - apy
+        lam1 = ddnm_plus_lambda(jnp.ones(1), a, sigma_y, sigma_t, eta)[0]
+        d1, d2 = ddnm_plus_noise_coeffs(
+            jnp.array([1.0, 0.0]), a, sigma_y, sigma_t, eta
+        )
+        m = self._kept_cmajor
+        nv = noise_vec.reshape(noise_vec.shape[0], -1)
+        ev = et_vec.reshape(et_vec.shape[0], -1)
+        noise_term = (m * d1[0] + (1 - m) * d1[1]) * nv + (
+            m * d2[0] + (1 - m) * d2[1]
+        ) * ev
+        return lam1 * corr, noise_term
 
     def Lambda(self, vec, a, sigma_y, sigma_t, eta):
         t = _interleave(vec.reshape(vec.shape[0], self.channels, -1))[:, self._sel]
@@ -335,6 +367,22 @@ class SuperResolution(SVDOperator):
         p = self._patchize(vec)
         v0 = self._v_small[:, 0]
         return self._unpatchize((p @ v0)[..., None] * v0)
+
+    def noisy_update(self, x0_vec, apy, a, sigma_y, sigma_t, eta,
+                     noise_vec, et_vec):
+        # the correction lives on the v0 component only, so Lambda reduces
+        # to its s0 scalar; Lambda_noise's two patch transforms merge into
+        # one by linearity
+        corr = self.range_project(x0_vec) - apy
+        lam0 = ddnm_plus_lambda(self._s_patch[:1], a, sigma_y, sigma_t, eta)[0]
+        d1, d2 = ddnm_plus_noise_coeffs(self._s_patch, a, sigma_y, sigma_t, eta)
+        pn = self._patchize(noise_vec)
+        pe = self._patchize(et_vec)
+        noise_term = self._unpatchize(
+            _mm(pn * d1.reshape(1, 1, 1, -1) + pe * d2.reshape(1, 1, 1, -1),
+                self._v_small.T)
+        )
+        return lam0 * corr, noise_term
 
     def Lambda(self, vec, a, sigma_y, sigma_t, eta):
         p = _mm(self._patchize(vec), self._v_small)
@@ -545,6 +593,7 @@ class Deblurring(SVDOperator):
         self._inv_perm = jnp.asarray(np.argsort(order))
         self._singulars_np = s_big[order].astype(np.float32)
         self._singulars_orig = jnp.asarray(s_big_orig[order].astype(np.float32))
+        self._singulars_orig_nat = jnp.asarray(s_big_orig.astype(np.float32))
         self._range_mask = _deblur_range_mask(s_big, order, channels)
 
     def _by_mat(self, x, left, right):
@@ -589,6 +638,43 @@ class Deblurring(SVDOperator):
         t = t * self._range_mask
         out = self._by_mat(t, self._v_small, self._v_small.T)
         return out.reshape(vec.shape[0], -1)
+
+    def prepare_measurement(self, y):
+        # natural-spectral measurement (B, C, D^2) for the fused step below
+        apy = SVDOperator.prepare_measurement(self, y)
+        return self._by_mat(apy, self._v_small.T, self._v_small)
+
+    def range_correction(self, x_vec, spec_y):
+        t = self._by_mat(x_vec, self._v_small.T, self._v_small)
+        out = self._by_mat(
+            t * self._range_mask - spec_y, self._v_small, self._v_small.T
+        )
+        return out.reshape(x_vec.shape[0], -1)
+
+    def noisy_update(self, x0_vec, spec_y, a, sigma_y, sigma_t, eta,
+                     noise_vec, et_vec):
+        # Lambda's coefficients are channel-independent functions of the
+        # PRE-threshold singulars (svd_operators.py:1021,:1051), evaluated
+        # here in the natural (pre-sort) layout so the sort permutation
+        # cancels; Lambda_noise's two V-legs merge into one by linearity.
+        # 3 Kronecker sandwiches per step, zero gathers.
+        B = x0_vec.shape[0]
+        spec_x = self._by_mat(x0_vec, self._v_small.T, self._v_small)
+        corr_spec = spec_x * self._range_mask - spec_y
+        lam = ddnm_plus_lambda(self._singulars_orig_nat, a, sigma_y, sigma_t, eta)
+        lam_corr = self._by_mat(
+            corr_spec * lam.reshape(1, 1, -1), self._v_small, self._v_small.T
+        ).reshape(B, -1)
+        d1, d2 = ddnm_plus_noise_coeffs(
+            self._singulars_orig_nat, a, sigma_y, sigma_t, eta
+        )
+        nv = noise_vec.reshape(B, self.channels, -1)
+        ev = et_vec.reshape(B, self.channels, -1)
+        noise_term = self._by_mat(
+            nv * d1.reshape(1, 1, -1) + ev * d2.reshape(1, 1, -1),
+            self._v_small, self._v_small.T,
+        ).reshape(B, -1)
+        return lam_corr, noise_term
 
     def Lambda(self, vec, a, sigma_y, sigma_t, eta):
         B = vec.shape[0]
@@ -753,6 +839,38 @@ class WalshHadamardCS(SVDOperator):
         B = vec.shape[0]
         t = self.fwht(vec.reshape(B, self.channels, -1))
         return self.fwht(t * self._wh_mask).reshape(B, -1)
+
+    def prepare_measurement(self, y):
+        # natural-WH-layout spectral measurement (B, C, D^2); consumed by the
+        # spectral range_correction / noisy_update below
+        apy = SVDOperator.prepare_measurement(self, y)
+        return self.fwht(apy.reshape(apy.shape[0], self.channels, -1)) * self._wh_mask
+
+    def range_correction(self, x_vec, spec_y):
+        B = x_vec.shape[0]
+        spec_x = self.fwht(x_vec.reshape(B, self.channels, -1))
+        return self.fwht(spec_x * self._wh_mask - spec_y).reshape(B, -1)
+
+    def noisy_update(self, x0_vec, spec_y, a, sigma_y, sigma_t, eta,
+                     noise_vec, et_vec):
+        # the pixel permutation cancels; Lambda reduces to its s=1 scalar on
+        # the (range-space-only) correction spectrum, and Lambda_noise's two
+        # V-transforms merge into one FWHT by linearity: 3 FWHTs per step
+        B = x0_vec.shape[0]
+        spec_x = self.fwht(x0_vec.reshape(B, self.channels, -1))
+        corr_spec = spec_x * self._wh_mask - spec_y
+        lam1 = ddnm_plus_lambda(jnp.ones(1), a, sigma_y, sigma_t, eta)[0]
+        lam_corr = self.fwht(lam1 * corr_spec).reshape(B, -1)
+        d1, d2 = ddnm_plus_noise_coeffs(
+            jnp.array([1.0, 0.0]), a, sigma_y, sigma_t, eta
+        )
+        m = self._wh_mask
+        d1m = m * d1[0] + (1 - m) * d1[1]
+        d2m = m * d2[0] + (1 - m) * d2[1]
+        nv = noise_vec.reshape(B, self.channels, -1)
+        ev = et_vec.reshape(B, self.channels, -1)
+        noise_term = self.fwht(d1m * nv + d2m * ev).reshape(B, -1)
+        return lam_corr, noise_term
 
     def Lambda(self, vec, a, sigma_y, sigma_t, eta):
         B = vec.shape[0]

@@ -211,10 +211,9 @@ def _svd_body(
     x0_t = (x - et * jnp.sqrt(1.0 - at)) / jnp.sqrt(at)
 
     x0_vec = _nhwc_to_vec(x0_t)
-    correction = operator.range_correction(x0_vec, y_spec)
     if sigma_y == 0.0:
         # svd_ddnm.py:59-65
-        x0_hat = x0_vec - correction
+        x0_hat = x0_vec - operator.range_correction(x0_vec, y_spec)
         c1 = jnp.sqrt(1.0 - at_next) * eta
         c2 = jnp.sqrt(1.0 - at_next) * (1.0 - eta**2) ** 0.5
         x_next = (
@@ -226,12 +225,11 @@ def _svd_body(
         # svd_ddnm.py:119-131 (Eq. 17 via Lambda, Eq. 51 via Lambda_noise)
         a = jnp.sqrt(at_next)
         sigma_t = jnp.sqrt(1.0 - at_next)
-        x0_hat = x0_vec - operator.Lambda(
-            correction, a, sigma_y, sigma_t, eta
+        lam_corr, spectral_noise = operator.noisy_update(
+            x0_vec, y_spec, a, sigma_y, sigma_t, eta,
+            _nhwc_to_vec(noise), _nhwc_to_vec(et),
         )
-        spectral_noise = operator.Lambda_noise(
-            _nhwc_to_vec(noise), a, sigma_y, sigma_t, eta, _nhwc_to_vec(et)
-        )
+        x0_hat = x0_vec - lam_corr
         x_next = jnp.sqrt(at_next) * _vec_to_nhwc(
             x0_hat, img_shape
         ) + _vec_to_nhwc(spectral_noise, img_shape)

@@ -137,6 +137,32 @@ def test_fused_range_correction_matches_composed(op_cases):
         )
 
 
+def test_fused_noisy_update_matches_composed(op_cases):
+    """noisy_update (the fused DDNM+ step pieces, including per-op overrides)
+    must equal Lambda(A_pinv(A x - y)) / Lambda_noise(noise, et) composed."""
+    a, sigma_y, sigma_t, eta = 0.7, 0.1, 0.6, 0.85
+    for name, ours, _ in op_cases:
+        n = _full_dim(ours)
+        x = jnp.asarray(RNG.randn(B, n).astype(np.float32))
+        nv = jnp.asarray(RNG.randn(B, n).astype(np.float32))
+        ev = jnp.asarray(RNG.randn(B, n).astype(np.float32))
+        y = ours.A(jnp.asarray(RNG.randn(B, n).astype(np.float32)))
+        corr_ref = ours.A_pinv(ours.A(x) - y)
+        lam_ref = ours.Lambda(corr_ref, a, sigma_y, sigma_t, eta)
+        noise_ref = ours.Lambda_noise(nv, a, sigma_y, sigma_t, eta, ev)
+        lam_f, noise_f = ours.noisy_update(
+            x, ours.prepare_measurement(y), a, sigma_y, sigma_t, eta, nv, ev
+        )
+        np.testing.assert_allclose(
+            lam_f, lam_ref, atol=2e-4,
+            err_msg=f"fused Lambda(corr) != composed [{name}]",
+        )
+        np.testing.assert_allclose(
+            noise_f, noise_ref, atol=2e-4,
+            err_msg=f"fused Lambda_noise != composed [{name}]",
+        )
+
+
 def test_pinv_identities(op_cases):
     for name, ours, _ in op_cases:
         n = _full_dim(ours)

@@ -67,3 +67,19 @@ for name, kw in [
     y = op.A(x_vec)
     timed(f"svd {name}", lambda k, op=op, y=y: sample_svd(
         model_fn, x, y, op, sched, k, eta=0.85, sigma_y=0.0, params=params))
+
+# noisy DDNM+ probes (Lambda / Lambda_noise per-step cost)
+if "--noisy" in sys.argv:
+    for name, kw in [("sr_averagepooling", dict(deg_scale=4)),
+                     ("deblur_gauss", {}),
+                     ("cs_walshhadamard", dict(deg_scale=0.25)),
+                     ("inpainting", None)]:
+        if kw is None:
+            mask = np.ones((RES, RES), bool); mask[64:192, 64:192] = False
+            op = build_svd_operator("inpainting", channels=3, image_size=RES,
+                                    mask=mask)
+        else:
+            op = build_svd_operator(name, channels=3, image_size=RES, **kw)
+        y = op.A(x_vec)
+        timed(f"svd {name} noisy", lambda k, op=op, y=y: sample_svd(
+            model_fn, x, y, op, sched, k, eta=0.85, sigma_y=0.1, params=params))
