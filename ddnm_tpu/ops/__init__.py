@@ -10,6 +10,8 @@ and these Pallas kernels fuse the spots XLA leaves on the table:
   - fwht: the Walsh-Hadamard transform as a Kronecker-factored pair of MXU
     matmuls (H_a @ X @ H_b) fused in one kernel, replacing the reference's
     log2(P)-pass butterfly (svd_operators.py:212-222).
+  - group_norm: fused GroupNorm(+FiLM+SiLU) — two-pass stats/apply kernel
+    with fp32 statistics (GroupNorm32 semantics, reference nn.py:17-19).
 
 Every kernel has a pure-XLA fallback used automatically on non-TPU backends
 (and under tests), so numerics are verified everywhere.
@@ -17,5 +19,6 @@ Every kernel has a pure-XLA fallback used automatically on non-TPU backends
 
 from ddnm_tpu.ops.attention import fused_attention
 from ddnm_tpu.ops.fwht import fwht, hadamard_matrix
+from ddnm_tpu.ops.groupnorm import group_norm
 
-__all__ = ["fused_attention", "fwht", "hadamard_matrix"]
+__all__ = ["fused_attention", "fwht", "hadamard_matrix", "group_norm"]

@@ -176,8 +176,8 @@ def mask_shift_sample(
     h_target, w_target = int(apy_temp.shape[1]), int(apy_temp.shape[2])
 
     tiles = tile_grid(h_target, w_target)
-    canvas = np.zeros((1, h_target, w_target, 3), dtype=np.float32)
-    apy_np = np.asarray(apy_temp)
+    canvas = jnp.zeros((1, h_target, w_target, 3), dtype=jnp.float32)
+    apy_dev = jnp.asarray(apy_temp)
 
     # per-tile RNG assigned in row-major order, so both schedules draw the
     # same per-tile init keys
@@ -191,7 +191,23 @@ def mask_shift_sample(
 
         skew = lambda t: 2 * t.index[0] + t.index[1]
         ordered = sorted(tiles, key=lambda t: (skew(t), t.index))
-        groups = [list(g) for _, g in groupby(ordered, key=skew)]
+        waves = [list(g) for _, g in groupby(ordered, key=skew)]
+        # Cost-aware chunking (measured on the v5e, docs/PERFORMANCE.md):
+        # per-step wall cost by sampler batch is 34.5 / 80.3 / 153.7 / 126.6
+        # ms for b = 1/2/4/8 — batches of 2-7 hit a sublane-padding cliff
+        # where they cost nearly as much as (or more than) batch 8, and the
+        # batch-8 executable is FASTER in absolute terms than batch 4. So:
+        # take 8 tiles at a time, padding >=5-tile remainders up to 8
+        # (126.6/n beats n*34.5 from n=5 up, 2.2x at n=8); run <=4-tile
+        # remainders as singles (batching 2-4 measures at or below
+        # sequential per-tile throughput once padding waste is counted).
+        groups = []
+        for wave in waves:
+            i = 0
+            while len(wave) - i >= 5:
+                groups.append(wave[i : i + 8])
+                i += 8
+            groups.extend([t] for t in wave[i:])
     else:
         groups = [[t] for t in tiles]
 
@@ -200,30 +216,53 @@ def mask_shift_sample(
         h_target, w_target, len(tiles), len(groups),
         "wavefront" if parallel else "sequential",
     )
-    def _pow2(n: int) -> int:
-        p = 1
-        while p < n:
-            p *= 2
-        return p
+
+    # Device-resident canvas pipeline: every per-group tensor (apy/content
+    # tile slices, paste masks, tile inits, canvas writes) is produced ON
+    # device by three shared jitted helpers with *dynamic* offsets — one
+    # executable each regardless of tile position — so the whole multi-tile
+    # run streams through the dispatch queue with zero host<->device
+    # round-trips until the final canvas fetch. (The previous host-side
+    # numpy assembly cost ~2x the sampler itself on the remote-execution
+    # backend: ~25 MB of uploads per 8-tile group.)
+    @jax.jit
+    def _take_tile(img, h0, w0):
+        return jax.lax.dynamic_slice(img, (0, h0, w0, 0), (1, TILE, TILE, 3))
+
+    @jax.jit
+    def _put_tile(img, tile, h0, w0):
+        return jax.lax.dynamic_update_slice(img, tile, (0, h0, w0, 0))
+
+    @jax.jit
+    def _tile_init(key):
+        return jax.random.normal(key, (1, TILE, TILE, 3), dtype=jnp.float32)
+
+    masks_dev = jnp.asarray(
+        np.stack([t.paste_mask() for t in tiles])
+    )  # (n_tiles, TILE, TILE, 1), uploaded once
+    tile_pos = {t.index: i for i, t in enumerate(tiles)}
+
+    @jax.jit
+    def _take_mask(masks, i):
+        return jax.lax.dynamic_slice(
+            masks, (i, 0, 0, 0), (1,) + masks.shape[1:]
+        )
 
     for group in groups:
         n = len(group)
-        # pad the batch to the next power of two (repeat the first tile) so
-        # big canvases compile only O(log max_wavefront) step variants
-        pad = _pow2(n) - n if parallel else 0
+        # pad >1-tile batches to 8 (repeat the first tile): one compiled
+        # step variant serves every wavefront width, and batch 8 is the
+        # fastest executable per tile (see chunking note above)
+        pad = (8 - n if n > 1 else 0) if parallel else 0
         padded = group + [group[0]] * pad
-        apy_b = jnp.asarray(np.concatenate([
-            apy_np[:, t.h0 : t.h0 + TILE, t.w0 : t.w0 + TILE] for t in padded
-        ]))
-        mask_b = jnp.asarray(np.stack([t.paste_mask() for t in padded]))
-        content_b = jnp.asarray(np.concatenate([
-            canvas[:, t.h0 : t.h0 + TILE, t.w0 : t.w0 + TILE] for t in padded
-        ]))
-        x_init_b = jnp.concatenate([
-            jax.random.normal(tile_keys[t.index][0], (1, TILE, TILE, 3),
-                              dtype=jnp.float32)
-            for t in padded
-        ])
+        apy_b = jnp.concatenate([_take_tile(apy_dev, t.h0, t.w0) for t in padded])
+        mask_b = jnp.concatenate(
+            [_take_mask(masks_dev, tile_pos[t.index]) for t in padded]
+        )
+        content_b = jnp.concatenate([_take_tile(canvas, t.h0, t.w0) for t in padded])
+        x_init_b = jnp.concatenate(
+            [_tile_init(tile_keys[t.index][0]) for t in padded]
+        )
         if mesh is not None and x_init_b.shape[0] % mesh.size == 0:
             from ddnm_tpu.parallel import shard_batch
 
@@ -243,14 +282,13 @@ def mask_shift_sample(
             params=params,
             **({"noise_fn": noise_fn} if noise_fn is not None else {}),
         )
-        x0_np = np.asarray(x0_b)
         for i, t in enumerate(group):
-            canvas[:, t.h0 : t.h0 + TILE, t.w0 : t.w0 + TILE] = x0_np[i : i + 1]
+            canvas = _put_tile(canvas, x0_b[i : i + 1], t.h0, t.w0)
             if progress_fn is not None:
-                progress_fn(t, x0_np[i : i + 1])
+                progress_fn(t, np.asarray(x0_b[i : i + 1]))
 
     return {
-        "final": canvas,
-        "apy": apy_np,
+        "final": np.asarray(canvas),
+        "apy": np.asarray(apy_dev),
         "y": np.asarray(y_temp),
     }

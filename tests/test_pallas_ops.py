@@ -63,3 +63,41 @@ def test_fused_attention_interpret_matches_xla():
     a = np.asarray(fused_attention(q, k, v, scale, force="xla"))
     p = np.asarray(fused_attention(q, k, v, scale, force="interpret"))
     np.testing.assert_allclose(a, p, rtol=2e-5, atol=2e-5)
+
+
+def test_group_norm_xla_matches_flax():
+    """ops.group_norm's XLA path == flax nn.GroupNorm (fp32, fast variance)
+    followed by swish — the exact math GroupNormF32 + swish compute."""
+    import jax
+    from flax import linen as nn
+    from ddnm_tpu.ops import group_norm
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 64)), jnp.float32)
+    scale = jnp.asarray(1.0 + 0.1 * rng.standard_normal(64), jnp.float32)
+    bias = jnp.asarray(0.1 * rng.standard_normal(64), jnp.float32)
+    gn = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32)
+    ref = gn.apply({"params": {"scale": scale, "bias": bias}}, x)
+    ref = ref * jax.nn.sigmoid(ref)
+    ours = group_norm(x, scale, bias, num_groups=32, eps=1e-6, swish=True,
+                      force="xla")
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_group_norm_interpret_matches_xla():
+    """Pallas kernel (interpret mode) == XLA path, incl. FiLM fusion."""
+    from ddnm_tpu.ops import group_norm
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 128)), jnp.float32)
+    scale = jnp.asarray(1.0 + 0.1 * rng.standard_normal(128), jnp.float32)
+    bias = jnp.asarray(0.1 * rng.standard_normal(128), jnp.float32)
+    fs = jnp.asarray(0.1 * rng.standard_normal((2, 128)), jnp.float32)
+    ft = jnp.asarray(0.1 * rng.standard_normal((2, 128)), jnp.float32)
+    for kw in [dict(), dict(swish=True), dict(swish=True, film_scale=fs, film_shift=ft)]:
+        a = group_norm(x, scale, bias, num_groups=32, eps=1e-5, force="xla", **kw)
+        b = group_norm(x, scale, bias, num_groups=32, eps=1e-5,
+                       force="interpret", **kw)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5, err_msg=str(kw))

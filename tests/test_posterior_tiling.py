@@ -272,9 +272,13 @@ def test_mask_shift_smoke_multitile():
 
 def test_wavefront_parallel_exact_parity():
     """Parallel (skewed-wavefront) tiling is bit-identical to the sequential
-    reference schedule under deterministic noise, on an irregular canvas."""
+    reference schedule under deterministic noise, on an irregular canvas.
+
+    The 516x900 canvas gives a 4x7 tile grid whose widest wavefront has 4
+    tiles — exercising the cost-aware chunking's padded batch-8 path AND
+    the 1-3-tile sequential remainders AND non-multiple-of-128 edge tiles."""
     rng = np.random.default_rng(3)
-    gt = rng.uniform(-1, 1, (1, 500, 380, 3)).astype(np.float32)
+    gt = rng.uniform(-1, 1, (1, 516, 900, 3)).astype(np.float32)
     betas = sch.named_beta_schedule("linear", 100, use_scale=True)
     tables = build_posterior_tables(
         betas=betas, timestep_respacing="4", sigma_y=0.0,
