@@ -219,6 +219,18 @@ def test_cli_trace_dir_writes_profile(tmp_path):
     ])
     assert list((tmp_path / "trace").rglob("*.xplane.pb")), "no profiler trace written"
 
+    # tools/trace_report.py parses the trace; on the CPU backend there is
+    # no device plane, which it must report gracefully (on TPU it prints
+    # the per-op-kind device-time breakdown)
+    import subprocess, sys as _sys
+    r = subprocess.run(
+        [_sys.executable, "tools/trace_report.py", str(tmp_path / "trace")],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    assert ("XLA Ops" in r.stdout or "===" in r.stdout
+            or "no device plane" in r.stdout), r.stdout
+
 
 def test_cli_accepts_full_reference_flag_surface():
     """Every flag of the reference CLI (main.py:19-90) parses, with the

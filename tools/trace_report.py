@@ -60,6 +60,7 @@ def main():
     space = xplane_pb2.XSpace()
     space.ParseFromString(paths[-1].read_bytes())
 
+    reported = 0
     for plane in space.planes:
         if "TPU" not in plane.name and "/device" not in plane.name.lower():
             continue
@@ -107,6 +108,12 @@ def main():
         print(f"-- top {top} ops --")
         for k, v in sorted(by_name.items(), key=lambda kv: -kv[1])[:top]:
             print(f"  {v:9.2f} ms  {k[:90]}")
+        reported += 1
+    if not reported:
+        names = [p.name for p in space.planes]
+        print(f"no device plane with an 'XLA Ops' line found; planes: {names}")
+        print("(CPU-backend traces carry host lines only — run on the TPU "
+              "to get a device timeline)")
     return 0
 
 
