@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+from functools import partial
 from typing import Callable, Optional
 
 import numpy as np
@@ -197,14 +198,16 @@ def mask_shift_sample(
         # ms for b = 1/2/4/8 — batches of 2-7 hit a sublane-padding cliff
         # where they cost nearly as much as (or more than) batch 8, and the
         # batch-8 executable is FASTER in absolute terms than batch 4. So:
-        # take 8 tiles at a time, padding >=5-tile remainders up to 8
-        # (126.6/n beats n*34.5 from n=5 up, 2.2x at n=8); run <=4-tile
-        # remainders as singles (batching 2-4 measures at or below
-        # sequential per-tile throughput once padding waste is counted).
+        # take 8 tiles at a time, padding >=4-tile remainders up to 8
+        # (126.6 device-ms beats n*34.5 from n=4 up — a near-tie in wall
+        # time on the dispatch-heavy dev tunnel, a clear win on
+        # direct-attached TPUs where one group replaces n step chains);
+        # run <=3-tile remainders as singles (batching 2-3 measures 16%/11%
+        # slower per tile than sequential).
         groups = []
         for wave in waves:
             i = 0
-            while len(wave) - i >= 5:
+            while len(wave) - i >= 4:
                 groups.append(wave[i : i + 8])
                 i += 8
             groups.extend([t] for t in wave[i:])
@@ -229,7 +232,9 @@ def mask_shift_sample(
     def _take_tile(img, h0, w0):
         return jax.lax.dynamic_slice(img, (0, h0, w0, 0), (1, TILE, TILE, 3))
 
-    @jax.jit
+    # donate the canvas: the old buffer is dead after reassignment, and
+    # without donation every per-tile write copies the full canvas in HBM
+    @partial(jax.jit, donate_argnums=(0,))
     def _put_tile(img, tile, h0, w0):
         return jax.lax.dynamic_update_slice(img, tile, (0, h0, w0, 0))
 

@@ -274,9 +274,10 @@ def test_wavefront_parallel_exact_parity():
     """Parallel (skewed-wavefront) tiling is bit-identical to the sequential
     reference schedule under deterministic noise, on an irregular canvas.
 
-    The 516x900 canvas gives a 4x7 tile grid whose widest wavefront has 4
-    tiles — exercising the cost-aware chunking's padded batch-8 path AND
-    the 1-3-tile sequential remainders AND non-multiple-of-128 edge tiles."""
+    No resize_y, so the CANVAS is exactly the 516x900 input: a 4x7 tile
+    grid whose widest wavefront has 4 tiles — exercising the cost-aware
+    chunking's padded batch-8 path AND the 1-3-tile sequential remainders
+    AND non-multiple-of-128 edge tiles."""
     rng = np.random.default_rng(3)
     gt = rng.uniform(-1, 1, (1, 516, 900, 3)).astype(np.float32)
     betas = sch.named_beta_schedule("linear", 100, use_scale=True)
@@ -288,7 +289,7 @@ def test_wavefront_parallel_exact_parity():
 
     toy = _toy_model_jax()
     zero_noise = lambda key, shape: jnp.zeros(shape, jnp.float32)
-    common = dict(scale=4, resize_y=True, noise_fn=zero_noise)
+    common = dict(scale=4, resize_y=False, noise_fn=zero_noise)
 
     seq = mask_shift_sample(toy, gt, "sr_averagepooling", tables,
                             jax.random.PRNGKey(0), parallel=False, **common)
@@ -372,7 +373,7 @@ def test_wavefront_sharded_matches_unsharded():
 
     plain = mask_shift_sample(toy, gt, "sr_averagepooling", tables,
                               jax.random.PRNGKey(0), **common)
-    mesh = make_mesh(2)  # pow2-padded wavefront batches are divisible by 2
+    mesh = make_mesh(2)  # padded batch-8 wavefront groups shard over 2 devices
     sharded = mask_shift_sample(toy, gt, "sr_averagepooling", tables,
                                 jax.random.PRNGKey(0), mesh=mesh, **common)
     np.testing.assert_allclose(sharded["final"], plain["final"], atol=2e-5)

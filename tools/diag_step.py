@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """Diagnostic: where does flagship step time go? (run on the real chip)
 
-Times, hot: (a) one jitted UNet forward, (b) one jitted full DDNM step,
-(c) 100 host-loop steps end-to-end, for the bench workload (batch 8, 256px,
-bf16 DDPM UNet).
+Times, hot, for the bench workload (batch 8, 256px, bf16 DDPM UNet):
+(a) the raw jitted UNet forward, (b) the full 100-step sampler wall time,
+(c) dispatch time vs completion time of one sampler run (how well the
+host loop pipelines).
 """
 import time, sys
 from pathlib import Path
@@ -57,12 +58,13 @@ sched = build_schedule(betas=betas, t_sampling=100)
 op = build_functional_operator("sr_averagepooling", image_size=RES, deg_scale=4)
 y = op.A(x)
 kw = dict(eta=0.85, sigma_y=0.0)
-out, _ = sample_simplified(fwd := (lambda p, xx, tt: model.apply(p, xx, tt)),
-                           x, y, op, sched, jax.random.PRNGKey(1), params=params, **kw)
+model_fn = lambda p, xx, tt: model.apply(p, xx, tt)
+out, _ = sample_simplified(model_fn, x, y, op, sched, jax.random.PRNGKey(1),
+                           params=params, **kw)
 jax.device_get(out)
 mark("sampler warm")
 t0 = time.perf_counter()
-out, _ = sample_simplified(fwd, x, y, op, sched, jax.random.PRNGKey(2),
+out, _ = sample_simplified(model_fn, x, y, op, sched, jax.random.PRNGKey(2),
                            params=params, **kw)
 jax.device_get(out)
 dt = time.perf_counter() - t0
@@ -70,7 +72,7 @@ mark(f"sampler 100 steps: {dt:.3f}s = {1000*dt/100:.1f} ms/step -> {BATCH/dt:.2f
 
 # dispatch-only probe: submit all steps, measure dispatch vs completion
 t0 = time.perf_counter()
-out, _ = sample_simplified(fwd, x, y, op, sched, jax.random.PRNGKey(3),
+out, _ = sample_simplified(model_fn, x, y, op, sched, jax.random.PRNGKey(3),
                            params=params, **kw)
 t_dispatch = time.perf_counter() - t0
 jax.device_get(out)

@@ -21,15 +21,19 @@ def find_xplanes(trace_dir):
 
 
 def bucket(name: str) -> str:
-    n = name.lower()
-    if "convolution" in n or "conv" in n and "convert" not in n:
+    # bucket on the instruction NAME PREFIX only — the metadata string is
+    # the full HLO line, and operand names would otherwise pollute matching
+    m = re.match(r"%?([\w\-\.]+)", name)
+    n = (m.group(1) if m else name).lower()
+    if ("all-reduce" in n or "all-gather" in n or "reduce-scatter" in n
+            or "all-to-all" in n or "collective" in n or "permute" in n):
+        return "collective"
+    if "convolution" in n or ("conv" in n and "convert" not in n):
         return "conv (MXU)"
     if "dot" in n or "einsum" in n or "matmul" in n:
         return "dot (MXU)"
     if "dynamic-update-slice" in n or "dynamic-slice" in n:
         return "dyn-slice"
-    if "all-reduce" in n or "all-gather" in n or "collective" in n:
-        return "collective"
     if "copy" in n or "transpose" in n:
         return "copy/transpose"
     if "reduce" in n:
@@ -46,8 +50,13 @@ def bucket(name: str) -> str:
 
 
 def main():
-    trace_dir = sys.argv[1]
-    top = int(sys.argv[2].split("=")[-1]) if len(sys.argv) > 2 else 12
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("trace_dir")
+    ap.add_argument("--top", type=int, default=12)
+    ns = ap.parse_args()
+    trace_dir, top = ns.trace_dir, ns.top
     try:
         from tensorflow.tsl.profiler.protobuf import xplane_pb2
     except ImportError:  # proto location moved across TF versions
@@ -57,6 +66,9 @@ def main():
     if not paths:
         print(f"no xplane.pb under {trace_dir}")
         return 1
+    if len(paths) > 1:
+        print(f"note: {len(paths)} xplane files found, parsing the newest: "
+              f"{paths[-1].name} (others: {[p.name for p in paths[:-1]]})")
     space = xplane_pb2.XSpace()
     space.ParseFromString(paths[-1].read_bytes())
 
