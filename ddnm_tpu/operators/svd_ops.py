@@ -490,6 +490,12 @@ class SRConv(SVDOperator):
         mask2d = np.zeros((img_dim, img_dim), np.float32)
         mask2d[:sd, :sd] = np.outer(m1, m1)
         self._range_mask = jnp.asarray(mask2d.reshape(1, 1, -1))
+        # natural-layout singular values on the (V (x) V) Kronecker grid —
+        # channel-independent here (singulars are `repeat`ed, matching the
+        # interleaved spectral layout; no tiled quirk unlike Deblurring)
+        v2d = np.zeros((img_dim, img_dim), np.float64)
+        v2d[:sd, :sd] = np.outer(s, s)
+        self._s_nat = jnp.asarray(v2d.reshape(1, 1, -1).astype(np.float32))
 
     def _by_v(self, x, left, right, dim):
         B = x.shape[0]
@@ -540,27 +546,67 @@ class SRConv(SVDOperator):
         out = self._by_v(t, self._v_small, self._v_small.T, self.img_dim)
         return out.reshape(vec.shape[0], -1)
 
+    def prepare_measurement(self, y):
+        apy = SVDOperator.prepare_measurement(self, y)
+        return self._by_v(apy, self._v_small.T, self._v_small, self.img_dim)
+
+    def range_correction(self, x_vec, spec_y):
+        t = self._by_v(x_vec, self._v_small.T, self._v_small, self.img_dim)
+        out = self._by_v(
+            t * self._range_mask - spec_y,
+            self._v_small, self._v_small.T, self.img_dim,
+        )
+        return out.reshape(x_vec.shape[0], -1)
+
+    def noisy_update(self, x0_vec, spec_y, a, sigma_y, sigma_t, eta,
+                     noise_vec, et_vec):
+        # fused form of the base-class GENERIC Lambda/Lambda_noise (the
+        # reference has no Lambda for SRConv — noisy sr_bicubic is our
+        # extension); coefficients evaluated on the natural Kronecker grid
+        B = x0_vec.shape[0]
+        spec_x = self._by_v(x0_vec, self._v_small.T, self._v_small, self.img_dim)
+        corr_spec = spec_x * self._range_mask - spec_y
+        lam = ddnm_plus_lambda(self._s_nat, a, sigma_y, sigma_t, eta)
+        lam_corr = self._by_v(
+            corr_spec * lam, self._v_small, self._v_small.T, self.img_dim
+        ).reshape(B, -1)
+        d1, d2 = ddnm_plus_noise_coeffs(self._s_nat, a, sigma_y, sigma_t, eta)
+        sn = self._by_v(noise_vec, self._v_small.T, self._v_small, self.img_dim)
+        se = self._by_v(et_vec, self._v_small.T, self._v_small, self.img_dim)
+        noise_term = self._by_v(
+            sn * d1 + se * d2, self._v_small, self._v_small.T, self.img_dim
+        ).reshape(B, -1)
+        return lam_corr, noise_term
+
 
 # ---------------------------------------------------------------------------
 # Deblurring (dense 1-D conv, separable SVD)
 # ---------------------------------------------------------------------------
-def _deblur_range_mask(s_big_nat: np.ndarray, order: np.ndarray, channels: int):
-    """Effective A+ A mask for the Deblurring family in the *natural*
-    (pre-sort) spectral layout, per channel — (1, C, D^2).
+def _quirk_natural(vals_sorted: np.ndarray, order: np.ndarray, channels: int):
+    """Map a TILED per-singular table into the *natural* (pre-sort) spectral
+    layout, per channel — (C, D^2) numpy.
 
-    REFERENCE-QUIRK: these ops expose singulars in a TILED channel layout
-    while Vt's output is channel-INTERLEAVED (svd_operators.py:1001,:1163),
-    so the composed A_pinv(A x) zeroes spectral slots through a shifted
-    mask that differs per channel. Reproduce that exactly, hoisted to a
-    host-precomputed mask so range_project needs no runtime gathers: the
-    flat interleaved index of natural slot q in channel c is
-    pos(q)*C + c, and the tiled mask value there is
-    m_sorted[(pos(q)*C + c) mod D^2]."""
-    D2 = len(s_big_nat)
-    m_sorted = (s_big_nat[order] > 0).astype(np.float32)
+    REFERENCE-QUIRK: the Deblurring family exposes singulars in a TILED
+    channel layout while Vt's output is channel-INTERLEAVED
+    (svd_operators.py:1001,:1163), so any composed per-singular table
+    (A_pinv's zero mask, the generic Lambda's coefficients) addresses
+    spectral slots through a shifted, channel-dependent lookup. Hoist that
+    to host precomputation: the flat interleaved index of natural slot q in
+    channel c is pos(q)*C + c, and the tiled table value there is
+    vals_sorted[(pos(q)*C + c) mod D^2]."""
+    D2 = len(vals_sorted)
     pos = np.argsort(order)  # natural slot -> sorted position
     f = pos[None, :] * channels + np.arange(channels)[:, None]  # (C, D^2)
-    return jnp.asarray(m_sorted[f % D2][None])
+    return vals_sorted[f % D2]
+
+
+def _deblur_range_mask(s_big_nat: np.ndarray, order: np.ndarray, channels: int):
+    """Effective A+ A mask for the Deblurring family in the natural layout,
+    per channel — (1, C, D^2). See _quirk_natural."""
+    m = _quirk_natural(
+        (s_big_nat[order] > 0).astype(np.float32), order, channels
+    )
+    return jnp.asarray(m[None])
 
 
 class Deblurring(SVDOperator):
@@ -730,6 +776,12 @@ class Deblurring2D(SVDOperator):
         self._inv_perm = jnp.asarray(np.argsort(order))
         self._singulars_np = s_big[order].astype(np.float32)
         self._range_mask = _deblur_range_mask(s_big, order, channels)
+        # quirk-natural singular matrix (C, D^2): what the base-class
+        # generic Lambda/Lambda_noise coefficients effectively see per slot
+        # (this op has no reference Lambda; noisy mode is our extension)
+        self._squirk_nat = jnp.asarray(
+            _quirk_natural(self._singulars_np, order, channels)[None]
+        )  # (1, C, D^2)
 
     def _by_mat(self, x, left, right):
         B = x.shape[0]
@@ -773,6 +825,37 @@ class Deblurring2D(SVDOperator):
         t = t * self._range_mask
         out = self._by_mat(t, self._v1, self._v2.T)
         return out.reshape(vec.shape[0], -1)
+
+    def prepare_measurement(self, y):
+        apy = SVDOperator.prepare_measurement(self, y)
+        return self._by_mat(apy, self._v1.T, self._v2)
+
+    def range_correction(self, x_vec, spec_y):
+        t = self._by_mat(x_vec, self._v1.T, self._v2)
+        out = self._by_mat(
+            t * self._range_mask - spec_y, self._v1, self._v2.T
+        )
+        return out.reshape(x_vec.shape[0], -1)
+
+    def noisy_update(self, x0_vec, spec_y, a, sigma_y, sigma_t, eta,
+                     noise_vec, et_vec):
+        # fused form of the base-class GENERIC Lambda/Lambda_noise (this op
+        # has no reference Lambda): coefficients evaluated on the
+        # quirk-natural singular matrix so the sort permutation cancels
+        B = x0_vec.shape[0]
+        spec_x = self._by_mat(x0_vec, self._v1.T, self._v2)
+        corr_spec = spec_x * self._range_mask - spec_y
+        lam = ddnm_plus_lambda(self._squirk_nat, a, sigma_y, sigma_t, eta)
+        lam_corr = self._by_mat(
+            corr_spec * lam, self._v1, self._v2.T
+        ).reshape(B, -1)
+        d1, d2 = ddnm_plus_noise_coeffs(self._squirk_nat, a, sigma_y, sigma_t, eta)
+        sn = self._by_mat(noise_vec, self._v1.T, self._v2)
+        se = self._by_mat(et_vec, self._v1.T, self._v2)
+        noise_term = self._by_mat(
+            sn * d1 + se * d2, self._v1, self._v2.T
+        ).reshape(B, -1)
+        return lam_corr, noise_term
 
 
 # ---------------------------------------------------------------------------
@@ -966,6 +1049,42 @@ class BlockCS(SVDOperator):
         # per-patch projection onto the first cs_size measurement directions
         p = _mm(self._patchize(vec), self._v_small[:, : self.cs_size])
         return self._unpatchize(_mm(p, self._v_small[:, : self.cs_size].T))
+
+    def prepare_measurement(self, y):
+        # kept-component patch spectrum of A_pinv(y), (B, C, y^2, cs_size)
+        apy = SVDOperator.prepare_measurement(self, y)
+        return _mm(self._patchize(apy), self._v_small[:, : self.cs_size])
+
+    def range_correction(self, x_vec, spec_y):
+        p = _mm(self._patchize(x_vec), self._v_small[:, : self.cs_size])
+        return self._unpatchize(
+            _mm(p - spec_y, self._v_small[:, : self.cs_size].T)
+        )
+
+    def noisy_update(self, x0_vec, spec_y, a, sigma_y, sigma_t, eta,
+                     noise_vec, et_vec):
+        # fused form of the base-class GENERIC Lambda/Lambda_noise: all
+        # singulars are 1 on the kept components, 0 elsewhere, so Lambda
+        # reduces to its s=1 scalar on the (kept-only) correction spectrum
+        # and the noise coefficients split kept vs dropped components
+        p = _mm(self._patchize(x0_vec), self._v_small[:, : self.cs_size])
+        corr_spec = p - spec_y
+        lam1 = ddnm_plus_lambda(jnp.ones(1), a, sigma_y, sigma_t, eta)[0]
+        lam_corr = self._unpatchize(
+            _mm(lam1 * corr_spec, self._v_small[:, : self.cs_size].T)
+        )
+        d1, d2 = ddnm_plus_noise_coeffs(
+            jnp.array([1.0, 0.0]), a, sigma_y, sigma_t, eta
+        )
+        comp = jnp.arange(self._v_small.shape[1]) < self.cs_size
+        d1v = jnp.where(comp, d1[0], d1[1])
+        d2v = jnp.where(comp, d2[0], d2[1])
+        sn = _mm(self._patchize(noise_vec), self._v_small)
+        se = _mm(self._patchize(et_vec), self._v_small)
+        noise_term = self._unpatchize(
+            _mm(sn * d1v + se * d2v, self._v_small.T)
+        )
+        return lam_corr, noise_term
 
 
 # ---------------------------------------------------------------------------

@@ -73,6 +73,8 @@ if "--noisy" in sys.argv:
     for name, kw in [("sr_averagepooling", dict(deg_scale=4)),
                      ("deblur_gauss", {}),
                      ("cs_walshhadamard", dict(deg_scale=0.25)),
+                     ("sr_bicubic", dict(deg_scale=4)),
+                     ("deblur_aniso", {}),
                      ("inpainting", None)]:
         if kw is None:
             mask = np.ones((RES, RES), bool); mask[64:192, 64:192] = False
