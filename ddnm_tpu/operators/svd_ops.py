@@ -1122,6 +1122,39 @@ class GeneralA(SVDOperator):
         r = vec.reshape(vec.shape[0], -1)
         return out.at[:, : self._u.shape[0]].set(r)
 
+    # --- fused spectral forms (stay in V's coordinate basis per step) ------
+    def _s_full(self):
+        n, m = self._v.shape[0], self._s.shape[0]
+        return jnp.concatenate([self._s, jnp.zeros(n - m, self._s.dtype)])
+
+    def prepare_measurement(self, y):
+        """Spectral-space pinv of y on the full V axis (zeros in null space)."""
+        s = self._s
+        inv = jnp.where(s == 0, 0.0, 1.0 / jnp.where(s == 0, 1.0, s))
+        return self.add_zeros(inv[None] * self.Ut(y))
+
+    def range_project(self, vec):
+        return self.V(jnp.where(self._s_full() == 0, 0.0, self.Vt(vec)))
+
+    def range_correction(self, x_vec, spec_y):
+        spec = jnp.where(self._s_full() == 0, 0.0, self.Vt(x_vec))
+        return self.V(spec - spec_y)
+
+    def noisy_update(self, x0_vec, spec_y, a, sigma_y, sigma_t, eta,
+                     noise_vec, et_vec):
+        # single spectral round-trip per term: Lambda's and Lambda_noise's
+        # V legs evaluated on the natural spectral grid; the two noise legs
+        # merge into one V by linearity (5 dense matmuls vs 7 composed)
+        s_full = self._s_full()
+        corr_spec = jnp.where(s_full == 0, 0.0, self.Vt(x0_vec)) - spec_y
+        lam = ddnm_plus_lambda(s_full, a, sigma_y, sigma_t, eta)
+        lam_corr = self.V(lam[None] * corr_spec)
+        d1, d2 = ddnm_plus_noise_coeffs(s_full, a, sigma_y, sigma_t, eta)
+        noise_term = self.V(
+            d1[None] * self.Vt(noise_vec) + d2[None] * self.Vt(et_vec)
+        )
+        return lam_corr, noise_term
+
 
 # ---------------------------------------------------------------------------
 # Factory mirroring the runner's task dispatch (diffusion.py:454-523)
