@@ -143,6 +143,8 @@ def mask_shift_sample(
     mesh=None,
     noise_fn=None,
     progress_fn: Optional[Callable[[Tile, np.ndarray], None]] = None,
+    tile_init: Optional[str] = None,
+    init_noise: Optional[np.ndarray] = None,
 ) -> dict:
     """Restore an arbitrary-size image with Mask-Shift DDNM.
 
@@ -156,10 +158,32 @@ def mask_shift_sample(
     the device count are sharded across chips (params replicate), scaling
     large-canvas restoration over a pod slice.
 
+    `tile_init` selects each tile's starting state:
+      - "carry" (default when sequential): REFERENCE PARITY — the reference
+        initialises `image_after_step` once and never resets it between
+        tiles (gaussian_diffusion.py:572-575, reused at :704-734), so every
+        tile after the first starts from the previous tile's final sample.
+      - "fresh" (default when parallel, required by the wavefront schedule):
+        each tile starts from independent gaussian noise — the
+        statistically-proper initialisation of x_{t_T}, and the only one
+        compatible with running independent tiles concurrently.
+    `init_noise`: optional (1, 256, 256, 3) array for the first tile's init
+    (the reference's explicit `noise` argument); defaults to a draw from
+    this tile's fold-in key.
+
     `progress_fn(tile, x0_hat)` is called after each tile completes (the
     reference saves intermediate tiles every 25 steps; we expose a hook
     instead of hard-coded PNG writes).
     """
+    if tile_init is None:
+        tile_init = "fresh" if parallel else "carry"
+    if tile_init not in ("carry", "fresh"):
+        raise ValueError(f"tile_init must be 'carry' or 'fresh', got {tile_init!r}")
+    if tile_init == "carry" and parallel:
+        raise ValueError(
+            "tile_init='carry' serialises the tile chain; use tile_init='fresh' "
+            "with parallel=True (fresh is the parallel default)"
+        )
     gt = jnp.asarray(gt, jnp.float32)
     if gt.ndim == 3:
         gt = gt[None]
@@ -253,6 +277,10 @@ def mask_shift_sample(
             masks, (i, 0, 0, 0), (1,) + masks.shape[1:]
         )
 
+    carry_x = None
+    if tile_init == "carry" and init_noise is not None:
+        carry_x = jnp.asarray(init_noise, jnp.float32).reshape(1, TILE, TILE, 3)
+
     for group in groups:
         n = len(group)
         # pad >1-tile batches to 8 (repeat the first tile): one compiled
@@ -265,16 +293,19 @@ def mask_shift_sample(
             [_take_mask(masks_dev, tile_pos[t.index]) for t in padded]
         )
         content_b = jnp.concatenate([_take_tile(canvas, t.h0, t.w0) for t in padded])
-        x_init_b = jnp.concatenate(
-            [_tile_init(tile_keys[t.index][0]) for t in padded]
-        )
+        if tile_init == "carry" and carry_x is not None:
+            x_init_b = carry_x  # previous tile's final sample (or init_noise)
+        else:
+            x_init_b = jnp.concatenate(
+                [_tile_init(tile_keys[t.index][0]) for t in padded]
+            )
         if mesh is not None and x_init_b.shape[0] % mesh.size == 0:
             from ddnm_tpu.parallel import shard_batch
 
             x_init_b, apy_b, mask_b, content_b = shard_batch(
                 mesh, (x_init_b, apy_b, mask_b, content_b)
             )
-        _, x0_b = sample_posterior(
+        x_b, x0_b = sample_posterior(
             model_fn,
             x_init_b,
             apy_b,
@@ -287,6 +318,8 @@ def mask_shift_sample(
             params=params,
             **({"noise_fn": noise_fn} if noise_fn is not None else {}),
         )
+        if tile_init == "carry":
+            carry_x = x_b
         for i, t in enumerate(group):
             canvas = _put_tile(canvas, x0_b[i : i + 1], t.h0, t.w0)
             if progress_fn is not None:

@@ -44,7 +44,12 @@ def parse_args(argv=None):
     p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--parallel_tiles", action="store_true",
                    help="batch independent wavefront tiles into one sampler call "
-                        "(exact dependency semantics; see ddnm_tpu/tiling.py)")
+                        "(exact dependency semantics; see ddnm_tpu/tiling.py); "
+                        "implies --fresh_tile_init")
+    p.add_argument("--fresh_tile_init", action="store_true",
+                   help="start every tile from fresh gaussian noise instead of "
+                        "the reference's carried image_after_step "
+                        "(gaussian_diffusion.py:572-575)")
     return p.parse_args(argv)
 
 
@@ -215,6 +220,7 @@ def main(argv=None):
         model_fn, gt, ns.deg, tables, key,
         scale=ns.scale, resize_y=ns.resize_y, mask=mask, guidance_fn=guidance_fn,
         params=run_params, parallel=ns.parallel_tiles, progress_fn=progress,
+        tile_init="fresh" if (ns.parallel_tiles or ns.fresh_tile_init) else "carry",
     )
     if pbar is not None:
         pbar.close()

@@ -292,7 +292,8 @@ def test_wavefront_parallel_exact_parity():
     common = dict(scale=4, resize_y=False, noise_fn=zero_noise)
 
     seq = mask_shift_sample(toy, gt, "sr_averagepooling", tables,
-                            jax.random.PRNGKey(0), parallel=False, **common)
+                            jax.random.PRNGKey(0), parallel=False,
+                            tile_init="fresh", **common)
     par = mask_shift_sample(toy, gt, "sr_averagepooling", tables,
                             jax.random.PRNGKey(0), parallel=True, **common)
     # deterministic noise + deterministic model: identical canvases proves
@@ -612,3 +613,117 @@ def test_posterior_guided_e2e_cross_framework():
 
     ref_x = np.transpose(x.detach().numpy(), (0, 2, 3, 1))
     np.testing.assert_allclose(np.asarray(x_fin), ref_x, atol=3e-3)
+
+
+def test_mask_shift_multitile_e2e_cross_framework(tmp_path, monkeypatch):
+    """Multi-tile Mask-Shift cross-framework E2E: the reference's OWN
+    p_sample_loop_progressive tile machinery (shift loops :665-748, paste
+    branch :344-380, carried image_after_step :572-575, canvas assembly
+    :737-746) driving a real torch ADM UNet on a 384x384 canvas (2x2 tiles)
+    vs mask_shift_sample(tile_init="carry") on converted weights — zero
+    noise, jump schedule with travels. This is the strongest tiling parity
+    proof: it composes UNet parity, respacing, posterior DDNM, the overlap
+    paste, cross-tile state carry, and final canvas assembly in one run."""
+    torch = pytest.importorskip("torch")
+    from tests._reference import import_reference
+    from ddnm_tpu.models.convert import adm_key_map, torch_state_dict_to_flax
+    from ddnm_tpu.models.unet_adm import ADMUNet
+
+    gd = import_hq_reference("gaussian_diffusion")
+    ref_unet_mod = import_reference("guided_diffusion.unet")
+
+    torch.manual_seed(0)
+    ref = ref_unet_mod.UNetModel(
+        image_size=256, in_channels=3, model_channels=32, out_channels=6,
+        num_res_blocks=1, attention_resolutions={16},
+        channel_mult=(1, 1, 2, 2, 4), num_heads=4, num_head_channels=32,
+        use_scale_shift_norm=True, resblock_updown=True,
+    )
+    ref.eval()
+    ours = ADMUNet(
+        image_size=256, in_channels=3, model_channels=32, out_channels=6,
+        num_res_blocks=1, attention_resolutions=(16,),
+        channel_mult=(1, 1, 2, 2, 4), num_heads=4, num_head_channels=32,
+        use_scale_shift_norm=True, resblock_updown=True,
+    )
+    params = {"params": torch_state_dict_to_flax(ref.state_dict(), adm_key_map)}
+
+    betas = sch.named_beta_schedule("linear", 1000, use_scale=True)
+    respacing = "3"
+    jump = dict(t_T=3, n_sample=1, jump_length=2, jump_n_sample=2)
+
+    rng = np.random.default_rng(7)
+    gt = rng.uniform(-1, 1, (1, 384, 384, 3)).astype(np.float32)
+    x_init = rng.standard_normal((1, 256, 256, 3)).astype(np.float32)
+    scale = 4
+
+    # ---- ours ----
+    tables = build_posterior_tables(
+        betas=betas, timestep_respacing=respacing, sigma_y=0.0,
+        schedule_jump_params=jump,
+    )
+    zero = lambda key, shape: jnp.zeros(shape, jnp.float32)
+
+    def model_fn(p, x, t):
+        return ours.apply(p, x, t)
+
+    out_ours = mask_shift_sample(
+        model_fn, gt, "sr_averagepooling", tables, jax.random.PRNGKey(0),
+        scale=scale, tile_init="carry", init_noise=x_init, noise_fn=zero,
+        params=params,
+    )
+
+    # ---- reference: the real tile loop, zero noise, CPU ----
+    monkeypatch.chdir(tmp_path)  # progressive() makedirs 'results/...'
+    sd = _oracle_spaced(betas, respacing)
+    gd.save_image = lambda *a, **k: None
+
+    conf = _Conf(
+        name="inet256", schedule_jump_params=jump,
+        respace_interpolate=False, use_value_logger=False,
+    )
+    gt_t = torch.from_numpy(np.transpose(gt, (0, 3, 1, 2)).copy())
+    kwargs = {
+        "gt": gt_t, "scale": scale, "resize_y": False,
+        "deg": "sr_averagepooling", "sigma_y": 0.0, "save_path": "x",
+    }
+
+    def tmodel(x, ts, **kw):
+        return ref(x, ts)
+
+    orig_randn, orig_ones, orig_to = (
+        torch.randn_like, torch.ones, torch.Tensor.to
+    )
+    torch.randn_like = lambda z: torch.zeros_like(z)
+    torch.ones = lambda *a, **kw: orig_ones(
+        *a, **{k: v for k, v in kw.items() if k != "device"}
+    )
+
+    def _to_cpu(self, *a, **kw):
+        # the paste branch hardcodes .to('cuda') (gaussian_diffusion.py:353+)
+        a = tuple(
+            x for x in a
+            if not (isinstance(x, (str, torch.device)) and str(x).startswith("cuda"))
+        )
+        dev = kw.get("device")
+        if isinstance(dev, (str, torch.device)) and str(dev).startswith("cuda"):
+            kw.pop("device")
+        return orig_to(self, *a, **kw)
+
+    torch.Tensor.to = _to_cpu
+    try:
+        noise_t = torch.from_numpy(np.transpose(x_init, (0, 3, 1, 2)).copy())
+        with torch.no_grad():
+            out_ref = sd.p_sample_loop_progressive(
+                tmodel, (1, 3, 256, 256), noise=noise_t,
+                model_kwargs=kwargs, device=torch.device("cpu"),
+                progress=False, conf=conf,
+            )
+    finally:
+        torch.randn_like, torch.ones, torch.Tensor.to = (
+            orig_randn, orig_ones, orig_to
+        )
+
+    ref_canvas = np.transpose(out_ref["sample"].detach().numpy(), (0, 2, 3, 1))
+    assert ref_canvas.shape == out_ours["final"].shape == (1, 384, 384, 3)
+    np.testing.assert_allclose(out_ours["final"], ref_canvas, atol=3e-3)
