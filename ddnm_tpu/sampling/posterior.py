@@ -87,6 +87,8 @@ class PosteriorTables:
     # jump schedule, scan-ready
     t_cur: np.ndarray  # (S,) int32 respaced timestep
     is_travel: np.ndarray  # (S,) bool: re-noise instead of sampling
+    travel_shift: np.ndarray  # () int32: undo at beta[t + shift]
+    # (conf 'inpa_inj_time_shift', gaussian_diffusion.py:728; default 1)
 
     def tree_flatten(self):
         fields = dataclasses.fields(self)
@@ -117,11 +119,14 @@ def build_posterior_tables(
     timestep_respacing,
     sigma_y: float = 0.0,
     schedule_jump_params: Optional[dict] = None,
+    time_shift: int = 1,
 ) -> PosteriorTables:
     """Assemble all per-timestep tables for `sample_posterior`.
 
     `betas` is the ORIGINAL (e.g. 1000-step) schedule; `timestep_respacing`
     is a space_timesteps() spec ("ddim100", "250", [100], ...).
+    `time_shift` is the reference's `inpa_inj_time_shift` conf option: undo
+    re-noising uses beta[t + time_shift] (gaussian_diffusion.py:727-734).
     """
     betas = np.asarray(betas, dtype=np.float64)
     use = sch.space_timesteps(len(betas), timestep_respacing)
@@ -166,6 +171,7 @@ def build_posterior_tables(
         gamma_t=f32(gam),
         t_cur=t_cur,
         is_travel=is_travel,
+        travel_shift=np.asarray(time_shift, dtype=np.int32),
     )
 
 
@@ -276,9 +282,10 @@ def _run_scan(body, noise_fn, has_paste, params, x_init, apy, paste_mask,
             )
 
         def travel_back(_):
-            # undo: one forward-diffusion step at t+1 (t_shift=1,
-            # gaussian_diffusion.py:208-217,727-734)
-            beta = tb.betas[jnp.minimum(t + 1, tb.betas.shape[0] - 1)]
+            # undo: one forward-diffusion step at t + travel_shift
+            # (gaussian_diffusion.py:208-217,727-734; shift defaults to 1)
+            idx = jnp.minimum(t + tb.travel_shift, tb.betas.shape[0] - 1)
+            beta = tb.betas[idx]
             return jnp.sqrt(1.0 - beta) * x + jnp.sqrt(beta) * noise, x0_hat
 
         x_next, x0_next = jax.lax.cond(travel, travel_back, normal, operand=None)
@@ -369,7 +376,8 @@ def sample_posterior(
     for t, travel in zip(tbl.t_cur, tbl.is_travel):
         t = int(t)
         if bool(travel):
-            beta = float(tbl.betas[min(t + 1, n_t - 1)])
+            shift = int(tbl.travel_shift)
+            beta = float(tbl.betas[min(t + shift, n_t - 1)])
             x, key = _host_undo(noise_fn, x, key, beta)
         else:
             x, x0_hat, key = _host_step(

@@ -727,3 +727,63 @@ def test_mask_shift_multitile_e2e_cross_framework(tmp_path, monkeypatch):
     ref_canvas = np.transpose(out_ref["sample"].detach().numpy(), (0, 2, 3, 1))
     assert ref_canvas.shape == out_ours["final"].shape == (1, 384, 384, 3)
     np.testing.assert_allclose(out_ours["final"], ref_canvas, atol=3e-3)
+
+
+def test_posterior_time_shift_oracle():
+    """inpa_inj_time_shift parity (gaussian_diffusion.py:727-734): undo
+    re-noises with beta[t + shift]. Zero-noise trajectory vs a manual
+    reference-formula loop at shift=2 (t_T < respaced length so the
+    reference's unclamped beta index stays in range, as it must for any
+    conf the reference itself can run)."""
+    torch = pytest.importorskip("torch")
+    scheduler = import_hq_reference("scheduler")
+
+    betas = sch.named_beta_schedule("linear", 100, use_scale=True)
+    respacing = "25"
+    jump_params = dict(t_T=20, n_sample=1, jump_length=5, jump_n_sample=2)
+    shift = 2
+
+    size, scale = 32, 4
+    rng = np.random.default_rng(5)
+    x_init = rng.standard_normal((1, size, size, 3)).astype(np.float32)
+    gt = rng.uniform(-1, 1, (1, size, size, 3)).astype(np.float32)
+
+    op = build_functional_operator("sr_averagepooling", image_size=size, deg_scale=scale)
+    apy = op.Ap(op.A(jnp.asarray(gt)))
+    tables = build_posterior_tables(
+        betas=betas, timestep_respacing=respacing, sigma_y=0.0,
+        schedule_jump_params=jump_params, time_shift=shift,
+    )
+    zero_noise = lambda key, shape: jnp.zeros(shape, jnp.float32)
+    x_fin, _ = sample_posterior(
+        _toy_model_jax(), jnp.asarray(x_init), apy, op, tables,
+        jax.random.PRNGKey(0), noise_fn=zero_noise,
+    )
+
+    # manual oracle loop (same structure as test_posterior_sampler_parity)
+    sd = _oracle_spaced(betas, respacing)
+    x = torch.from_numpy(np.transpose(x_init, (0, 3, 1, 2)))
+    gt_t = torch.from_numpy(np.transpose(gt, (0, 3, 1, 2)))
+    pool = torch.nn.AdaptiveAvgPool2d((size // scale, size // scale))
+    up = lambda z: z.repeat_interleave(scale, dim=2).repeat_interleave(scale, dim=3)
+    apy_t = up(pool(gt_t))
+    times = scheduler.get_schedule_jump(**jump_params)
+    for t_last, t_cur in zip(times[:-1], times[1:]):
+        if t_cur < t_last:
+            eps = 0.1 * x
+            x0 = (
+                torch.from_numpy(sd.sqrt_recip_alphas_cumprod[t_last][None]).float() * x
+                - torch.from_numpy(sd.sqrt_recipm1_alphas_cumprod[t_last][None]).float() * eps
+            ).clamp(-1, 1)
+            x0_hat = apy_t + x0 - up(pool(x0))
+            x = (
+                float(sd.posterior_mean_coef1[t_last]) * x0_hat
+                + float(sd.posterior_mean_coef2[t_last]) * x
+            )
+        else:
+            beta = float(sd.betas[t_last + shift])  # unclamped, like undo()
+            x = np.sqrt(1.0 - beta) * x
+
+    np.testing.assert_allclose(
+        np.asarray(x_fin), np.transpose(x.numpy(), (0, 2, 3, 1)), atol=2e-4
+    )
