@@ -104,7 +104,9 @@ def build_jump_pairs(schedule_jump_params: dict) -> tuple[np.ndarray, np.ndarray
 
     Consecutive time pairs (t_last, t_cur_next): a normal DDNM step when
     descending (t_next < t_last, step at t_last), an undo re-noise at
-    t_last+1 when ascending (gaussian_diffusion.py:700-734, t_shift=1).
+    t_last + PosteriorTables.travel_shift when ascending
+    (gaussian_diffusion.py:700-734; shift = conf inpa_inj_time_shift,
+    default 1).
     """
     times = sch.get_schedule_jump_hq(**schedule_jump_params)
     t_last = np.asarray(times[:-1], dtype=np.int32)

@@ -278,8 +278,11 @@ def mask_shift_sample(
         )
 
     carry_x = None
-    if tile_init == "carry" and init_noise is not None:
-        carry_x = jnp.asarray(init_noise, jnp.float32).reshape(1, TILE, TILE, 3)
+    first_init = None
+    if init_noise is not None:
+        first_init = jnp.asarray(init_noise, jnp.float32).reshape(1, TILE, TILE, 3)
+        if tile_init == "carry":
+            carry_x = first_init
 
     for group in groups:
         n = len(group)
@@ -296,9 +299,11 @@ def mask_shift_sample(
         if tile_init == "carry" and carry_x is not None:
             x_init_b = carry_x  # previous tile's final sample (or init_noise)
         else:
-            x_init_b = jnp.concatenate(
-                [_tile_init(tile_keys[t.index][0]) for t in padded]
-            )
+            x_init_b = jnp.concatenate([
+                first_init if (t.index == (0, 0) and first_init is not None)
+                else _tile_init(tile_keys[t.index][0])
+                for t in padded
+            ])
         if mesh is not None and x_init_b.shape[0] % mesh.size == 0:
             from ddnm_tpu.parallel import shard_batch
 

@@ -185,7 +185,8 @@ def main(argv=None):
         timestep_respacing=str(conf.timestep_respacing or "100"),
         sigma_y=ns.sigma_y,
         schedule_jump_params=dict(conf.schedule_jump_params or {}),
-        time_shift=int(conf.inpa_inj_time_shift or 1),
+        time_shift=(1 if conf.inpa_inj_time_shift is None
+                    else int(conf.inpa_inj_time_shift)),
     )
 
     gt = load_image(ns.path_y)  # (H, W, 3) float32 in [0, 1]

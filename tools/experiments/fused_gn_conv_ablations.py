@@ -12,7 +12,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 import sys
 sys.path.insert(0, str(__import__('pathlib').Path(__file__).parent))
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, str(__import__('pathlib').Path(__file__).resolve().parents[2]))
 from ddnm_tpu.utils import enable_compilation_cache
 enable_compilation_cache()
 import fused_gn_conv as E
@@ -160,15 +160,13 @@ def _time(fn, n, x0, *args, reps=5):
     for r in range(reps):
         xr = x0 + jnp.bfloat16(r * 1e-3)
         t0 = time.perf_counter()
-        jax.device_get(fn(xr if False else xr, *([n, xr] + list(args))[2:])) if False else None
-        t0 = time.perf_counter()
         jax.device_get(fn(n, xr, *args))
         ts.append(time.perf_counter() - t0)
     return np.median(ts)
 
 
 def bench_loop(body, x0, *args):
-    """Per-iteration compute: (t_N50 - t_N10) / 40 — tunnel transfer cancels."""
+    """Per-iteration compute: (t_N200 - t_N40) / 160 — tunnel transfer cancels."""
     f = loop(body)
     t_hi = _time(f, 200, x0, *args)
     t_lo = _time(f, 40, x0, *args)

@@ -6,7 +6,7 @@ experiment, not a production path.
 """
 import sys, shutil, subprocess
 sys.path.insert(0, str(__import__('pathlib').Path(__file__).parent))
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, str(__import__('pathlib').Path(__file__).resolve().parents[2]))
 from ddnm_tpu.utils import enable_compilation_cache
 enable_compilation_cache()
 import fused_gn_conv as E
