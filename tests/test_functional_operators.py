@@ -104,3 +104,38 @@ def test_compose_matches_diy():
     np.testing.assert_allclose(np.asarray(comp.A(x)), np.asarray(built.A(x)), atol=1e-6)
     y = built.A(x)
     np.testing.assert_allclose(np.asarray(comp.Ap(y)), np.asarray(built.Ap(y)), atol=1e-6)
+
+
+def test_sr_color_parity_with_hq_reference():
+    """sr_color (hq-only composition, gaussian_diffusion.py:628-638):
+    A = color2gray(avgpool(x)), A+ = upsample(gray2color(y)) — parity with
+    the reference hq closures, including the A_temp full-canvas variant."""
+    torch = pytest.importorskip("torch")
+    from tests._reference import import_hq_reference
+    from ddnm_tpu.tiling import build_hq_operators
+
+    gd = import_hq_reference("gaussian_diffusion")
+    scale, size = 4, 64
+    x = RNG.randn(1, 3, size, size).astype(np.float32)
+
+    op, a_temp = build_hq_operators(
+        "sr_color", scale=scale, gt_shape=(size, size)
+    )
+    x_t = torch.from_numpy(x)
+    pool = torch.nn.AdaptiveAvgPool2d((size // scale, size // scale))
+    ref_a = gd.color2gray(pool(x_t))
+    up = lambda z: z.repeat_interleave(scale, dim=2).repeat_interleave(scale, dim=3)
+    ref_ap = up(gd.gray2color(ref_a))
+
+    ours_a = op.A(jnp.asarray(_nhwc(x)))
+    np.testing.assert_allclose(ours_a, _nhwc(ref_a.numpy()), atol=1e-5)
+    np.testing.assert_allclose(
+        op.Ap(ours_a), _nhwc(ref_ap.numpy()), atol=1e-5
+    )
+    # A_temp on a larger-than-tile canvas (the hq target-size measurement)
+    big = RNG.randn(1, 3, 2 * size, 2 * size).astype(np.float32)
+    pool_big = torch.nn.AdaptiveAvgPool2d((2 * size // scale, 2 * size // scale))
+    ref_temp = gd.color2gray(pool_big(torch.from_numpy(big)))
+    np.testing.assert_allclose(
+        a_temp(jnp.asarray(_nhwc(big))), _nhwc(ref_temp.numpy()), atol=1e-5
+    )
