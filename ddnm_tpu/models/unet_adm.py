@@ -278,13 +278,20 @@ class _ADMBase(nn.Module):
 
 
 class ADMUNet(_ADMBase):
-    """Full ADM UNet; __call__(x_nhwc, t, y=None) -> (B,H,W,out_channels)."""
+    """Full ADM UNet; __call__(x_nhwc, t, y=None) -> (B,H,W,out_channels).
+
+    `mode` splits the forward for encoder-propagation acceleration
+    (sampling/accel.py): "encode" returns the cacheable (h, skips) pair
+    after the down path + middle block; "decode" consumes such a `cache`
+    with a FRESH time embedding (x is used for its dtype only). Every
+    submodule carries an explicit name, so the parameter tree is identical
+    across modes."""
 
     out_channels: int = 6  # learn_sigma default for the ImageNet ckpts
     num_classes: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x, timesteps, y=None):
+    def __call__(self, x, timesteps, y=None, *, mode="full", cache=None):
         time_embed_dim = self.model_channels * 4
         emb = timestep_embedding_adm(timesteps, self.model_channels)
         emb = _dense(time_embed_dim, "time_embed_0", dtype=self.dtype)(emb)
@@ -297,7 +304,12 @@ class ADMUNet(_ADMBase):
             )(y)
 
         orig_dtype = x.dtype
-        h, hs = self._torso(x.astype(self.dtype), emb)
+        if mode == "decode":
+            h, hs = cache[0], list(cache[1])
+        else:
+            h, hs = self._torso(x.astype(self.dtype), emb)
+            if mode == "encode":
+                return h, tuple(hs)
 
         # output blocks mirror unet.py:567-611
         _, input_block_chans, ch, ds = _backbone_plan(

@@ -37,7 +37,7 @@ from ddnm_tpu.sampling.ddnm import (
     _travel_step,
 )
 
-__all__ = ["sample_simplified_encoder_prop"]
+__all__ = ["sample_simplified_encoder_prop", "sample_posterior_encoder_prop"]
 
 
 @partial(jax.jit, static_argnames=("model", "operator", "eta", "sigma_y", "noise_fn"))
@@ -125,3 +125,133 @@ def sample_simplified_encoder_prop(
             )
         model_call += 1
     return x, x0_pred
+
+
+# ---------------------------------------------------------------------------
+# Posterior (hq / ADM) encoder propagation
+# ---------------------------------------------------------------------------
+# Same Faster-Diffusion idea applied to the hq posterior sampler: the ADM
+# UNet exposes mode="encode"/"decode" splits (models/unet_adm.py ADMUNet);
+# callers provide encode_fn/decode_fn so class-conditional label plumbing
+# stays at the CLI layer. Host-driven loop; interval=1 is exactly the
+# standard host-loop posterior sampler (tested).
+
+from ddnm_tpu.sampling.posterior import (  # noqa: E402
+    PosteriorTables,
+    _posterior_update,
+)
+
+
+@partial(jax.jit, static_argnames=(
+    "encode_fn", "decode_fn", "operator", "guidance_fn", "clip_denoised",
+    "noise_fn", "has_paste"))
+def _p_key_step(encode_fn, decode_fn, operator, guidance_fn, clip_denoised,
+                noise_fn, has_paste, params, x, apy, paste_mask,
+                paste_content, key, t_orig, sqrt_recip, sqrt_recipm1, lam,
+                coef1, coef2, gamma, nonzero):
+    key, k_noise = jax.random.split(key)
+    noise = noise_fn(k_noise, x.shape)
+    t_b = jnp.full((x.shape[0],), t_orig, dtype=jnp.float32)
+    cache = encode_fn(params, x, t_b)
+    out = decode_fn(params, cache, x, t_b)
+    x_next, x0_hat = _posterior_update(
+        operator, guidance_fn, clip_denoised, params, x, apy,
+        paste_mask if has_paste else None,
+        paste_content if has_paste else None,
+        noise, out, t_b, sqrt_recip, sqrt_recipm1, lam, coef1, coef2, gamma,
+        nonzero,
+    )
+    return x_next, x0_hat, cache, key
+
+
+@partial(jax.jit, static_argnames=(
+    "decode_fn", "operator", "guidance_fn", "clip_denoised", "noise_fn",
+    "has_paste"))
+def _p_cached_step(decode_fn, operator, guidance_fn, clip_denoised, noise_fn,
+                   has_paste, params, x, apy, paste_mask, paste_content,
+                   cache, key, t_orig, sqrt_recip, sqrt_recipm1, lam, coef1,
+                   coef2, gamma, nonzero):
+    key, k_noise = jax.random.split(key)
+    noise = noise_fn(k_noise, x.shape)
+    t_b = jnp.full((x.shape[0],), t_orig, dtype=jnp.float32)
+    out = decode_fn(params, cache, x, t_b)
+    x_next, x0_hat = _posterior_update(
+        operator, guidance_fn, clip_denoised, params, x, apy,
+        paste_mask if has_paste else None,
+        paste_content if has_paste else None,
+        noise, out, t_b, sqrt_recip, sqrt_recipm1, lam, coef1, coef2, gamma,
+        nonzero,
+    )
+    return x_next, x0_hat, key
+
+
+@partial(jax.jit, static_argnames=("noise_fn",))
+def _p_undo(noise_fn, x, key, beta):
+    key, k_noise = jax.random.split(key)
+    noise = noise_fn(k_noise, x.shape)
+    return jnp.sqrt(1.0 - beta) * x + jnp.sqrt(beta) * noise, key
+
+
+def sample_posterior_encoder_prop(
+    encode_fn,
+    decode_fn,
+    x_init,
+    apy,
+    operator,
+    tables: PosteriorTables,
+    key,
+    *,
+    interval: int = 3,
+    paste_mask=None,
+    paste_content=None,
+    guidance_fn=None,
+    clip_denoised: bool = True,
+    noise_fn=_default_noise,
+    params=None,
+):
+    """Posterior DDNM with encoder features reused for `interval-1` of every
+    `interval` model calls (see module docstring; APPROXIMATE for
+    interval > 1). `encode_fn(params, x, t) -> cache`,
+    `decode_fn(params, cache, x, t) -> (B,H,W,2C)`. RNG-key carry order
+    matches sample_posterior's host driver, so interval=1 is bit-identical.
+    """
+    has_paste = paste_mask is not None
+    if not has_paste:
+        paste_mask = jnp.zeros((), jnp.float32)
+        paste_content = jnp.zeros((), jnp.float32)
+    tbl = tables
+    n_t = len(tbl.betas)
+    x, x0_hat = x_init, jnp.zeros_like(x_init)
+    cache = None
+    model_call = 0
+    for t, travel in zip(tbl.t_cur, tbl.is_travel):
+        t = int(t)
+        if bool(travel):
+            shift = int(tbl.travel_shift)
+            beta = float(tbl.betas[min(t + shift, n_t - 1)])
+            x, key = _p_undo(noise_fn, x, key, beta)
+            continue
+        scalars = (
+            float(tbl.timestep_map[t]),
+            float(tbl.sqrt_recip_alphas_cumprod[t]),
+            float(tbl.sqrt_recipm1_alphas_cumprod[t]),
+            float(tbl.lambda_t[t]),
+            float(tbl.posterior_mean_coef1[t]),
+            float(tbl.posterior_mean_coef2[t]),
+            float(tbl.gamma_t[t]),
+            1.0 if t != 0 else 0.0,
+        )
+        if cache is None or model_call % interval == 0:
+            x, x0_hat, cache, key = _p_key_step(
+                encode_fn, decode_fn, operator, guidance_fn, clip_denoised,
+                noise_fn, has_paste, params, x, apy, paste_mask,
+                paste_content, key, *scalars,
+            )
+        else:
+            x, x0_hat, key = _p_cached_step(
+                decode_fn, operator, guidance_fn, clip_denoised, noise_fn,
+                has_paste, params, x, apy, paste_mask, paste_content, cache,
+                key, *scalars,
+            )
+        model_call += 1
+    return x, x0_hat

@@ -219,6 +219,20 @@ def _posterior_body(
     n = x.shape[0]
     t_b = jnp.full((n,), t_orig, dtype=jnp.float32)
     out = model_fn(x, t_b) if params is None else model_fn(params, x, t_b)
+    return _posterior_update(
+        operator, guidance_fn, clip_denoised, params, x, apy, paste_mask,
+        paste_content, noise, out, t_b, sqrt_recip, sqrt_recipm1, lam,
+        coef1, coef2, gamma, nonzero,
+    )
+
+
+def _posterior_update(
+    operator, guidance_fn, clip_denoised, params, x, apy, paste_mask,
+    paste_content, noise, out, t_b, sqrt_recip, sqrt_recipm1, lam, coef1,
+    coef2, gamma, nonzero,
+):
+    """The posterior DDNM step given the model output `out` (shared by the
+    standard samplers and the encoder-propagation sampler in accel.py)."""
     c = x.shape[-1]
     eps = out[..., :c]  # var_values out[..., c:] unused: DDNM sets var=gamma_t
 

@@ -145,6 +145,9 @@ def mask_shift_sample(
     progress_fn: Optional[Callable[[Tile, np.ndarray], None]] = None,
     tile_init: Optional[str] = None,
     init_noise: Optional[np.ndarray] = None,
+    encoder_cache: int = 1,
+    encode_fn=None,
+    decode_fn=None,
 ) -> dict:
     """Restore an arbitrary-size image with Mask-Shift DDNM.
 
@@ -174,7 +177,13 @@ def mask_shift_sample(
     `progress_fn(tile, x0_hat)` is called after each tile completes (the
     reference saves intermediate tiles every 25 steps; we expose a hook
     instead of hard-coded PNG writes).
+
+    `encoder_cache > 1` (with `encode_fn`/`decode_fn`, see
+    sampling/accel.py) reuses UNet encoder features across that many model
+    calls per tile — an APPROXIMATE opt-in acceleration.
     """
+    if encoder_cache > 1 and (encode_fn is None or decode_fn is None):
+        raise ValueError("encoder_cache > 1 requires encode_fn and decode_fn")
     if tile_init is None:
         tile_init = "fresh" if parallel else "carry"
     if tile_init not in ("carry", "fresh"):
@@ -310,19 +319,31 @@ def mask_shift_sample(
             x_init_b, apy_b, mask_b, content_b = shard_batch(
                 mesh, (x_init_b, apy_b, mask_b, content_b)
             )
-        x_b, x0_b = sample_posterior(
-            model_fn,
-            x_init_b,
-            apy_b,
-            op,
-            tables,
-            tile_keys[group[0].index][1],
-            paste_mask=mask_b,
-            paste_content=content_b,
-            guidance_fn=guidance_fn,
-            params=params,
-            **({"noise_fn": noise_fn} if noise_fn is not None else {}),
-        )
+        noise_kw = {"noise_fn": noise_fn} if noise_fn is not None else {}
+        if encoder_cache > 1:
+            from ddnm_tpu.sampling.accel import sample_posterior_encoder_prop
+
+            x_b, x0_b = sample_posterior_encoder_prop(
+                encode_fn, decode_fn, x_init_b, apy_b, op, tables,
+                tile_keys[group[0].index][1],
+                interval=encoder_cache, paste_mask=mask_b,
+                paste_content=content_b, guidance_fn=guidance_fn,
+                params=params, **noise_kw,
+            )
+        else:
+            x_b, x0_b = sample_posterior(
+                model_fn,
+                x_init_b,
+                apy_b,
+                op,
+                tables,
+                tile_keys[group[0].index][1],
+                paste_mask=mask_b,
+                paste_content=content_b,
+                guidance_fn=guidance_fn,
+                params=params,
+                **noise_kw,
+            )
         if tile_init == "carry":
             carry_x = x_b
         for i, t in enumerate(group):

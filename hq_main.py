@@ -50,6 +50,10 @@ def parse_args(argv=None):
                    help="start every tile from fresh gaussian noise instead of "
                         "the reference's carried image_after_step "
                         "(gaussian_diffusion.py:572-575)")
+    p.add_argument("--encoder_cache", type=int, default=1,
+                   help=">1: reuse UNet encoder features across this many "
+                        "model calls (approximate Faster-Diffusion accel, "
+                        "see ddnm_tpu/sampling/accel.py)")
     return p.parse_args(argv)
 
 
@@ -137,14 +141,24 @@ def main(argv=None):
         label = ns.class_label if ns.class_label is not None else 0
         classes = jnp.full((1,), label, dtype=jnp.int32)
 
-        def model_fn(p, x, t):
+        def _cls(x):
             # batch-size agnostic (wavefront tiling batches vary)
-            cls = jnp.full((x.shape[0],), label, dtype=jnp.int32)
-            return model.apply(p["model"], x, t, cls)
+            return jnp.full((x.shape[0],), label, dtype=jnp.int32)
+
+        def model_fn(p, x, t):
+            return model.apply(p["model"], x, t, _cls(x))
     else:
+        _cls = lambda x: None
 
         def model_fn(p, x, t):
             return model.apply(p["model"], x, t)
+
+    # encoder-propagation split forwards (sampling/accel.py; opt-in)
+    def encode_fn(p, x, t):
+        return model.apply(p["model"], x, t, _cls(x), mode="encode")
+
+    def decode_fn(p, cache, x, t):
+        return model.apply(p["model"], x, t, _cls(x), mode="decode", cache=cache)
 
     guidance_fn = None
     cparams = None
@@ -223,6 +237,7 @@ def main(argv=None):
         scale=ns.scale, resize_y=ns.resize_y, mask=mask, guidance_fn=guidance_fn,
         params=run_params, parallel=ns.parallel_tiles, progress_fn=progress,
         tile_init="fresh" if (ns.parallel_tiles or ns.fresh_tile_init) else "carry",
+        encoder_cache=ns.encoder_cache, encode_fn=encode_fn, decode_fn=decode_fn,
     )
     if pbar is not None:
         pbar.close()

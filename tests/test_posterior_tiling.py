@@ -787,3 +787,64 @@ def test_posterior_time_shift_oracle():
     np.testing.assert_allclose(
         np.asarray(x_fin), np.transpose(x.numpy(), (0, 2, 3, 1)), atol=2e-4
     )
+
+
+def test_posterior_encoder_prop_interval1_exact():
+    """sample_posterior_encoder_prop at interval=1 is bit-identical to the
+    standard host-loop posterior sampler on a real (tiny) ADM UNet; at
+    interval=3 it stays finite and in the same neighbourhood (APPROXIMATE).
+    Covers the RNG-carry order claim in sampling/accel.py."""
+    from ddnm_tpu.models import ADMUNet
+    from ddnm_tpu.sampling.accel import sample_posterior_encoder_prop
+
+    size = 32
+    model = ADMUNet(
+        image_size=size, in_channels=3, model_channels=32, out_channels=6,
+        num_res_blocks=1, attention_resolutions=(4,), channel_mult=(1, 2),
+        num_heads=1, num_head_channels=32, use_scale_shift_norm=True,
+        resblock_updown=True,
+    )
+    rng = np.random.default_rng(11)
+    x_init = jnp.asarray(rng.standard_normal((1, size, size, 3)), jnp.float32)
+    gt = jnp.asarray(rng.uniform(-1, 1, (1, size, size, 3)), jnp.float32)
+    op = build_functional_operator("sr_averagepooling", image_size=size, deg_scale=4)
+    apy = op.Ap(op.A(gt))
+
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), x_init, jnp.zeros((1,), jnp.float32)
+    )
+    betas = sch.named_beta_schedule("linear", 100, use_scale=True)
+    tables = build_posterior_tables(
+        betas=betas, timestep_respacing="6", sigma_y=0.0,
+        schedule_jump_params=dict(t_T=6, n_sample=1, jump_length=2, jump_n_sample=2),
+    )
+    key = jax.random.PRNGKey(3)
+
+    def model_fn(p, x, t):
+        return model.apply(p, x, t)
+
+    def encode_fn(p, x, t):
+        return model.apply(p, x, t, mode="encode")
+
+    def decode_fn(p, cache, x, t):
+        return model.apply(p, x, t, mode="decode", cache=cache)
+
+    x_ref, x0_ref = sample_posterior(
+        model_fn, x_init, apy, op, tables, key, loop="host", params=params
+    )
+    x_1, x0_1 = sample_posterior_encoder_prop(
+        encode_fn, decode_fn, x_init, apy, op, tables, key,
+        interval=1, params=params,
+    )
+    np.testing.assert_allclose(np.asarray(x_1), np.asarray(x_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(x0_1), np.asarray(x0_ref), atol=1e-6)
+
+    x_3, x0_3 = sample_posterior_encoder_prop(
+        encode_fn, decode_fn, x_init, apy, op, tables, key,
+        interval=3, params=params,
+    )
+    assert np.isfinite(np.asarray(x_3)).all()
+    assert np.isfinite(np.asarray(x0_3)).all()
+    # x0_hat is range-space corrected every step, so even the approximate
+    # trajectory stays near the exact one on this toy problem
+    assert np.abs(np.asarray(x0_3) - np.asarray(x0_ref)).mean() < 0.5

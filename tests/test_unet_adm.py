@@ -165,3 +165,34 @@ def test_classifier_guidance_grad():
     np.testing.assert_allclose(
         np.transpose(np.asarray(g), (0, 3, 1, 2)), ref_grad, atol=1e-4, rtol=1e-3
     )
+
+
+@pytest.mark.parametrize("class_cond", [False, True])
+def test_adm_encode_decode_split_matches_full(class_cond):
+    """mode="encode"/"decode" (encoder-propagation accel, sampling/accel.py)
+    composes to exactly the full forward, with the SAME parameter tree."""
+    num_classes = 1000 if class_cond else None
+    model = _ours_unet(num_classes)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, RES, RES, 3).astype(np.float32))
+    t = jnp.asarray([70.0, 3.0], dtype=jnp.float32)
+    y = jnp.asarray([12, 951]) if class_cond else None
+
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t, y)
+    # un-zero the zero_module-initialised convs so outputs are non-trivial
+    params = jax.tree.map(
+        lambda a: a + 0.05 * jnp.sin(1.7 * jnp.arange(a.size, dtype=jnp.float32)
+                                     ).reshape(a.shape),
+        params,
+    )
+    full = model.apply(params, x, t, y)
+    cache = model.apply(params, x, t, y, mode="encode")
+    split = model.apply(params, x, t, y, mode="decode", cache=cache)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(split))
+
+    # decode with a FRESH timestep: differs from full at the old t (the
+    # decoder really consumes the new embedding, not a stale one)
+    t2 = jnp.asarray([69.0, 2.0], dtype=jnp.float32)
+    out2 = model.apply(params, x, t2, y, mode="decode", cache=cache)
+    assert np.isfinite(np.asarray(out2)).all()
+    assert np.abs(np.asarray(out2) - np.asarray(full)).max() > 0
