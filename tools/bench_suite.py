@@ -7,6 +7,8 @@ Measures images/sec/chip for:
   - svd_cs_wh: Walsh-Hadamard CS 0.25, 100 steps (FWHT hot path)
   - hq_tile: one 256px tile of the posterior sampler, jump 100/10x3
     (~380 model calls — the hq_demo per-tile workload)
+  - hq_tile_enc3: same tile with encoder-propagation at interval 3
+    (sampling/accel.py, opt-in approximate accel)
 
 Prints one JSON line per workload. All on the DDPM UNet (114M, bf16 torso)
 except hq_tile which uses a learn-sigma variant head.
@@ -108,7 +110,7 @@ def main(argv=None):
         eps = model.apply(p, xx, tt)
         return jnp.concatenate([eps, jnp.zeros_like(eps)], axis=-1)
 
-    if not wanted("hq_tile"):
+    if not (wanted("hq_tile") or wanted("hq_tile_enc3")):
         for k, v in results.items():
             print(json.dumps({"metric": k, "value": round(float(v), 4), "unit": "img/s"}))
         return
@@ -120,12 +122,40 @@ def main(argv=None):
     )
     apy = op.Ap(op.A(x[:1]))
     n_model_calls = int((~tables.is_travel).sum())
-    results["hq_tile"] = timeit(
-        lambda k: sample_posterior(model6_fn, x[:1], apy, op, tables, k,
-                                   params=params),
-        n_runs=1, items_per_run=1,
-    )
-    results["hq_tile_model_calls"] = n_model_calls
+    if wanted("hq_tile"):
+        results["hq_tile"] = timeit(
+            lambda k: sample_posterior(model6_fn, x[:1], apy, op, tables, k,
+                                       params=params),
+            n_runs=1, items_per_run=1,
+        )
+        results["hq_tile_model_calls"] = n_model_calls
+
+    if wanted("hq_tile_enc3"):
+        from ddnm_tpu.sampling.accel import sample_posterior_encoder_prop
+
+        def enc_fn(p, xx, tt):
+            def f(mdl, xi, t):
+                temb = mdl.time_embed(t)
+                h, hs = mdl.encode(xi, temb)
+                return h, tuple(hs)
+
+            return model.apply(p, xx, tt, method=f)
+
+        def dec_fn(p, cache, xx, tt):
+            def f(mdl, h, hs, t, dtype):
+                temb = mdl.time_embed(t)
+                return mdl.decode(h, list(hs), temb, orig_dtype=dtype)
+
+            eps = model.apply(p, cache[0], list(cache[1]), tt, xx.dtype, method=f)
+            return jnp.concatenate([eps, jnp.zeros_like(eps)], axis=-1)
+
+        results["hq_tile_enc3"] = timeit(
+            lambda k: sample_posterior_encoder_prop(
+                enc_fn, dec_fn, x[:1], apy, op, tables, k,
+                interval=3, params=params,
+            ),
+            n_runs=1, items_per_run=1,
+        )
 
     for k, v in results.items():
         unit = "img/s" if k != "hq_tile_model_calls" else "calls"
