@@ -37,7 +37,40 @@ from ddnm_tpu.sampling.ddnm import (
     _travel_step,
 )
 
-__all__ = ["sample_simplified_encoder_prop", "sample_posterior_encoder_prop"]
+__all__ = [
+    "sample_simplified_encoder_prop",
+    "sample_posterior_encoder_prop",
+    "ddpm_split_fns",
+]
+
+
+def _ddpm_encode(mdl, x, t):
+    """DDPMUNet encoder half: (h, skips) — the cacheable pair."""
+    temb = mdl.time_embed(t)
+    h, hs = mdl.encode(x, temb)
+    return h, tuple(hs)
+
+
+def _ddpm_decode(mdl, h, hs, t, dtype):
+    """DDPMUNet decoder half with a FRESH time embedding."""
+    temb = mdl.time_embed(t)
+    return mdl.decode(h, list(hs), temb, orig_dtype=dtype)
+
+
+def ddpm_split_fns(model):
+    """(encode_fn, decode_fn) for a DDPMUNet, matching the
+    sample_posterior_encoder_prop contract: `encode_fn(params, x, t) ->
+    cache`, `decode_fn(params, cache, x, t) -> eps`. Build ONCE per model
+    and reuse — the returned closures are jit static arguments."""
+
+    def encode_fn(params, x, t):
+        return model.apply(params, x, t, method=_ddpm_encode)
+
+    def decode_fn(params, cache, x, t):
+        return model.apply(params, cache[0], cache[1], t, x.dtype,
+                           method=_ddpm_decode)
+
+    return encode_fn, decode_fn
 
 
 @partial(jax.jit, static_argnames=("model", "operator", "eta", "sigma_y", "noise_fn"))
@@ -48,10 +81,9 @@ def _key_step(model, operator, eta, sigma_y, noise_fn, params, x, y, key, t_f,
     noise = noise_fn(k_noise, x.shape)
 
     def fwd(mdl, x, t):
-        temb = mdl.time_embed(t)
-        h, hs = mdl.encode(x, temb)
-        eps = mdl.decode(h, hs, temb, orig_dtype=x.dtype)
-        return eps, (h, tuple(hs))
+        h, hs = _ddpm_encode(mdl, x, t)
+        eps = _ddpm_decode(mdl, h, hs, t, x.dtype)  # XLA CSEs the shared temb
+        return eps, (h, hs)
 
     t_b = jnp.full((x.shape[0],), t_f, jnp.float32)
     et, cache = model.apply(params, x, t_b, method=fwd)
@@ -66,13 +98,9 @@ def _cached_step(model, operator, eta, sigma_y, noise_fn, params, x, y, cache,
     key, k_noise = jax.random.split(key)
     noise = noise_fn(k_noise, x.shape)
 
-    def dec(mdl, h, hs, t, dtype):
-        temb = mdl.time_embed(t)
-        return mdl.decode(h, list(hs), temb, orig_dtype=dtype)
-
     h, hs = cache
     t_b = jnp.full((x.shape[0],), t_f, jnp.float32)
-    et = model.apply(params, h, hs, t_b, x.dtype, method=dec)
+    et = model.apply(params, h, hs, t_b, x.dtype, method=_ddpm_decode)
     x_next, x0_t = _simplified_update(operator, eta, sigma_y, x, y, et, at, at_next, noise)
     return x_next, x0_t, key
 
@@ -103,6 +131,8 @@ def sample_simplified_encoder_prop(
     (needs its encode/decode split); host-driven loop.
 
     interval=1 is exactly the standard host-loop sampler (tested)."""
+    if interval < 1:
+        raise ValueError(f"interval must be >= 1, got {interval}")
     abar = np.asarray(sched.alpha_bar)
     x, x0_pred = x_init, jnp.zeros_like(x_init)
     cache = None
@@ -112,6 +142,9 @@ def sample_simplified_encoder_prop(
         at_next = float(abar[int(t_j) + 1])
         if bool(travel):
             x, key = _travel(noise_fn, x0_pred, key, at_next)
+            # a time-travel jump breaks the adjacent-timestep premise:
+            # invalidate the cache so a key (full) step follows every jump
+            cache, model_call = None, 0
             continue
         if cache is None or model_call % interval == 0:
             x, x0_pred, cache, key = _key_step(
@@ -138,6 +171,7 @@ def sample_simplified_encoder_prop(
 
 from ddnm_tpu.sampling.posterior import (  # noqa: E402
     PosteriorTables,
+    _host_undo,
     _posterior_update,
 )
 
@@ -185,13 +219,6 @@ def _p_cached_step(decode_fn, operator, guidance_fn, clip_denoised, noise_fn,
     return x_next, x0_hat, key
 
 
-@partial(jax.jit, static_argnames=("noise_fn",))
-def _p_undo(noise_fn, x, key, beta):
-    key, k_noise = jax.random.split(key)
-    noise = noise_fn(k_noise, x.shape)
-    return jnp.sqrt(1.0 - beta) * x + jnp.sqrt(beta) * noise, key
-
-
 def sample_posterior_encoder_prop(
     encode_fn,
     decode_fn,
@@ -215,6 +242,8 @@ def sample_posterior_encoder_prop(
     `decode_fn(params, cache, x, t) -> (B,H,W,2C)`. RNG-key carry order
     matches sample_posterior's host driver, so interval=1 is bit-identical.
     """
+    if interval < 1:
+        raise ValueError(f"interval must be >= 1, got {interval}")
     has_paste = paste_mask is not None
     if not has_paste:
         paste_mask = jnp.zeros((), jnp.float32)
@@ -229,7 +258,9 @@ def sample_posterior_encoder_prop(
         if bool(travel):
             shift = int(tbl.travel_shift)
             beta = float(tbl.betas[min(t + shift, n_t - 1)])
-            x, key = _p_undo(noise_fn, x, key, beta)
+            x, key = _host_undo(noise_fn, x, key, beta)
+            # invalidate across time-travel jumps (see simplified variant)
+            cache, model_call = None, 0
             continue
         scalars = (
             float(tbl.timestep_map[t]),

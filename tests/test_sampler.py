@@ -335,3 +335,21 @@ def test_encoder_prop_interval1_exact_and_interval3_close(tiny_model):
     diff = float(np.abs(np.asarray(acc3) - np.asarray(exact)).max())
     assert 0.0 < diff < 1.0  # approximate but bounded
     assert np.isfinite(np.asarray(acc3)).all()
+
+
+def test_encoder_prop_rejects_bad_interval():
+    import pytest as _pytest
+
+    from ddnm_tpu.sampling.accel import (
+        sample_posterior_encoder_prop,
+        sample_simplified_encoder_prop,
+    )
+
+    with _pytest.raises(ValueError, match="interval"):
+        sample_simplified_encoder_prop(
+            None, None, None, None, None, None, None, interval=0
+        )
+    with _pytest.raises(ValueError, match="interval"):
+        sample_posterior_encoder_prop(
+            None, None, None, None, None, None, None, interval=0
+        )

@@ -32,7 +32,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description="extended DDNM benchmarks")
     ap.add_argument("--workloads", type=str, default=None,
                     help="comma-separated filter: simplified_sr4, svd_deblur, "
-                         "svd_cs_wh, hq_tile")
+                         "svd_cs_wh, hq_tile, hq_tile_enc3")
     ns = ap.parse_args(argv)
     want = set(ns.workloads.split(",")) if ns.workloads else None
 
@@ -131,22 +131,16 @@ def main(argv=None):
         results["hq_tile_model_calls"] = n_model_calls
 
     if wanted("hq_tile_enc3"):
-        from ddnm_tpu.sampling.accel import sample_posterior_encoder_prop
+        from ddnm_tpu.sampling.accel import (
+            ddpm_split_fns,
+            sample_posterior_encoder_prop,
+        )
 
-        def enc_fn(p, xx, tt):
-            def f(mdl, xi, t):
-                temb = mdl.time_embed(t)
-                h, hs = mdl.encode(xi, temb)
-                return h, tuple(hs)
-
-            return model.apply(p, xx, tt, method=f)
+        enc_fn, dec_raw = ddpm_split_fns(model)
 
         def dec_fn(p, cache, xx, tt):
-            def f(mdl, h, hs, t, dtype):
-                temb = mdl.time_embed(t)
-                return mdl.decode(h, list(hs), temb, orig_dtype=dtype)
-
-            eps = model.apply(p, cache[0], list(cache[1]), tt, xx.dtype, method=f)
+            eps = dec_raw(p, cache, xx, tt)
+            # learn-sigma head shim, as model6_fn above
             return jnp.concatenate([eps, jnp.zeros_like(eps)], axis=-1)
 
         results["hq_tile_enc3"] = timeit(
