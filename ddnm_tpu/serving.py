@@ -22,8 +22,9 @@ import jax.numpy as jnp
 
 from ddnm_tpu.operators.functional import FunctionalOperator
 from ddnm_tpu.sampling.ddnm import _simplified_body
+from ddnm_tpu.sampling.posterior import _posterior_body
 
-__all__ = ["export_simplified_step", "load_exported"]
+__all__ = ["export_simplified_step", "export_posterior_step", "load_exported"]
 
 
 def export_simplified_step(
@@ -64,6 +65,57 @@ def export_simplified_step(
         scalar,
         scalar,
     )
+    exp = jax.export.export(
+        jax.jit(step),
+        platforms=list(platforms) if platforms else None,
+    )(*args)
+    blob = exp.serialize()
+    if path is not None:
+        Path(path).write_bytes(blob)
+    return blob
+
+
+def export_posterior_step(
+    model_fn: Callable,
+    params,
+    operator: FunctionalOperator,
+    *,
+    batch: int,
+    image_size: int,
+    clip_denoised: bool = True,
+    platforms: tuple[str, ...] | None = None,
+    path: str | Path | None = None,
+) -> bytes:
+    """Serialize one posterior-DDNM step (the hq pipeline's inner step,
+    sampling/posterior.py) for serving.
+
+    model_fn(params, x, t_orig[B]) -> (B,H,W,2C) learned-range ADM head.
+    The exported step has signature
+    (params, x, apy, key, t_orig, sqrt_recip, sqrt_recipm1, lam, coef1,
+     coef2, gamma, nonzero) -> (x_next, x0_hat) — the per-timestep scalars
+    come from `build_posterior_tables`; the serving process drives the
+    jump schedule host-side exactly like `sample_posterior(loop="host")`.
+    Guidance and mask-shift pasting are tiling/CLI concerns and are not
+    part of the serving artifact.
+    """
+
+    def step(params, x, apy, key, t_orig, sqrt_recip, sqrt_recipm1, lam,
+             coef1, coef2, gamma, nonzero):
+        noise = jax.random.normal(key, x.shape, dtype=jnp.float32)
+        return _posterior_body(
+            model_fn, operator, None, clip_denoised, params, x, apy,
+            None, None, noise, t_orig, sqrt_recip, sqrt_recipm1, lam,
+            coef1, coef2, gamma, nonzero,
+        )
+
+    scalar = jax.ShapeDtypeStruct((), jnp.float32)
+    img = jax.ShapeDtypeStruct((batch, image_size, image_size, 3), jnp.float32)
+    args = (
+        jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params),
+        img,
+        img,
+        jax.ShapeDtypeStruct((2,), jnp.uint32),  # raw PRNG key
+    ) + (scalar,) * 8
     exp = jax.export.export(
         jax.jit(step),
         platforms=list(platforms) if platforms else None,

@@ -239,3 +239,51 @@ def test_ssim_sanity():
     b = jnp.asarray(rng.uniform(size=(2, 64, 64, 3)), jnp.float32)
     low = np.asarray(ssim(a, b))
     assert np.all(low < mid)
+
+
+def test_serving_export_posterior_roundtrip(tmp_path):
+    """Export the posterior (hq) DDNM step, reload, match the live step."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddnm_tpu.models.unet_ddpm import DDPMUNet
+    from ddnm_tpu.operators import build_functional_operator
+    from ddnm_tpu.serving import export_posterior_step, load_exported
+
+    size, batch = 32, 2
+    model = DDPMUNet(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                     attn_resolutions=(16,), resolution=size)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (batch, size, size, 3))
+    params = model.init(rng, x, jnp.zeros((batch,)))
+
+    def model_fn(p, xx, tt):
+        eps = model.apply(p, xx, tt)
+        return jnp.concatenate([eps, jnp.zeros_like(eps)], axis=-1)
+
+    op = build_functional_operator("sr_averagepooling", image_size=size, deg_scale=4)
+    apy = op.Ap(op.A(x))
+    blob = export_posterior_step(
+        model_fn, params, op, batch=batch, image_size=size,
+        path=tmp_path / "pstep.bin",
+    )
+    assert (tmp_path / "pstep.bin").stat().st_size == len(blob) > 0
+
+    call = load_exported(tmp_path / "pstep.bin")
+    key = jax.random.key_data(jax.random.PRNGKey(7)).astype(jnp.uint32)
+    scalars = (412.0, 1.8, 1.5, 1.0, 0.02, 0.97, 1e-4, 1.0)
+    out, x0 = call(params, x, apy, key, *scalars)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+    from ddnm_tpu.sampling.posterior import _posterior_body
+
+    noise = jax.random.normal(
+        jax.random.wrap_key_data(key, impl="threefry2x32"), x.shape, jnp.float32
+    )
+    ref_x, ref_x0 = _posterior_body(
+        model_fn, op, None, True, params, x, apy, None, None, noise,
+        *(jnp.float32(s) for s in scalars)
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(ref_x0), atol=1e-5)
