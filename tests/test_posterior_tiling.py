@@ -848,3 +848,36 @@ def test_posterior_encoder_prop_interval1_exact():
     # x0_hat is range-space corrected every step, so even the approximate
     # trajectory stays near the exact one on this toy problem
     assert np.abs(np.asarray(x0_3) - np.asarray(x0_ref)).mean() < 0.5
+
+
+def test_mask_shift_encoder_cache_plumbing_parity():
+    """The tiling encoder_cache branch passes identical (keys, apy, paste
+    mask/content) to the accel sampler: with a decode_fn that ignores the
+    cache (recomputes from the live x), encoder_cache=3 must equal the
+    standard sequential path bitwise for ANY interval."""
+    rng = np.random.default_rng(9)
+    gt = rng.uniform(-1, 1, (1, 384, 384, 3)).astype(np.float32)
+    betas = sch.named_beta_schedule("linear", 100, use_scale=True)
+    tables = build_posterior_tables(
+        betas=betas, timestep_respacing="4", sigma_y=0.0,
+        schedule_jump_params=dict(t_T=4, n_sample=1, jump_length=2, jump_n_sample=2),
+    )
+    toy = _toy_model_jax()
+
+    def encode_fn(p, x, t):
+        return x  # dummy cache
+
+    def decode_fn(p, cache, x, t):
+        return toy(x, t)  # stale-free: uses the live x, cache unused
+
+    common = dict(scale=4, resize_y=False)
+    base = mask_shift_sample(toy, gt, "sr_averagepooling", tables,
+                             jax.random.PRNGKey(2), **common)
+    acc = mask_shift_sample(toy, gt, "sr_averagepooling", tables,
+                            jax.random.PRNGKey(2), encoder_cache=3,
+                            encode_fn=encode_fn, decode_fn=decode_fn, **common)
+    np.testing.assert_allclose(acc["final"], base["final"], atol=1e-6)
+
+    with pytest.raises(ValueError, match="encoder_cache"):
+        mask_shift_sample(toy, gt, "sr_averagepooling", tables,
+                          jax.random.PRNGKey(2), encoder_cache=2, **common)
