@@ -40,6 +40,9 @@ def main(argv=None):
     p.add_argument("--demos", type=str, default=None,
                    help="comma-separated demo-name filter")
     p.add_argument("--parallel_tiles", action="store_true")
+    p.add_argument("--encoder_cache", type=int, default=1)
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
     p.add_argument("--dry-run", action="store_true")
     ns = p.parse_args(argv)
 
@@ -70,6 +73,10 @@ def main(argv=None):
             argv_run += ["--classifier_ckpt", ns.classifier_ckpt]
         if ns.parallel_tiles:
             argv_run.append("--parallel_tiles")
+        if ns.encoder_cache > 1:
+            argv_run += ["--encoder_cache", str(ns.encoder_cache)]
+        if ns.dtype != "float32":
+            argv_run += ["--dtype", ns.dtype]
         print(f"== {name}: hq_main.py {' '.join(argv_run)}")
         if ns.dry_run:
             continue
