@@ -35,6 +35,7 @@ from ddnm_tpu.models import DDPMUNet, ADMUNet, ADMClassifier, classifier_guidanc
 from ddnm_tpu.data.checkpoints import load_params
 from ddnm_tpu.operators import build_functional_operator, build_svd_operator
 from ddnm_tpu.sampling import build_schedule, sample_simplified, sample_svd
+from ddnm_tpu.sampling.accel import sample_simplified_encoder_prop
 from ddnm_tpu.utils import MetricsLogger, jit_init, profile
 from ddnm_tpu import schedules as sch
 
@@ -157,6 +158,19 @@ class Runner:
         if cparams is not None:
             run_params["classifier"] = cparams
         return model_fn, guidance_fn, run_params
+
+    def _split_fns(self):
+        """(encode_fn, decode_fn) for --encoder_cache, built once per run
+        (the closures are jit static args — rebuilding would retrace)."""
+        if getattr(self, "_split_pair", None) is None:
+            from ddnm_tpu.sampling.accel import adm_split_fns, ddpm_split_fns
+
+            if self.config.model.type == "simple":
+                self._split_pair = ddpm_split_fns(self._model)
+            else:
+                label = GUIDED_CLASS if self.config.model.class_cond else None
+                self._split_pair = adm_split_fns(self._model, label=label)
+        return self._split_pair
 
     # -------------------------------------------------------------- operators
     def _mask(self) -> np.ndarray:
@@ -321,15 +335,11 @@ class Runner:
                 x_init = jax.random.normal(k_init, (len(imgs), size, size, 3))
                 if mesh is not None:
                     x_init, y = shard_batch(mesh, (x_init, y))
-                if args.encoder_cache > 1 and cfg.model.type == "simple":
-                    from ddnm_tpu.sampling.accel import (
-                        sample_simplified_encoder_prop,
-                    )
-
+                if args.encoder_cache > 1:
                     x, _ = sample_simplified_encoder_prop(
-                        self._model, self._params, x_init, y, operator,
+                        *self._split_fns(), x_init, y, operator,
                         self.sched, k_samp, eta=args.eta, sigma_y=sigma_y,
-                        interval=args.encoder_cache,
+                        interval=args.encoder_cache, params=self._params,
                     )
                 else:
                     x, _ = sample_simplified(

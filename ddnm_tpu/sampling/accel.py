@@ -41,6 +41,7 @@ __all__ = [
     "sample_simplified_encoder_prop",
     "sample_posterior_encoder_prop",
     "ddpm_split_fns",
+    "adm_split_fns",
 ]
 
 
@@ -73,34 +74,55 @@ def ddpm_split_fns(model):
     return encode_fn, decode_fn
 
 
-@partial(jax.jit, static_argnames=("model", "operator", "eta", "sigma_y", "noise_fn"))
-def _key_step(model, operator, eta, sigma_y, noise_fn, params, x, y, key, t_f,
-              at, at_next):
+def adm_split_fns(model, label=None):
+    """(encode_fn, decode_fn) for an ADMUNet via its mode="encode"/"decode"
+    forward splits (models/unet_adm.py). `label`: optional int class label,
+    broadcast to the batch (class-conditional models). Build ONCE per model
+    and reuse — the returned closures are jit static arguments."""
+
+    def _y(x):
+        if label is None:
+            return None
+        return jnp.full((x.shape[0],), label, dtype=jnp.int32)
+
+    def encode_fn(params, x, t):
+        return model.apply(params, x, t, _y(x), mode="encode")
+
+    def decode_fn(params, cache, x, t):
+        return model.apply(params, x, t, _y(x), mode="decode", cache=cache)
+
+    return encode_fn, decode_fn
+
+
+def _eps_of(out, x):
+    """Strip a learn-sigma head: (B,H,W,2C) -> eps (mirrors ddnm._call_model)."""
+    c = x.shape[-1]
+    return out[..., :c] if out.shape[-1] == 2 * c else out
+
+
+@partial(jax.jit, static_argnames=(
+    "encode_fn", "decode_fn", "operator", "eta", "sigma_y", "noise_fn"))
+def _key_step(encode_fn, decode_fn, operator, eta, sigma_y, noise_fn, params,
+              x, y, key, t_f, at, at_next):
     """Full forward: run encoder + decoder, return the encoder cache."""
     key, k_noise = jax.random.split(key)
     noise = noise_fn(k_noise, x.shape)
-
-    def fwd(mdl, x, t):
-        h, hs = _ddpm_encode(mdl, x, t)
-        eps = _ddpm_decode(mdl, h, hs, t, x.dtype)  # XLA CSEs the shared temb
-        return eps, (h, hs)
-
     t_b = jnp.full((x.shape[0],), t_f, jnp.float32)
-    et, cache = model.apply(params, x, t_b, method=fwd)
+    cache = encode_fn(params, x, t_b)
+    et = _eps_of(decode_fn(params, cache, x, t_b), x)
     x_next, x0_t = _simplified_update(operator, eta, sigma_y, x, y, et, at, at_next, noise)
     return x_next, x0_t, cache, key
 
 
-@partial(jax.jit, static_argnames=("model", "operator", "eta", "sigma_y", "noise_fn"))
-def _cached_step(model, operator, eta, sigma_y, noise_fn, params, x, y, cache,
-                 key, t_f, at, at_next):
+@partial(jax.jit, static_argnames=(
+    "decode_fn", "operator", "eta", "sigma_y", "noise_fn"))
+def _cached_step(decode_fn, operator, eta, sigma_y, noise_fn, params, x, y,
+                 cache, key, t_f, at, at_next):
     """Decoder-only forward from the cached encoder features."""
     key, k_noise = jax.random.split(key)
     noise = noise_fn(k_noise, x.shape)
-
-    h, hs = cache
     t_b = jnp.full((x.shape[0],), t_f, jnp.float32)
-    et = model.apply(params, h, hs, t_b, x.dtype, method=_ddpm_decode)
+    et = _eps_of(decode_fn(params, cache, x, t_b), x)
     x_next, x0_t = _simplified_update(operator, eta, sigma_y, x, y, et, at, at_next, noise)
     return x_next, x0_t, key
 
@@ -113,8 +135,8 @@ def _travel(noise_fn, x0_pred, key, at_next):
 
 
 def sample_simplified_encoder_prop(
-    model,
-    params,
+    encode_fn,
+    decode_fn,
     x_init,
     y,
     operator,
@@ -125,10 +147,13 @@ def sample_simplified_encoder_prop(
     sigma_y: float = 0.0,
     interval: int = 3,
     noise_fn=_default_noise,
+    params=None,
 ):
     """Simplified DDNM+ with encoder features reused for `interval-1` of
-    every `interval` model calls. `model` is the DDPMUNet module itself
-    (needs its encode/decode split); host-driven loop.
+    every `interval` model calls. `encode_fn(params, x, t) -> cache`,
+    `decode_fn(params, cache, x, t) -> eps` (a learn-sigma 2C head is
+    sliced automatically) — build the pair with `ddpm_split_fns` /
+    `adm_split_fns`. Host-driven loop.
 
     interval=1 is exactly the standard host-loop sampler (tested)."""
     if interval < 1:
@@ -148,13 +173,13 @@ def sample_simplified_encoder_prop(
             continue
         if cache is None or model_call % interval == 0:
             x, x0_pred, cache, key = _key_step(
-                model, operator, eta, sigma_y, noise_fn, params, x, y, key,
-                float(t_i), at, at_next,
+                encode_fn, decode_fn, operator, eta, sigma_y, noise_fn,
+                params, x, y, key, float(t_i), at, at_next,
             )
         else:
             x, x0_pred, key = _cached_step(
-                model, operator, eta, sigma_y, noise_fn, params, x, y, cache,
-                key, float(t_i), at, at_next,
+                decode_fn, operator, eta, sigma_y, noise_fn, params, x, y,
+                cache, key, float(t_i), at, at_next,
             )
         model_call += 1
     return x, x0_pred

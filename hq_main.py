@@ -137,28 +137,27 @@ def main(argv=None):
     else:
         raise FileNotFoundError("pass --ckpt (torch .pt to convert) or --random_init")
 
+    from ddnm_tpu.sampling.accel import adm_split_fns
+
     if conf.class_cond:
         label = ns.class_label if ns.class_label is not None else 0
         classes = jnp.full((1,), label, dtype=jnp.int32)
 
-        def _cls(x):
-            # batch-size agnostic (wavefront tiling batches vary)
-            return jnp.full((x.shape[0],), label, dtype=jnp.int32)
-
         def model_fn(p, x, t):
-            return model.apply(p["model"], x, t, _cls(x))
+            # batch-size agnostic (wavefront tiling batches vary)
+            cls = jnp.full((x.shape[0],), label, dtype=jnp.int32)
+            return model.apply(p["model"], x, t, cls)
     else:
-        _cls = lambda x: None
+        label = None
 
         def model_fn(p, x, t):
             return model.apply(p["model"], x, t)
 
-    # encoder-propagation split forwards (sampling/accel.py; opt-in)
-    def encode_fn(p, x, t):
-        return model.apply(p["model"], x, t, _cls(x), mode="encode")
-
-    def decode_fn(p, cache, x, t):
-        return model.apply(p["model"], x, t, _cls(x), mode="decode", cache=cache)
+    # encoder-propagation split forwards (sampling/accel.py; opt-in) —
+    # rebased onto the model-params subtree the tiling run_params carry
+    _enc, _dec = adm_split_fns(model, label=label)
+    encode_fn = lambda p, x, t: _enc(p["model"], x, t)
+    decode_fn = lambda p, cache, x, t: _dec(p["model"], cache, x, t)
 
     guidance_fn = None
     cparams = None

@@ -56,7 +56,7 @@ def parse_args(argv=None):
     p.add_argument("--encoder_cache", type=int, default=1,
                    help="encoder-propagation interval (>1 = approximate "
                         "Faster-Diffusion acceleration; simplified mode, "
-                        "simple model family only)")
+                        "both model families)")
     p.add_argument("--loop", type=str, default="auto",
                    choices=["auto", "scan", "host"],
                    help="sampler loop driver (auto picks per backend)")

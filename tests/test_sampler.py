@@ -309,9 +309,13 @@ def test_svd_sampler_guidance_params_style():
 def test_encoder_prop_interval1_exact_and_interval3_close(tiny_model):
     """Encoder-propagation sampler: interval=1 equals the exact host-loop
     sampler; interval=3 is a finite approximation that actually differs."""
-    from ddnm_tpu.sampling.accel import sample_simplified_encoder_prop
+    from ddnm_tpu.sampling.accel import (
+        ddpm_split_fns,
+        sample_simplified_encoder_prop,
+    )
 
     _, model_fn, model, params = tiny_model
+    enc_fn, dec_fn = ddpm_split_fns(model)
     betas = _betas()
     sched = build_schedule(betas=betas, t_sampling=T_SAMPLING)
     op = build_functional_operator("sr_averagepooling", image_size=RES, deg_scale=4)
@@ -325,12 +329,14 @@ def test_encoder_prop_interval1_exact_and_interval3_close(tiny_model):
         model_fn, x_init, y, op, sched, key, noise_fn=ZERO_NOISE, loop="host"
     )
     acc1, _ = sample_simplified_encoder_prop(
-        model, params, x_init, y, op, sched, key, interval=1, noise_fn=ZERO_NOISE
+        enc_fn, dec_fn, x_init, y, op, sched, key, interval=1,
+        noise_fn=ZERO_NOISE, params=params,
     )
     np.testing.assert_allclose(np.asarray(acc1), np.asarray(exact), atol=1e-5)
 
     acc3, _ = sample_simplified_encoder_prop(
-        model, params, x_init, y, op, sched, key, interval=3, noise_fn=ZERO_NOISE
+        enc_fn, dec_fn, x_init, y, op, sched, key, interval=3,
+        noise_fn=ZERO_NOISE, params=params,
     )
     diff = float(np.abs(np.asarray(acc3) - np.asarray(exact)).max())
     assert 0.0 < diff < 1.0  # approximate but bounded
@@ -353,3 +359,48 @@ def test_encoder_prop_rejects_bad_interval():
         sample_posterior_encoder_prop(
             None, None, None, None, None, None, None, interval=0
         )
+
+
+def test_encoder_prop_adm_simplified_interval1_exact():
+    """adm_split_fns + simplified encoder-prop on a class-conditional ADM
+    learn-sigma model: interval=1 equals the exact host-loop sampler (incl.
+    automatic 6->3 eps slicing and label broadcast)."""
+    from ddnm_tpu.models import ADMUNet
+    from ddnm_tpu.sampling.accel import (
+        adm_split_fns,
+        sample_simplified_encoder_prop,
+    )
+
+    size = 32
+    model = ADMUNet(
+        image_size=size, in_channels=3, model_channels=32, out_channels=6,
+        num_res_blocks=1, attention_resolutions=(4,), channel_mult=(1, 2),
+        num_heads=1, num_head_channels=32, use_scale_shift_norm=True,
+        resblock_updown=True, num_classes=10,
+    )
+    rng = np.random.default_rng(4)
+    x0 = jnp.asarray(rng.uniform(-1, 1, (1, size, size, 3)), jnp.float32)
+    x_init = jnp.asarray(rng.standard_normal((1, size, size, 3)), jnp.float32)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.float32),
+        jnp.zeros((1,), jnp.int32),
+    )
+    op = build_functional_operator("sr_averagepooling", image_size=size, deg_scale=4)
+    y = op.A(x0)
+    sched = build_schedule(betas=_betas(), t_sampling=4)
+    key = jax.random.PRNGKey(6)
+
+    def model_fn(p, x, t):
+        cls = jnp.full((x.shape[0],), 7, jnp.int32)
+        return model.apply(p, x, t, cls)
+
+    exact, _ = sample_simplified(
+        model_fn, x_init, y, op, sched, key, noise_fn=ZERO_NOISE,
+        loop="host", params=params,
+    )
+    enc_fn, dec_fn = adm_split_fns(model, label=7)
+    acc1, _ = sample_simplified_encoder_prop(
+        enc_fn, dec_fn, x_init, y, op, sched, key, interval=1,
+        noise_fn=ZERO_NOISE, params=params,
+    )
+    np.testing.assert_allclose(np.asarray(acc1), np.asarray(exact), atol=1e-5)
