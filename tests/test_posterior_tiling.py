@@ -881,3 +881,32 @@ def test_mask_shift_encoder_cache_plumbing_parity():
     with pytest.raises(ValueError, match="encoder_cache"):
         mask_shift_sample(toy, gt, "sr_averagepooling", tables,
                           jax.random.PRNGKey(2), encoder_cache=2, **common)
+
+
+def test_wavefront_mesh_with_encoder_cache():
+    """Mesh-sharded wavefront tiling composed with the encoder-cache branch:
+    identical canvas to the unsharded/uncached run (stale-free decode_fn, so
+    the interval is semantically exact — isolates the plumbing)."""
+    from ddnm_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(13)
+    gt = rng.uniform(-1, 1, (1, 512, 512, 3)).astype(np.float32)
+    betas = sch.named_beta_schedule("linear", 100, use_scale=True)
+    tables = build_posterior_tables(
+        betas=betas, timestep_respacing="3", sigma_y=0.0,
+        schedule_jump_params=dict(t_T=3, n_sample=1, jump_length=1, jump_n_sample=1),
+    )
+    toy = _toy_model_jax()
+    zero_noise = lambda key, shape: jnp.zeros(shape, jnp.float32)
+    common = dict(scale=4, resize_y=True, noise_fn=zero_noise, parallel=True)
+
+    plain = mask_shift_sample(toy, gt, "sr_averagepooling", tables,
+                              jax.random.PRNGKey(0), **common)
+    enc = mask_shift_sample(
+        toy, gt, "sr_averagepooling", tables, jax.random.PRNGKey(0),
+        mesh=make_mesh(2), encoder_cache=2,
+        encode_fn=lambda p, x, t: x,
+        decode_fn=lambda p, cache, x, t: toy(x, t),
+        **common,
+    )
+    np.testing.assert_allclose(enc["final"], plain["final"], atol=2e-5)
