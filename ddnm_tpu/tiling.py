@@ -157,9 +157,12 @@ def mask_shift_sample(
     `parallel=True` batches each s = 2i+j wavefront of independent tiles
     into a single sampler call (see module docstring) — a large speedup for
     big canvases on accelerators, exact for deterministic noise. With a
-    `mesh` (jax.sharding.Mesh), wavefront batches whose padded size divides
-    the device count are sharded across chips (params replicate), scaling
-    large-canvas restoration over a pod slice.
+    `mesh` (jax.sharding.Mesh), tile batches are sharded across chips
+    (params replicate): a 1-D ("data",) mesh splits the wavefront batch
+    when its padded size divides the device count; a 2-D
+    ("data", "spatial") mesh from `parallel.make_mesh_2d` additionally
+    shards each tile's rows — spatial partitioning that scales even the
+    sequential reference-parity chain (see parallel/spatial.py).
 
     `tile_init` selects each tile's starting state:
       - "carry" (default when sequential): REFERENCE PARITY — the reference
@@ -313,10 +316,13 @@ def mask_shift_sample(
                 else _tile_init(tile_keys[t.index][0])
                 for t in padded
             ])
-        if mesh is not None and x_init_b.shape[0] % mesh.size == 0:
-            from ddnm_tpu.parallel import shard_batch
+        if mesh is not None:
+            from ddnm_tpu.parallel import shard_tiles
 
-            x_init_b, apy_b, mask_b, content_b = shard_batch(
+            # 1-D data mesh: shard the tile batch; 2-D (data, spatial)
+            # mesh: additionally shard each tile's rows (spatial
+            # partitioning — scales even the sequential batch-1 chain)
+            x_init_b, apy_b, mask_b, content_b = shard_tiles(
                 mesh, (x_init_b, apy_b, mask_b, content_b)
             )
         noise_kw = {"noise_fn": noise_fn} if noise_fn is not None else {}

@@ -54,6 +54,13 @@ def parse_args(argv=None):
                    help=">1: reuse UNet encoder features across this many "
                         "model calls (approximate Faster-Diffusion accel, "
                         "see ddnm_tpu/sampling/accel.py)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="spatial partitioning: shard each tile's rows over "
+                        "this many chips (ddnm_tpu/parallel/spatial.py); "
+                        "scales even the sequential tile chain")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel mesh axis for wavefront tile batches "
+                        "(combine with --parallel_tiles)")
     return p.parse_args(argv)
 
 
@@ -231,12 +238,20 @@ def main(argv=None):
         if pbar is not None:
             pbar.update(1)
 
+    mesh = None
+    if ns.dp > 1 or ns.sp > 1:
+        from ddnm_tpu.parallel import make_mesh_2d, replicate
+
+        mesh = make_mesh_2d(ns.dp, ns.sp)
+        run_params = replicate(mesh, run_params)
+
     out = mask_shift_sample(
         model_fn, gt, ns.deg, tables, key,
         scale=ns.scale, resize_y=ns.resize_y, mask=mask, guidance_fn=guidance_fn,
         params=run_params, parallel=ns.parallel_tiles, progress_fn=progress,
         tile_init="fresh" if (ns.parallel_tiles or ns.fresh_tile_init) else "carry",
         encoder_cache=ns.encoder_cache, encode_fn=encode_fn, decode_fn=decode_fn,
+        mesh=mesh,
     )
     if pbar is not None:
         pbar.close()
