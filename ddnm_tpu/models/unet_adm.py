@@ -292,6 +292,12 @@ class ADMUNet(_ADMBase):
 
     @nn.compact
     def __call__(self, x, timesteps, y=None, *, mode="full", cache=None):
+        if mode not in ("full", "encode", "decode"):
+            raise ValueError(
+                f"mode must be 'full', 'encode' or 'decode', got {mode!r}"
+            )
+        if mode == "decode" and cache is None:
+            raise ValueError("mode='decode' requires cache=(h, skips)")
         time_embed_dim = self.model_channels * 4
         emb = timestep_embedding_adm(timesteps, self.model_channels)
         emb = _dense(time_embed_dim, "time_embed_0", dtype=self.dtype)(emb)
@@ -422,14 +428,17 @@ class ADMSuperResModel(ADMUNet):
     Unused in the reference's main DDNM flow but part of its model zoo;
     set in_channels=6 to load the upstream SR checkpoints."""
 
-    def __call__(self, x, timesteps, low_res=None, y=None):
-        if low_res is not None:
+    def __call__(self, x, timesteps, low_res=None, y=None, *, mode="full",
+                 cache=None):
+        # mode="decode" ignores x's content (dtype only), so the low_res
+        # concat is skipped there; encode/full condition on the upsample
+        if low_res is not None and mode != "decode":
             b, h, w, _ = x.shape
             up = jax.image.resize(
                 low_res, (b, h, w, low_res.shape[-1]), method="bilinear"
             )
             x = jnp.concatenate([x, up.astype(x.dtype)], axis=-1)
-        return ADMUNet.__call__(self, x, timesteps, y)
+        return ADMUNet.__call__(self, x, timesteps, y, mode=mode, cache=cache)
 
 
 class ADMClassifier(_ADMBase):

@@ -20,6 +20,7 @@ the virtual CPU mesh (tests/test_parallel_spatial.py) and compiled in
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Sequence
 
 import numpy as np
@@ -31,6 +32,20 @@ from ddnm_tpu.parallel.mesh import DATA_AXIS
 __all__ = ["SPATIAL_AXIS", "make_mesh_2d", "shard_tiles"]
 
 SPATIAL_AXIS = "spatial"
+
+logger = logging.getLogger("ddnm_tpu")
+_warned: set = set()  # (axis, n_shards, dim) combos already reported
+
+
+def _warn_once(axis: str, n: int, dim: int):
+    key = (axis, n, dim)
+    if key not in _warned:
+        _warned.add(key)
+        logger.warning(
+            "mesh axis %r (size %d) does not divide dimension %d — leaf "
+            "replicated on that axis (no speedup from those chips)",
+            axis, n, dim,
+        )
 
 
 def make_mesh_2d(
@@ -48,18 +63,22 @@ def make_mesh_2d(
 
 def _specs(mesh: Mesh, x) -> P:
     """Partition spec for one NHWC (or lower-rank) array on this mesh:
-    batch over "data" (when present and divisible), H over "spatial"."""
+    batch over "data" (when present and divisible), H over "spatial".
+    An axis that does not divide falls back to replication on that axis —
+    correct but wasted chips, so it is logged (once per combination)."""
     axes = mesh.axis_names
-    batch = DATA_AXIS if (
-        DATA_AXIS in axes
-        and x.ndim >= 1
-        and x.shape[0] % mesh.shape[DATA_AXIS] == 0
-    ) else None
-    spatial = SPATIAL_AXIS if (
-        SPATIAL_AXIS in axes
-        and x.ndim >= 4
-        and x.shape[1] % mesh.shape[SPATIAL_AXIS] == 0
-    ) else None
+    batch = None
+    if DATA_AXIS in axes and x.ndim >= 1 and mesh.shape[DATA_AXIS] > 1:
+        if x.shape[0] % mesh.shape[DATA_AXIS] == 0:
+            batch = DATA_AXIS
+        else:
+            _warn_once(DATA_AXIS, mesh.shape[DATA_AXIS], x.shape[0])
+    spatial = None
+    if SPATIAL_AXIS in axes and x.ndim >= 4 and mesh.shape[SPATIAL_AXIS] > 1:
+        if x.shape[1] % mesh.shape[SPATIAL_AXIS] == 0:
+            spatial = SPATIAL_AXIS
+        else:
+            _warn_once(SPATIAL_AXIS, mesh.shape[SPATIAL_AXIS], x.shape[1])
     spec = [None] * x.ndim
     if x.ndim:
         spec[0] = batch

@@ -196,8 +196,10 @@ def sample_simplified_encoder_prop(
 
 from ddnm_tpu.sampling.posterior import (  # noqa: E402
     PosteriorTables,
+    _host_scalars,
     _host_undo,
     _posterior_update,
+    _undo_beta,
 )
 
 
@@ -274,29 +276,17 @@ def sample_posterior_encoder_prop(
         paste_mask = jnp.zeros((), jnp.float32)
         paste_content = jnp.zeros((), jnp.float32)
     tbl = tables
-    n_t = len(tbl.betas)
     x, x0_hat = x_init, jnp.zeros_like(x_init)
     cache = None
     model_call = 0
     for t, travel in zip(tbl.t_cur, tbl.is_travel):
         t = int(t)
         if bool(travel):
-            shift = int(tbl.travel_shift)
-            beta = float(tbl.betas[min(t + shift, n_t - 1)])
-            x, key = _host_undo(noise_fn, x, key, beta)
+            x, key = _host_undo(noise_fn, x, key, _undo_beta(tbl, t))
             # invalidate across time-travel jumps (see simplified variant)
             cache, model_call = None, 0
             continue
-        scalars = (
-            float(tbl.timestep_map[t]),
-            float(tbl.sqrt_recip_alphas_cumprod[t]),
-            float(tbl.sqrt_recipm1_alphas_cumprod[t]),
-            float(tbl.lambda_t[t]),
-            float(tbl.posterior_mean_coef1[t]),
-            float(tbl.posterior_mean_coef2[t]),
-            float(tbl.gamma_t[t]),
-            1.0 if t != 0 else 0.0,
-        )
+        scalars = _host_scalars(tbl, t)
         if cache is None or model_call % interval == 0:
             x, x0_hat, cache, key = _p_key_step(
                 encode_fn, decode_fn, operator, guidance_fn, clip_denoised,

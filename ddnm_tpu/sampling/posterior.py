@@ -338,6 +338,30 @@ def _host_undo(noise_fn, x, key, beta):
     return jnp.sqrt(1.0 - beta) * x + jnp.sqrt(beta) * noise, key
 
 
+def _host_scalars(tbl: PosteriorTables, t: int) -> tuple:
+    """Per-step scalar tuple for the host drivers, in _posterior_body's
+    argument order. SHARED with sampling/accel.py — any change to the
+    step's scalar inputs must happen here so the exact and encoder-prop
+    samplers cannot drift."""
+    return (
+        float(tbl.timestep_map[t]),
+        float(tbl.sqrt_recip_alphas_cumprod[t]),
+        float(tbl.sqrt_recipm1_alphas_cumprod[t]),
+        float(tbl.lambda_t[t]),
+        float(tbl.posterior_mean_coef1[t]),
+        float(tbl.posterior_mean_coef2[t]),
+        float(tbl.gamma_t[t]),
+        1.0 if t != 0 else 0.0,
+    )
+
+
+def _undo_beta(tbl: PosteriorTables, t: int) -> float:
+    """beta for the travel undo at t: beta[t + travel_shift], clamped
+    (gaussian_diffusion.py:208-217,727-734). SHARED with accel.py."""
+    shift = int(tbl.travel_shift)
+    return float(tbl.betas[min(t + shift, len(tbl.betas) - 1)])
+
+
 def sample_posterior(
     model_fn: Callable[[Array, Array], Array],
     x_init: Array,
@@ -388,24 +412,13 @@ def sample_posterior(
     # host driver: static schedule -> Python branch per step, numpy tables
     tbl = tables
     x, x0_hat = x_init, jnp.zeros_like(x_init)
-    n_t = len(tbl.betas)
     for t, travel in zip(tbl.t_cur, tbl.is_travel):
         t = int(t)
         if bool(travel):
-            shift = int(tbl.travel_shift)
-            beta = float(tbl.betas[min(t + shift, n_t - 1)])
-            x, key = _host_undo(noise_fn, x, key, beta)
+            x, key = _host_undo(noise_fn, x, key, _undo_beta(tbl, t))
         else:
             x, x0_hat, key = _host_step(
                 body, noise_fn, has_paste, params, x, apy, paste_mask,
-                paste_content, key,
-                float(tbl.timestep_map[t]),
-                float(tbl.sqrt_recip_alphas_cumprod[t]),
-                float(tbl.sqrt_recipm1_alphas_cumprod[t]),
-                float(tbl.lambda_t[t]),
-                float(tbl.posterior_mean_coef1[t]),
-                float(tbl.posterior_mean_coef2[t]),
-                float(tbl.gamma_t[t]),
-                1.0 if t != 0 else 0.0,
+                paste_content, key, *_host_scalars(tbl, t),
             )
     return x, x0_hat

@@ -242,6 +242,11 @@ def main(argv=None):
     if ns.dp > 1 or ns.sp > 1:
         from ddnm_tpu.parallel import make_mesh_2d, replicate
 
+        if ns.sp > 1 and 256 % ns.sp != 0:
+            raise SystemExit(
+                f"--sp {ns.sp} must divide the 256-px tile height "
+                "(use 2, 4, 8, ...)"
+            )
         mesh = make_mesh_2d(ns.dp, ns.sp)
         run_params = replicate(mesh, run_params)
 

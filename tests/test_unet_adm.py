@@ -196,3 +196,31 @@ def test_adm_encode_decode_split_matches_full(class_cond):
     out2 = model.apply(params, x, t2, y, mode="decode", cache=cache)
     assert np.isfinite(np.asarray(out2)).all()
     assert np.abs(np.asarray(out2) - np.asarray(full)).max() > 0
+
+
+def test_adm_mode_validation_and_superres_split():
+    """Bad mode values raise immediately; ADMSuperResModel forwards the
+    mode/cache contract (encode+decode == full, low_res concat included)."""
+    from ddnm_tpu.models.unet_adm import ADMSuperResModel
+
+    model = ADMSuperResModel(
+        image_size=RES, in_channels=6, model_channels=32, out_channels=6,
+        num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+        num_heads=4, num_head_channels=16, use_scale_shift_norm=True,
+        resblock_updown=True,
+    )
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(1, RES, RES, 3).astype(np.float32))
+    low = jnp.asarray(rng.randn(1, RES // 4, RES // 4, 3).astype(np.float32))
+    t = jnp.asarray([12.0], dtype=jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t, low)
+
+    full = model.apply(params, x, t, low)
+    cache = model.apply(params, x, t, low, mode="encode")
+    split = model.apply(params, x, t, low, mode="decode", cache=cache)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(split))
+
+    with pytest.raises(ValueError, match="mode"):
+        model.apply(params, x, t, low, mode="Encode")
+    with pytest.raises(ValueError, match="cache"):
+        model.apply(params, x, t, low, mode="decode")
