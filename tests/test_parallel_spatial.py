@@ -105,3 +105,30 @@ def test_tiling_with_2d_mesh_matches_unsharded():
                                 jax.random.PRNGKey(0),
                                 mesh=make_mesh_2d(2, 2), **common)
     np.testing.assert_allclose(sharded["final"], plain["final"], atol=2e-5)
+
+
+def test_sequential_carry_tiling_with_spatial_mesh():
+    """The reference-parity SEQUENTIAL carry chain with a pure-spatial mesh
+    (dp=1, sp=4) — the case SP exists for — matches the meshless run."""
+    from ddnm_tpu.tiling import mask_shift_sample
+
+    def toy(x, t):
+        del t
+        return jnp.concatenate([0.1 * x, jnp.zeros_like(x)], axis=-1)
+
+    rng = np.random.default_rng(23)
+    gt = rng.uniform(-1, 1, (1, 384, 384, 3)).astype(np.float32)
+    tables = build_posterior_tables(
+        betas=sch.named_beta_schedule("linear", 100, use_scale=True),
+        timestep_respacing="3", sigma_y=0.0,
+        schedule_jump_params=dict(t_T=3, n_sample=1, jump_length=1, jump_n_sample=1),
+    )
+    zero_noise = lambda key, shape: jnp.zeros(shape, jnp.float32)
+    common = dict(scale=4, resize_y=False, noise_fn=zero_noise)
+
+    plain = mask_shift_sample(toy, gt, "sr_averagepooling", tables,
+                              jax.random.PRNGKey(0), **common)
+    sharded = mask_shift_sample(toy, gt, "sr_averagepooling", tables,
+                                jax.random.PRNGKey(0),
+                                mesh=make_mesh_2d(1, 4), **common)
+    np.testing.assert_allclose(sharded["final"], plain["final"], atol=2e-5)
