@@ -148,6 +148,8 @@ def mask_shift_sample(
     encoder_cache: int = 1,
     encode_fn=None,
     decode_fn=None,
+    checkpoint_dir=None,
+    resume: bool = False,
 ) -> dict:
     """Restore an arbitrary-size image with Mask-Shift DDNM.
 
@@ -184,6 +186,15 @@ def mask_shift_sample(
     `encoder_cache > 1` (with `encode_fn`/`decode_fn`, see
     sampling/accel.py) reuses UNet encoder features across that many model
     calls per tile — an APPROXIMATE opt-in acceleration.
+
+    `checkpoint_dir`: persist the canvas + completed-tile set (and the
+    carry state in "carry" mode) after every tile group, so an
+    interrupted large-canvas run (2K-class jobs run for many minutes)
+    restarts at tile granularity with `resume=True` instead of from
+    scratch. Requires the same seed/schedule as the interrupted run
+    (per-tile keys are derived deterministically from `key`); state from
+    a different canvas/schedule is ignored with a warning. Costs one
+    canvas fetch per group — leave unset for zero overhead.
     """
     if encoder_cache > 1 and (encode_fn is None or decode_fn is None):
         raise ValueError("encoder_cache > 1 requires encode_fn and decode_fn")
@@ -296,7 +307,42 @@ def mask_shift_sample(
         if tile_init == "carry":
             carry_x = first_init
 
+    # tile-granular checkpoint/resume (opt-in; see docstring)
+    done: set = set()
+    ckpt_path = None
+    if checkpoint_dir is not None:
+        from pathlib import Path as _Path
+
+        _Path(checkpoint_dir).mkdir(parents=True, exist_ok=True)
+        ckpt_path = _Path(checkpoint_dir) / "mask_shift_state.npz"
+        meta = np.array([h_target, w_target, int(parallel),
+                         1 if tile_init == "carry" else 0])
+        if resume and ckpt_path.exists():
+            state = np.load(ckpt_path)
+            if np.array_equal(state["meta"], meta):
+                canvas = jnp.asarray(state["canvas"])
+                done = set(map(tuple, state["done"].tolist()))
+                if tile_init == "carry" and "carry_x" in state:
+                    carry_x = jnp.asarray(state["carry_x"])
+                logger.info("resume: %d/%d tiles already done",
+                            len(done), len(tiles))
+            else:
+                logger.warning(
+                    "resume: checkpoint %s is for a different canvas/"
+                    "schedule — starting fresh", ckpt_path)
+
+    def _save_state():
+        arrays = dict(meta=meta, canvas=np.asarray(canvas),
+                      done=np.asarray(sorted(done), dtype=np.int64))
+        if tile_init == "carry" and carry_x is not None:
+            arrays["carry_x"] = np.asarray(carry_x)
+        tmp = ckpt_path.with_suffix(".tmp.npz")
+        np.savez(tmp, **arrays)
+        tmp.replace(ckpt_path)  # atomic: never a torn state file
+
     for group in groups:
+        if done and all(t.index in done for t in group):
+            continue
         n = len(group)
         # pad >1-tile batches to 8 (repeat the first tile): one compiled
         # step variant serves every wavefront width, and batch 8 is the
@@ -356,6 +402,9 @@ def mask_shift_sample(
             canvas = _put_tile(canvas, x0_b[i : i + 1], t.h0, t.w0)
             if progress_fn is not None:
                 progress_fn(t, np.asarray(x0_b[i : i + 1]))
+        if ckpt_path is not None:
+            done.update(t.index for t in group)
+            _save_state()
 
     return {
         "final": np.asarray(canvas),

@@ -61,6 +61,10 @@ def parse_args(argv=None):
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel mesh axis for wavefront tile batches "
                         "(combine with --parallel_tiles)")
+    p.add_argument("--resume", action="store_true",
+                   help="checkpoint the canvas after every tile group under "
+                        "-i and resume an interrupted run at tile "
+                        "granularity (same seed/flags required)")
     return p.parse_args(argv)
 
 
@@ -257,6 +261,7 @@ def main(argv=None):
         tile_init="fresh" if (ns.parallel_tiles or ns.fresh_tile_init) else "carry",
         encoder_cache=ns.encoder_cache, encode_fn=encode_fn, decode_fn=decode_fn,
         mesh=mesh,
+        checkpoint_dir=out_dir if ns.resume else None, resume=ns.resume,
     )
     if pbar is not None:
         pbar.close()

@@ -910,3 +910,52 @@ def test_wavefront_mesh_with_encoder_cache():
         **common,
     )
     np.testing.assert_allclose(enc["final"], plain["final"], atol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["carry", "fresh"])
+def test_mask_shift_checkpoint_resume(tmp_path, mode):
+    """Interrupt a multi-tile run after 2 tiles and resume: the final canvas
+    equals the uninterrupted run bitwise (deterministic noise), in both the
+    reference-parity carry chain and fresh-init mode."""
+    rng = np.random.default_rng(31)
+    gt = rng.uniform(-1, 1, (1, 384, 384, 3)).astype(np.float32)
+    tables = build_posterior_tables(
+        betas=sch.named_beta_schedule("linear", 100, use_scale=True),
+        timestep_respacing="3", sigma_y=0.0,
+        schedule_jump_params=dict(t_T=3, n_sample=1, jump_length=1, jump_n_sample=1),
+    )
+    toy = _toy_model_jax()
+    zero_noise = lambda key, shape: jnp.zeros(shape, jnp.float32)
+    common = dict(scale=4, resize_y=False, noise_fn=zero_noise, tile_init=mode)
+
+    full = mask_shift_sample(toy, gt, "sr_averagepooling", tables,
+                             jax.random.PRNGKey(4), **common)
+
+    class Boom(Exception):
+        pass
+
+    seen = []
+
+    def bomb(tile, x0):
+        seen.append(tile.index)
+        if len(seen) == 2:
+            raise Boom
+
+    with pytest.raises(Boom):
+        mask_shift_sample(toy, gt, "sr_averagepooling", tables,
+                          jax.random.PRNGKey(4), checkpoint_dir=tmp_path,
+                          progress_fn=bomb, **common)
+    assert (tmp_path / "mask_shift_state.npz").exists()
+
+    resumed = mask_shift_sample(toy, gt, "sr_averagepooling", tables,
+                                jax.random.PRNGKey(4), checkpoint_dir=tmp_path,
+                                resume=True, **common)
+    np.testing.assert_allclose(resumed["final"], full["final"], atol=1e-7)
+
+    # mismatched schedule state is ignored, not silently reused
+    gt2 = rng.uniform(-1, 1, (1, 512, 512, 3)).astype(np.float32)
+    other = mask_shift_sample(toy, gt2, "sr_averagepooling", tables,
+                              jax.random.PRNGKey(4), checkpoint_dir=tmp_path,
+                              resume=True, scale=4, resize_y=False,
+                              noise_fn=zero_noise)
+    assert other["final"].shape == (1, 512, 512, 3)
