@@ -225,6 +225,21 @@ class Runner:
             manifest=args.manifest,
             subset=subset,
         )
+        if subset is None and jax.process_count() > 1:
+            # multi-host: every process takes a disjoint contiguous slice
+            # (the automated form of the reference's manual
+            # --subset_start/--subset_end sharding; parallel/multihost.py)
+            from ddnm_tpu.parallel.multihost import process_subset
+
+            s, e = process_subset(len(ds.paths))
+            ds.paths = ds.paths[s:e]
+            if hasattr(ds, "labels"):
+                ds.labels = ds.labels[s:e]
+            args.subset_start = s  # output indices / resume stay global
+            logger.info(
+                "multi-host: process %d/%d takes images [%d, %d)",
+                jax.process_index(), jax.process_count(), s, e,
+            )
         if args.max_images:
             ds.paths = ds.paths[: args.max_images]
             if hasattr(ds, "labels"):

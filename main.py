@@ -76,6 +76,9 @@ def main(argv=None):
     from ddnm_tpu.utils import apply_platform_env, enable_compilation_cache
 
     apply_platform_env()
+    from ddnm_tpu.parallel.multihost import maybe_init_distributed
+
+    maybe_init_distributed()
     enable_compilation_cache()
 
     from ddnm_tpu.config import load_config

@@ -288,3 +288,44 @@ def test_hq_cli_accepts_reference_flag_surface():
     ])
     assert ns.class_label == 950 and ns.scale == 4 and ns.resize_y
     assert ns.parallel_tiles
+
+
+def test_process_subset_arithmetic():
+    """process_subset covers every item exactly once, contiguously, for
+    arbitrary (n_items, process_count) topologies."""
+    from ddnm_tpu.parallel.multihost import process_subset
+
+    for n in (0, 1, 7, 8, 100, 1001):
+        for c in (1, 2, 3, 8, 16):
+            spans = [process_subset(n, p, c) for p in range(c)]
+            assert spans[0][0] == 0 and spans[-1][1] == n
+            for (s0, e0), (s1, e1) in zip(spans, spans[1:]):
+                assert e0 == s1 and s0 <= e0  # contiguous, non-overlapping
+
+
+def test_runner_multihost_auto_subset(tmp_path, monkeypatch):
+    """With >1 JAX processes, the runner slices the dataset per process and
+    keeps global output indices (subset_start)."""
+    import jax
+
+    import main as cli
+    from ddnm_tpu.config import load_config
+    from ddnm_tpu.data.io import save_image
+    from ddnm_tpu.runner import RunArgs, Runner
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        save_image(rng.uniform(size=(64, 64, 3)).astype(np.float32),
+                   d / f"{i}.png")
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    args = RunArgs(config="configs/smoke.yml", deg="sr_averagepooling",
+                   path_y=str(d), image_folder=str(tmp_path / "o"),
+                   simplified=True, random_init=True)
+    runner = Runner(args, load_config("configs/smoke.yml"))
+    ds = runner.build_dataset()
+    assert len(ds.paths) == 2          # process 1 of 2 over 5 -> items 3,4
+    assert args.subset_start == 3
