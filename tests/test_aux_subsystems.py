@@ -287,3 +287,26 @@ def test_serving_export_posterior_roundtrip(tmp_path):
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_x), atol=1e-5)
     np.testing.assert_allclose(np.asarray(x0), np.asarray(ref_x0), atol=1e-5)
+
+
+def test_aggregate_reports(tmp_path):
+    """Cross-host report merge: sample-weighted PSNR, max-wall throughput."""
+    import json
+    import sys
+
+    sys.path.insert(0, "tools")
+    from aggregate_reports import aggregate, main as agg_main
+
+    r0 = {"sr": {"avg_psnr": 30.0, "num_samples": 4, "wall_seconds": 10.0},
+          "color": {"error": "boom"}}
+    r1 = {"sr": {"avg_psnr": 20.0, "num_samples": 1, "wall_seconds": 8.0},
+          "color": {"avg_psnr": 25.0, "num_samples": 2, "wall_seconds": 5.0}}
+    merged = aggregate([r0, r1])
+    assert merged["sr"]["avg_psnr"] == 28.0         # (30*4 + 20*1) / 5
+    assert merged["sr"]["num_samples"] == 5
+    assert merged["sr"]["wall_seconds"] == 10.0     # slowest host
+    assert merged["color"]["num_samples"] == 2 and merged["color"]["errors"]
+
+    p0, p1 = tmp_path / "a.json", tmp_path / "b.json"
+    p0.write_text(json.dumps(r0)); p1.write_text(json.dumps(r1))
+    assert agg_main([str(p0), str(p1)])["sr"]["avg_psnr"] == 28.0
