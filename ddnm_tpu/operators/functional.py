@@ -66,15 +66,32 @@ def mean_upsample(x: Array, scale: int) -> Array:
 
 @dataclasses.dataclass(frozen=True)
 class FunctionalOperator:
-    """A degradation A with pseudo-inverse A+ over NHWC images."""
+    """A degradation A with pseudo-inverse A+ over NHWC images.
+
+    `A_ctx`/`Ap_ctx` (optional) are context-parameterised forms
+    `(z, ctx) -> out` for operators whose definition depends on a runtime
+    tensor — e.g. the per-tile slice of a canvas-sized inpainting mask in
+    Mask-Shift tiling. Samplers thread `op_ctx` as a traced argument, so
+    ONE compiled step serves every tile (the static closures in `A`/`Ap`
+    would otherwise need a recompile per distinct mask)."""
 
     name: str
     A: Callable[[Array], Array]
     Ap: Callable[[Array], Array]
+    A_ctx: Callable[[Array, Array], Array] | None = None
+    Ap_ctx: Callable[[Array, Array], Array] | None = None
+
+    @property
+    def has_ctx(self) -> bool:
+        return self.A_ctx is not None
 
     def project(self, x: Array, y: Array) -> Array:
         """Null-space data-consistency residual A+(A(x) - y) (Eq. 17 core)."""
         return self.Ap(self.A(x) - y)
+
+    def range_ctx(self, x: Array, ctx: Array) -> Array:
+        """A+(A(x)) in the context-parameterised form."""
+        return self.Ap_ctx(self.A_ctx(x, ctx), ctx)
 
 
 def compose(*ops: FunctionalOperator) -> FunctionalOperator:

@@ -205,11 +205,11 @@ from ddnm_tpu.sampling.posterior import (  # noqa: E402
 
 @partial(jax.jit, static_argnames=(
     "encode_fn", "decode_fn", "operator", "guidance_fn", "clip_denoised",
-    "noise_fn", "has_paste"))
+    "noise_fn", "has_paste", "has_ctx"))
 def _p_key_step(encode_fn, decode_fn, operator, guidance_fn, clip_denoised,
-                noise_fn, has_paste, params, x, apy, paste_mask,
-                paste_content, key, t_orig, sqrt_recip, sqrt_recipm1, lam,
-                coef1, coef2, gamma, nonzero):
+                noise_fn, has_paste, has_ctx, params, x, apy, paste_mask,
+                paste_content, op_ctx, key, t_orig, sqrt_recip, sqrt_recipm1,
+                lam, coef1, coef2, gamma, nonzero):
     key, k_noise = jax.random.split(key)
     noise = noise_fn(k_noise, x.shape)
     t_b = jnp.full((x.shape[0],), t_orig, dtype=jnp.float32)
@@ -220,18 +220,18 @@ def _p_key_step(encode_fn, decode_fn, operator, guidance_fn, clip_denoised,
         paste_mask if has_paste else None,
         paste_content if has_paste else None,
         noise, out, t_b, sqrt_recip, sqrt_recipm1, lam, coef1, coef2, gamma,
-        nonzero,
+        nonzero, op_ctx if has_ctx else None,
     )
     return x_next, x0_hat, cache, key
 
 
 @partial(jax.jit, static_argnames=(
     "decode_fn", "operator", "guidance_fn", "clip_denoised", "noise_fn",
-    "has_paste"))
+    "has_paste", "has_ctx"))
 def _p_cached_step(decode_fn, operator, guidance_fn, clip_denoised, noise_fn,
-                   has_paste, params, x, apy, paste_mask, paste_content,
-                   cache, key, t_orig, sqrt_recip, sqrt_recipm1, lam, coef1,
-                   coef2, gamma, nonzero):
+                   has_paste, has_ctx, params, x, apy, paste_mask,
+                   paste_content, op_ctx, cache, key, t_orig, sqrt_recip,
+                   sqrt_recipm1, lam, coef1, coef2, gamma, nonzero):
     key, k_noise = jax.random.split(key)
     noise = noise_fn(k_noise, x.shape)
     t_b = jnp.full((x.shape[0],), t_orig, dtype=jnp.float32)
@@ -241,7 +241,7 @@ def _p_cached_step(decode_fn, operator, guidance_fn, clip_denoised, noise_fn,
         paste_mask if has_paste else None,
         paste_content if has_paste else None,
         noise, out, t_b, sqrt_recip, sqrt_recipm1, lam, coef1, coef2, gamma,
-        nonzero,
+        nonzero, op_ctx if has_ctx else None,
     )
     return x_next, x0_hat, key
 
@@ -262,19 +262,24 @@ def sample_posterior_encoder_prop(
     clip_denoised: bool = True,
     noise_fn=_default_noise,
     params=None,
+    op_ctx=None,
 ):
     """Posterior DDNM with encoder features reused for `interval-1` of every
     `interval` model calls (see module docstring; APPROXIMATE for
     interval > 1). `encode_fn(params, x, t) -> cache`,
     `decode_fn(params, cache, x, t) -> (B,H,W,2C)`. RNG-key carry order
     matches sample_posterior's host driver, so interval=1 is bit-identical.
+    `op_ctx` as in sample_posterior.
     """
     if interval < 1:
         raise ValueError(f"interval must be >= 1, got {interval}")
     has_paste = paste_mask is not None
+    has_ctx = op_ctx is not None
     if not has_paste:
         paste_mask = jnp.zeros((), jnp.float32)
         paste_content = jnp.zeros((), jnp.float32)
+    if not has_ctx:
+        op_ctx = jnp.zeros((), jnp.float32)
     tbl = tables
     x, x0_hat = x_init, jnp.zeros_like(x_init)
     cache = None
@@ -290,14 +295,14 @@ def sample_posterior_encoder_prop(
         if cache is None or model_call % interval == 0:
             x, x0_hat, cache, key = _p_key_step(
                 encode_fn, decode_fn, operator, guidance_fn, clip_denoised,
-                noise_fn, has_paste, params, x, apy, paste_mask,
-                paste_content, key, *scalars,
+                noise_fn, has_paste, has_ctx, params, x, apy, paste_mask,
+                paste_content, op_ctx, key, *scalars,
             )
         else:
             x, x0_hat, key = _p_cached_step(
                 decode_fn, operator, guidance_fn, clip_denoised, noise_fn,
-                has_paste, params, x, apy, paste_mask, paste_content, cache,
-                key, *scalars,
+                has_paste, has_ctx, params, x, apy, paste_mask,
+                paste_content, op_ctx, cache, key, *scalars,
             )
         model_call += 1
     return x, x0_hat

@@ -213,6 +213,7 @@ def _posterior_body(
     coef2,
     gamma,
     nonzero,
+    op_ctx=None,
 ):
     """One posterior DDNM step (p_mean_variance DDNM core + p_sample,
     gaussian_diffusion.py:246-403,432-493)."""
@@ -222,17 +223,19 @@ def _posterior_body(
     return _posterior_update(
         operator, guidance_fn, clip_denoised, params, x, apy, paste_mask,
         paste_content, noise, out, t_b, sqrt_recip, sqrt_recipm1, lam,
-        coef1, coef2, gamma, nonzero,
+        coef1, coef2, gamma, nonzero, op_ctx,
     )
 
 
 def _posterior_update(
     operator, guidance_fn, clip_denoised, params, x, apy, paste_mask,
     paste_content, noise, out, t_b, sqrt_recip, sqrt_recipm1, lam, coef1,
-    coef2, gamma, nonzero,
+    coef2, gamma, nonzero, op_ctx=None,
 ):
     """The posterior DDNM step given the model output `out` (shared by the
-    standard samplers and the encoder-propagation sampler in accel.py)."""
+    standard samplers and the encoder-propagation sampler in accel.py).
+    `op_ctx`: runtime operator context (e.g. a per-tile mask slice) for
+    context-parameterised operators (operators/functional.py)."""
     c = x.shape[-1]
     eps = out[..., :c]  # var_values out[..., c:] unused: DDNM sets var=gamma_t
 
@@ -241,7 +244,9 @@ def _posterior_update(
         x0_t = jnp.clip(x0_t, -1.0, 1.0)
 
     # Eq. 17: x0_hat = lam*Apy + x0 - lam*Ap(A(x0))
-    x0_hat_new = lam * apy + x0_t - lam * operator.Ap(operator.A(x0_t))
+    rng_proj = (operator.range_ctx(x0_t, op_ctx) if op_ctx is not None
+                else operator.Ap(operator.A(x0_t)))
+    x0_hat_new = lam * apy + x0_t - lam * rng_proj
 
     # mask-shift paste: overlap strips come from the solved canvas
     if paste_mask is not None:
@@ -270,9 +275,9 @@ class _PBody:
         )
 
 
-@partial(jax.jit, static_argnames=("body", "noise_fn", "has_paste"))
-def _run_scan(body, noise_fn, has_paste, params, x_init, apy, paste_mask,
-              paste_content, tables, key):
+@partial(jax.jit, static_argnames=("body", "noise_fn", "has_paste", "has_ctx"))
+def _run_scan(body, noise_fn, has_paste, has_ctx, params, x_init, apy,
+              paste_mask, paste_content, op_ctx, tables, key):
     tb = jax.tree.map(jnp.asarray, tables)
 
     def step(carry, inputs):
@@ -295,6 +300,7 @@ def _run_scan(body, noise_fn, has_paste, params, x_init, apy, paste_mask,
                 tb.posterior_mean_coef2[t],
                 tb.gamma_t[t],
                 (t != 0).astype(x.dtype),
+                op_ctx if has_ctx else None,
             )
 
         def travel_back(_):
@@ -315,10 +321,10 @@ def _run_scan(body, noise_fn, has_paste, params, x_init, apy, paste_mask,
     return x, x0_hat
 
 
-@partial(jax.jit, static_argnames=("body", "noise_fn", "has_paste"))
-def _host_step(body, noise_fn, has_paste, params, x, apy, paste_mask,
-               paste_content, key, t_orig, sqrt_recip, sqrt_recipm1, lam,
-               coef1, coef2, gamma, nonzero):
+@partial(jax.jit, static_argnames=("body", "noise_fn", "has_paste", "has_ctx"))
+def _host_step(body, noise_fn, has_paste, has_ctx, params, x, apy, paste_mask,
+               paste_content, op_ctx, key, t_orig, sqrt_recip, sqrt_recipm1,
+               lam, coef1, coef2, gamma, nonzero):
     key, k_noise = jax.random.split(key)
     noise = noise_fn(k_noise, x.shape)
     x_next, x0_hat = body(
@@ -326,7 +332,7 @@ def _host_step(body, noise_fn, has_paste, params, x, apy, paste_mask,
         paste_mask if has_paste else None,
         paste_content if has_paste else None,
         noise, t_orig, sqrt_recip, sqrt_recipm1, lam, coef1, coef2, gamma,
-        nonzero,
+        nonzero, op_ctx if has_ctx else None,
     )
     return x_next, x0_hat, key
 
@@ -377,6 +383,7 @@ def sample_posterior(
     noise_fn: Callable = _default_noise,
     loop: str = "auto",
     params=None,
+    op_ctx: Optional[Array] = None,
 ) -> tuple[Array, Array]:
     """Run the full posterior DDNM jump-schedule loop on device.
 
@@ -396,17 +403,24 @@ def sample_posterior(
     `params`: optional pytree given to model_fn/guidance_fn as their first
     argument, keeping weights out of the compiled HLO (required for large
     models on remote-compile backends).
+
+    `op_ctx`: runtime tensor for context-parameterised operators (e.g. the
+    per-tile mask slice in Mask-Shift tiling) — traced, so one executable
+    serves every context value.
     """
     body = _PBody(model_fn, operator, guidance_fn, clip_denoised)
     has_paste = paste_mask is not None
+    has_ctx = op_ctx is not None
     if not has_paste:
         paste_mask = jnp.zeros((), jnp.float32)
         paste_content = jnp.zeros((), jnp.float32)
+    if not has_ctx:
+        op_ctx = jnp.zeros((), jnp.float32)
 
     if _resolve_loop(loop) == "scan":
         return _run_scan(
-            body, noise_fn, has_paste, params, x_init, apy, paste_mask,
-            paste_content, tables, key,
+            body, noise_fn, has_paste, has_ctx, params, x_init, apy,
+            paste_mask, paste_content, op_ctx, tables, key,
         )
 
     # host driver: static schedule -> Python branch per step, numpy tables
@@ -418,7 +432,8 @@ def sample_posterior(
             x, key = _host_undo(noise_fn, x, key, _undo_beta(tbl, t))
         else:
             x, x0_hat, key = _host_step(
-                body, noise_fn, has_paste, params, x, apy, paste_mask,
-                paste_content, key, *_host_scalars(tbl, t),
+                body, noise_fn, has_paste, has_ctx, params, x, apy,
+                paste_mask, paste_content, op_ctx, key,
+                *_host_scalars(tbl, t),
             )
     return x, x0_hat

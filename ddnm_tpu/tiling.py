@@ -42,6 +42,7 @@ from ddnm_tpu.operators.functional import (
     avg_pool,
     build_functional_operator,
     color2gray,
+    gray2color,
     mean_upsample,
 )
 from ddnm_tpu.sampling.posterior import PosteriorTables, sample_posterior
@@ -114,14 +115,48 @@ def build_hq_operators(
 ) -> tuple[FunctionalOperator, Callable]:
     """(tile-size operator, target-size A_temp) per the hq task table
     (gaussian_diffusion.py:595-643). A_temp maps the full ground truth to the
-    measurement; the tile operator works on 256x256 windows."""
-    op = build_functional_operator(deg, image_size=TILE, deg_scale=scale, mask=mask)
+    measurement; the tile operator works on 256x256 windows.
+
+    Mask-based tasks (inpainting / mask_color_sr): the reference only
+    supports these at canvas == 256 (single tile; it gates them on
+    conf.name=='face256', gaussian_diffusion.py:601-622). Here the mask is
+    canvas-sized and the tile operator is CONTEXT-PARAMETERISED
+    (FunctionalOperator.A_ctx): the sampler receives each tile's mask
+    slice as a runtime tensor, so arbitrary-size masked restoration works
+    with ONE compiled tile executable — a beyond-reference capability."""
     if deg == "sr_averagepooling":
+        op = build_functional_operator(deg, image_size=TILE, deg_scale=scale)
         a_temp = lambda z: avg_pool(z, scale)
-    elif deg in ("inpainting", "mask_color_sr", "colorization"):
+    elif deg == "colorization":
+        op = build_functional_operator(deg, image_size=TILE)
         a_temp = op.A
     elif deg == "sr_color":
+        op = build_functional_operator(deg, image_size=TILE, deg_scale=scale)
         a_temp = lambda z: color2gray(avg_pool(z, scale))
+    elif deg in ("inpainting", "mask_color_sr"):
+        if mask is None:
+            raise ValueError(f"{deg} requires a mask")
+        m = jnp.asarray(np.asarray(mask), jnp.float32)
+        if m.ndim == 2:
+            m = m[:, :, None]
+        if tuple(m.shape[:2]) != tuple(gt_shape):
+            raise ValueError(
+                f"{deg} mask shape {tuple(m.shape[:2])} must match the "
+                f"canvas {tuple(gt_shape)} (the reference's gt_keep_mask "
+                "is gt-sized)"
+            )
+        if deg == "inpainting":
+            # canvas-level closures for A_temp / Apy; per-tile ctx forms
+            A_full = lambda z: z * m
+            mask_ctx = lambda z, c: z * c
+            op = FunctionalOperator(deg, A_full, A_full, mask_ctx, mask_ctx)
+        else:  # mask_color_sr
+            A_full = lambda z: avg_pool(color2gray(z * m), scale)
+            Ap_full = lambda z: gray2color(mean_upsample(z, scale)) * m
+            A_ctx = lambda z, c: avg_pool(color2gray(z * c), scale)
+            Ap_ctx = lambda z, c: gray2color(mean_upsample(z, scale)) * c
+            op = FunctionalOperator(deg, A_full, Ap_full, A_ctx, Ap_ctx)
+        a_temp = op.A
     else:
         raise NotImplementedError(f"hq degradation {deg} not supported")
     return op, a_temp
@@ -227,6 +262,16 @@ def mask_shift_sample(
     canvas = jnp.zeros((1, h_target, w_target, 3), dtype=jnp.float32)
     apy_dev = jnp.asarray(apy_temp)
 
+    # context-parameterised operator (canvas-sized mask): upload the mask
+    # canvas once; each tile's slice rides into the sampler as a runtime
+    # tensor (see build_hq_operators)
+    ctx_canvas = None
+    if op.has_ctx:
+        m = jnp.asarray(np.asarray(mask), jnp.float32)
+        if m.ndim == 2:
+            m = m[:, :, None]
+        ctx_canvas = m[None]  # (1, H, W, 1)
+
     # per-tile RNG assigned in row-major order, so both schedules draw the
     # same per-tile init keys
     tile_keys = {}
@@ -277,7 +322,9 @@ def mask_shift_sample(
     # backend: ~25 MB of uploads per 8-tile group.)
     @jax.jit
     def _take_tile(img, h0, w0):
-        return jax.lax.dynamic_slice(img, (0, h0, w0, 0), (1, TILE, TILE, 3))
+        return jax.lax.dynamic_slice(
+            img, (0, h0, w0, 0), (1, TILE, TILE, img.shape[-1])
+        )
 
     # donate the canvas: the old buffer is dead after reassignment, and
     # without donation every per-tile write copies the full canvas in HBM
@@ -354,6 +401,11 @@ def mask_shift_sample(
             [_take_mask(masks_dev, tile_pos[t.index]) for t in padded]
         )
         content_b = jnp.concatenate([_take_tile(canvas, t.h0, t.w0) for t in padded])
+        ctx_b = None
+        if ctx_canvas is not None:
+            ctx_b = jnp.concatenate(
+                [_take_tile(ctx_canvas, t.h0, t.w0) for t in padded]
+            )
         if tile_init == "carry" and carry_x is not None:
             x_init_b = carry_x  # previous tile's final sample (or init_noise)
         else:
@@ -371,6 +423,8 @@ def mask_shift_sample(
             x_init_b, apy_b, mask_b, content_b = shard_tiles(
                 mesh, (x_init_b, apy_b, mask_b, content_b)
             )
+            if ctx_b is not None:
+                ctx_b = shard_tiles(mesh, ctx_b)
         noise_kw = {"noise_fn": noise_fn} if noise_fn is not None else {}
         if encoder_cache > 1:
             from ddnm_tpu.sampling.accel import sample_posterior_encoder_prop
@@ -380,7 +434,7 @@ def mask_shift_sample(
                 tile_keys[group[0].index][1],
                 interval=encoder_cache, paste_mask=mask_b,
                 paste_content=content_b, guidance_fn=guidance_fn,
-                params=params, **noise_kw,
+                params=params, op_ctx=ctx_b, **noise_kw,
             )
         else:
             x_b, x0_b = sample_posterior(
@@ -394,6 +448,7 @@ def mask_shift_sample(
                 paste_content=content_b,
                 guidance_fn=guidance_fn,
                 params=params,
+                op_ctx=ctx_b,
                 **noise_kw,
             )
         if tile_init == "carry":

@@ -959,3 +959,74 @@ def test_mask_shift_checkpoint_resume(tmp_path, mode):
                               resume=True, scale=4, resize_y=False,
                               noise_fn=zero_noise)
     assert other["final"].shape == (1, 512, 512, 3)
+
+
+@pytest.mark.parametrize("deg", ["inpainting", "mask_color_sr"])
+def test_mask_shift_canvas_mask_multitile(deg):
+    """Mask-based hq tasks on a MULTI-TILE canvas (beyond-reference: the
+    reference gates these on single-tile face256, gaussian_diffusion.py:
+    601-622). The context-parameterised tile operator must match a manual
+    per-tile loop using statically-masked operators, bitwise (zero noise)."""
+    from ddnm_tpu.tiling import TILE, tile_grid
+
+    size = 384
+    rng = np.random.default_rng(17)
+    gt = rng.uniform(-1, 1, (1, size, size, 3)).astype(np.float32)
+    mask = (rng.uniform(size=(size, size)) > 0.4).astype(np.float32)
+    tables = build_posterior_tables(
+        betas=sch.named_beta_schedule("linear", 100, use_scale=True),
+        timestep_respacing="3", sigma_y=0.0,
+        schedule_jump_params=dict(t_T=3, n_sample=1, jump_length=1, jump_n_sample=1),
+    )
+    toy = _toy_model_jax()
+    zero_noise = lambda key, shape: jnp.zeros(shape, jnp.float32)
+    kw = dict(scale=2, mask=mask) if deg == "mask_color_sr" else dict(mask=mask)
+
+    out = mask_shift_sample(toy, gt, deg, tables, jax.random.PRNGKey(3),
+                            noise_fn=zero_noise, resize_y=False, **kw)
+
+    # ---- manual oracle: per-tile ops built from the STATIC mask slice ----
+    from ddnm_tpu.tiling import build_hq_operators
+
+    op_full, a_temp = build_hq_operators(
+        deg, scale=kw.get("scale", 4), gt_shape=(size, size), mask=mask)
+    apy_full = op_full.Ap(a_temp(jnp.asarray(gt)))
+    np.testing.assert_allclose(np.asarray(out["apy"]), np.asarray(apy_full),
+                               atol=1e-6)
+
+    canvas = np.zeros((1, size, size, 3), np.float32)
+    key = jax.random.PRNGKey(3)
+    tile_keys = {}
+    carry = None
+    for tile in tile_grid(size, size):
+        key, k_init, k_samp = jax.random.split(key, 3)
+        tile_keys[tile.index] = (k_init, k_samp)
+    for tile in tile_grid(size, size):
+        h0, w0 = tile.h0, tile.w0
+        m_tile = mask[h0:h0 + TILE, w0:w0 + TILE]
+        op_t = build_functional_operator(
+            deg if deg != "mask_color_sr" else "mask_color_sr",
+            image_size=TILE, deg_scale=kw.get("scale", 4), mask=m_tile)
+        apy_t = jnp.asarray(
+            np.asarray(out["apy"])[:, h0:h0 + TILE, w0:w0 + TILE, :])
+        pm = jnp.asarray(tile.paste_mask()[None])
+        pc = jnp.asarray(canvas[:, h0:h0 + TILE, w0:w0 + TILE, :])
+        x_init = (carry if carry is not None
+                  else jax.random.normal(tile_keys[tile.index][0],
+                                         (1, TILE, TILE, 3)))
+        x_fin, x0 = sample_posterior(
+            toy, x_init, apy_t, op_t, tables, tile_keys[tile.index][1],
+            paste_mask=pm, paste_content=pc, noise_fn=zero_noise,
+        )
+        carry = x_fin
+        canvas[:, h0:h0 + TILE, w0:w0 + TILE, :] = np.asarray(x0)
+
+    np.testing.assert_allclose(out["final"], canvas, atol=2e-5)
+
+
+def test_mask_shape_mismatch_raises():
+    with pytest.raises(ValueError, match="mask shape"):
+        from ddnm_tpu.tiling import build_hq_operators
+
+        build_hq_operators("inpainting", gt_shape=(384, 384),
+                           mask=np.ones((256, 256), np.float32))
