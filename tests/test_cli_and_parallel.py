@@ -329,3 +329,27 @@ def test_runner_multihost_auto_subset(tmp_path, monkeypatch):
     ds = runner.build_dataset()
     assert len(ds.paths) == 2          # process 1 of 2 over 5 -> items 3,4
     assert args.subset_start == 3
+
+
+def test_hq_cli_multitile_inpainting_with_mask(tmp_path):
+    """hq CLI: canvas-sized mask on a MULTI-TILE canvas (beyond-reference;
+    context-parameterised operators, ddnm_tpu/operators/functional.py)."""
+    from PIL import Image
+
+    import hq_main as hq
+    from ddnm_tpu.data.io import save_image
+
+    rng = np.random.default_rng(6)
+    src = tmp_path / "in.png"
+    save_image(rng.uniform(size=(384, 384, 3)).astype(np.float32), src)
+    mpath = tmp_path / "mask.png"
+    Image.fromarray(
+        ((rng.uniform(size=(384, 384)) > 0.3) * 255).astype(np.uint8)
+    ).save(mpath)
+    out = hq.main([
+        "--config", "configs/hq/smoke.yml", "--deg", "inpainting",
+        "--path_y", str(src), "--mask_path", str(mpath),
+        "--random_init", "-i", str(tmp_path / "hq"),
+    ])
+    assert out["final"].shape == (1, 384, 384, 3)
+    assert np.isfinite(out["final"]).all()
