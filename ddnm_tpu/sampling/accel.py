@@ -190,9 +190,9 @@ def sample_simplified_encoder_prop(
 # ---------------------------------------------------------------------------
 # Same Faster-Diffusion idea applied to the hq posterior sampler: the ADM
 # UNet exposes mode="encode"/"decode" splits (models/unet_adm.py ADMUNet);
-# callers provide encode_fn/decode_fn so class-conditional label plumbing
-# stays at the CLI layer. Host-driven loop; interval=1 is exactly the
-# standard host-loop posterior sampler (tested).
+# build the (encode_fn, decode_fn) pair with adm_split_fns / ddpm_split_fns
+# above. Host-driven loop; interval=1 is exactly the standard host-loop
+# posterior sampler (tested).
 
 from ddnm_tpu.sampling.posterior import (  # noqa: E402
     PosteriorTables,
