@@ -31,10 +31,22 @@ __all__ = [
     "gray2color",
     "avg_pool",
     "mean_upsample",
+    "as_mask",
     "build_functional_operator",
 ]
 
 Array = jnp.ndarray
+
+
+def as_mask(mask) -> Array:
+    """Normalise a user mask to float32 (H, W, 1) (accepts (H, W) too) —
+    the single place mask conventions live."""
+    m = jnp.asarray(np.asarray(mask), jnp.float32)
+    if m.ndim == 2:
+        m = m[:, :, None]
+    if m.ndim != 3 or m.shape[-1] != 1:
+        raise ValueError(f"mask must be (H, W) or (H, W, 1), got {m.shape}")
+    return m
 
 
 def color2gray(x: Array) -> Array:
@@ -80,6 +92,13 @@ class FunctionalOperator:
     Ap: Callable[[Array], Array]
     A_ctx: Callable[[Array, Array], Array] | None = None
     Ap_ctx: Callable[[Array, Array], Array] | None = None
+
+    def __post_init__(self):
+        if (self.A_ctx is None) != (self.Ap_ctx is None):
+            raise ValueError(
+                "A_ctx and Ap_ctx must be provided together "
+                f"(operator {self.name!r})"
+            )
 
     @property
     def has_ctx(self) -> bool:
@@ -146,9 +165,7 @@ def build_functional_operator(
     if deg == "inpainting":
         if mask is None:
             raise ValueError("inpainting requires a mask")
-        m = jnp.asarray(np.asarray(mask), jnp.float32)
-        if m.ndim == 2:
-            m = m[:, :, None]
+        m = as_mask(mask)
         masked = lambda z: z * m
         return FunctionalOperator(deg, masked, masked)
 
@@ -165,9 +182,7 @@ def build_functional_operator(
     if deg in ("mask_color_sr", "diy"):
         if mask is None:
             raise ValueError(f"{deg} requires a mask")
-        m = jnp.asarray(np.asarray(mask), jnp.float32)
-        if m.ndim == 2:
-            m = m[:, :, None]
+        m = as_mask(mask)
         scale = round(deg_scale)
 
         def A(z):

@@ -17,6 +17,7 @@ topologies.
 from __future__ import annotations
 
 import logging
+import os
 
 import jax
 
@@ -24,22 +25,45 @@ __all__ = ["maybe_init_distributed", "process_subset"]
 
 logger = logging.getLogger("ddnm_tpu")
 
+# evidence of a multi-process launch environment. Checked BEFORE touching
+# any jax API: querying jax.process_count() initializes the backends, after
+# which jax.distributed.initialize() unconditionally raises — so detection
+# must be env-only.
+_CLUSTER_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "TPU_WORKER_HOSTNAMES",     # multi-host TPU pod
+    "SLURM_JOB_NUM_NODES",
+    "OMPI_COMM_WORLD_SIZE",
+)
+
 
 def maybe_init_distributed() -> bool:
-    """Initialize jax.distributed on multi-host platforms (TPU pods read the
-    coordinator from the environment). No-op — returning False — when
-    already initialized or single-host; never raises (dev boxes without a
-    cluster config just stay single-process)."""
-    try:
-        if jax.process_count() > 1:
-            return False  # runtime already knows the topology
-    except RuntimeError:
-        pass
+    """Initialize jax.distributed when the environment indicates a
+    multi-process launch (TPU pod worker env, a coordinator address, or a
+    Slurm/OpenMPI job). MUST run before any other JAX call in the process.
+    No-op (False) on single-host dev boxes; initialization failures in a
+    detected cluster are logged as warnings, not swallowed silently."""
+    evidence = [v for v in _CLUSTER_ENV_VARS if os.environ.get(v)]
+    if not evidence:
+        return False
+    if evidence == ["SLURM_JOB_NUM_NODES"] and \
+            os.environ.get("SLURM_JOB_NUM_NODES") == "1":
+        return False
     try:
         jax.distributed.initialize()
+        logger.info(
+            "jax.distributed initialized: process %d/%d (%s)",
+            jax.process_index(), jax.process_count(), ",".join(evidence),
+        )
         return True
-    except Exception as e:  # single-host dev environment
-        logger.debug("jax.distributed not initialized (%s)", e)
+    except Exception as e:
+        logger.warning(
+            "cluster environment detected (%s) but jax.distributed."
+            "initialize failed: %s — running single-process",
+            ",".join(evidence), e,
+        )
         return False
 
 

@@ -225,6 +225,13 @@ class Runner:
             manifest=args.manifest,
             subset=subset,
         )
+        if args.max_images:
+            # global cap, applied BEFORE the per-process slice so a
+            # multi-host run covers the same (prefix) image set as a
+            # single-host run
+            ds.paths = ds.paths[: args.max_images]
+            if hasattr(ds, "labels"):
+                ds.labels = ds.labels[: args.max_images]
         if subset is None and jax.process_count() > 1:
             # multi-host: every process takes a disjoint contiguous slice
             # (the automated form of the reference's manual
@@ -240,10 +247,6 @@ class Runner:
                 "multi-host: process %d/%d takes images [%d, %d)",
                 jax.process_index(), jax.process_count(), s, e,
             )
-        if args.max_images:
-            ds.paths = ds.paths[: args.max_images]
-            if hasattr(ds, "labels"):
-                ds.labels = ds.labels[: args.max_images]
         return ds
 
     # ---------------------------------------------------------------- running

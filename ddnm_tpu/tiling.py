@@ -39,6 +39,7 @@ import jax.numpy as jnp
 
 from ddnm_tpu.operators.functional import (
     FunctionalOperator,
+    as_mask,
     avg_pool,
     build_functional_operator,
     color2gray,
@@ -136,9 +137,7 @@ def build_hq_operators(
     elif deg in ("inpainting", "mask_color_sr"):
         if mask is None:
             raise ValueError(f"{deg} requires a mask")
-        m = jnp.asarray(np.asarray(mask), jnp.float32)
-        if m.ndim == 2:
-            m = m[:, :, None]
+        m = as_mask(mask)
         if tuple(m.shape[:2]) != tuple(gt_shape):
             raise ValueError(
                 f"{deg} mask shape {tuple(m.shape[:2])} must match the "
@@ -267,10 +266,7 @@ def mask_shift_sample(
     # tensor (see build_hq_operators)
     ctx_canvas = None
     if op.has_ctx:
-        m = jnp.asarray(np.asarray(mask), jnp.float32)
-        if m.ndim == 2:
-            m = m[:, :, None]
-        ctx_canvas = m[None]  # (1, H, W, 1)
+        ctx_canvas = as_mask(mask)[None]  # (1, H, W, 1)
 
     # per-tile RNG assigned in row-major order, so both schedules draw the
     # same per-tile init keys
@@ -358,12 +354,26 @@ def mask_shift_sample(
     done: set = set()
     ckpt_path = None
     if checkpoint_dir is not None:
+        import hashlib
         from pathlib import Path as _Path
 
         _Path(checkpoint_dir).mkdir(parents=True, exist_ok=True)
         ckpt_path = _Path(checkpoint_dir) / "mask_shift_state.npz"
-        meta = np.array([h_target, w_target, int(parallel),
-                         1 if tile_init == "carry" else 0])
+        # full run identity: geometry/schedule flags AND the input image,
+        # measurement setup, RNG key and timestep tables — a checkpoint
+        # from any other run must never be replayed
+        h = hashlib.sha256()
+        h.update(repr((h_target, w_target, parallel, tile_init, deg,
+                       scale, resize_y, encoder_cache)).encode())
+        h.update(np.asarray(gt).tobytes())
+        if mask is not None:
+            h.update(np.asarray(as_mask(mask)).tobytes())
+        kd = (jax.random.key_data(key)
+              if jnp.issubdtype(key.dtype, jax.dtypes.prng_key) else key)
+        h.update(np.asarray(kd).tobytes())
+        h.update(np.asarray(tables.t_cur).tobytes())
+        h.update(np.asarray(tables.betas).tobytes())
+        meta = np.frombuffer(h.digest(), dtype=np.uint8)
         if resume and ckpt_path.exists():
             state = np.load(ckpt_path)
             if np.array_equal(state["meta"], meta):
@@ -375,8 +385,9 @@ def mask_shift_sample(
                             len(done), len(tiles))
             else:
                 logger.warning(
-                    "resume: checkpoint %s is for a different canvas/"
-                    "schedule — starting fresh", ckpt_path)
+                    "resume: checkpoint %s is from a DIFFERENT run "
+                    "(input/seed/schedule mismatch) — starting fresh",
+                    ckpt_path)
 
     def _save_state():
         arrays = dict(meta=meta, canvas=np.asarray(canvas),
@@ -460,6 +471,9 @@ def mask_shift_sample(
         if ckpt_path is not None:
             done.update(t.index for t in group)
             _save_state()
+
+    if ckpt_path is not None and ckpt_path.exists():
+        ckpt_path.unlink()  # run completed: never replay this state
 
     return {
         "final": np.asarray(canvas),

@@ -1030,3 +1030,49 @@ def test_mask_shape_mismatch_raises():
 
         build_hq_operators("inpainting", gt_shape=(384, 384),
                            mask=np.ones((256, 256), np.float32))
+
+
+def test_mask_shift_checkpoint_identity_and_cleanup(tmp_path):
+    """A completed run deletes its state file; a leftover state from a
+    DIFFERENT input/seed is never replayed (full-identity fingerprint)."""
+    rng = np.random.default_rng(41)
+    gt = rng.uniform(-1, 1, (1, 384, 384, 3)).astype(np.float32)
+    tables = build_posterior_tables(
+        betas=sch.named_beta_schedule("linear", 100, use_scale=True),
+        timestep_respacing="2", sigma_y=0.0,
+        schedule_jump_params=dict(t_T=2, n_sample=1, jump_length=1, jump_n_sample=1),
+    )
+    toy = _toy_model_jax()
+    zero_noise = lambda key, shape: jnp.zeros(shape, jnp.float32)
+    common = dict(scale=4, resize_y=False, noise_fn=zero_noise,
+                  checkpoint_dir=tmp_path)
+    state = tmp_path / "mask_shift_state.npz"
+
+    mask_shift_sample(toy, gt, "sr_averagepooling", tables,
+                      jax.random.PRNGKey(4), **common)
+    assert not state.exists()  # completed -> cleaned up
+
+    # interrupt to leave a state file behind
+    class Boom(Exception):
+        pass
+
+    calls = []
+
+    def bomb(tile, x0):
+        calls.append(tile.index)
+        if len(calls) == 2:  # after the first group's state save
+            raise Boom
+
+    with pytest.raises(Boom):
+        mask_shift_sample(toy, gt, "sr_averagepooling", tables,
+                          jax.random.PRNGKey(4), progress_fn=bomb, **common)
+    assert state.exists()
+
+    # same canvas geometry, DIFFERENT input + seed: stale state ignored
+    gt2 = rng.uniform(-1, 1, (1, 384, 384, 3)).astype(np.float32)
+    fresh = mask_shift_sample(toy, gt2, "sr_averagepooling", tables,
+                              jax.random.PRNGKey(9), resume=True, **common)
+    ref = mask_shift_sample(toy, gt2, "sr_averagepooling", tables,
+                            jax.random.PRNGKey(9), scale=4, resize_y=False,
+                            noise_fn=zero_noise)
+    np.testing.assert_allclose(fresh["final"], ref["final"], atol=1e-7)

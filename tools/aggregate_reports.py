@@ -34,15 +34,14 @@ def aggregate(reports: list[dict]) -> dict:
 
     out = {}
     for run, a in sorted(acc.items()):
-        entry = {}
-        if a["n"]:
-            entry.update(
-                avg_psnr=a["psnr_sum"] / a["n"],
-                num_samples=a["n"],
-                # hosts run concurrently: global wall = slowest host
-                wall_seconds=a["wall"],
-                images_per_second=a["n"] / a["wall"] if a["wall"] else 0.0,
-            )
+        # uniform schema even when every host errored (num_samples == 0)
+        entry = dict(
+            avg_psnr=a["psnr_sum"] / a["n"] if a["n"] else None,
+            num_samples=a["n"],
+            # hosts run concurrently: global wall = slowest host
+            wall_seconds=a["wall"],
+            images_per_second=a["n"] / a["wall"] if a["wall"] else 0.0,
+        )
         if a["errors"]:
             entry["errors"] = a["errors"]
         out[run] = entry
