@@ -83,6 +83,7 @@ def export_posterior_step(
     batch: int,
     image_size: int,
     clip_denoised: bool = True,
+    with_ctx: bool = False,
     platforms: tuple[str, ...] | None = None,
     path: str | Path | None = None,
 ) -> bytes:
@@ -96,24 +97,41 @@ def export_posterior_step(
     come from `build_posterior_tables`; the serving process drives the
     jump schedule host-side exactly like `sample_posterior(loop="host")`.
     Guidance and mask-shift pasting are tiling/CLI concerns and are not
-    part of the serving artifact.
+    part of the serving artifact. `with_ctx=True` (context-parameterised
+    operators, e.g. per-tile masks) appends an (B,H,W,1) `op_ctx` tensor
+    to the signature, between `apy` and `key`.
     """
+    if with_ctx and not operator.has_ctx:
+        raise ValueError("with_ctx=True needs an operator with A_ctx/Ap_ctx")
 
-    def step(params, x, apy, key, t_orig, sqrt_recip, sqrt_recipm1, lam,
-             coef1, coef2, gamma, nonzero):
-        noise = jax.random.normal(key, x.shape, dtype=jnp.float32)
-        return _posterior_body(
-            model_fn, operator, None, clip_denoised, params, x, apy,
-            None, None, noise, t_orig, sqrt_recip, sqrt_recipm1, lam,
-            coef1, coef2, gamma, nonzero,
-        )
+    if with_ctx:
+        def step(params, x, apy, op_ctx, key, t_orig, sqrt_recip,
+                 sqrt_recipm1, lam, coef1, coef2, gamma, nonzero):
+            noise = jax.random.normal(key, x.shape, dtype=jnp.float32)
+            return _posterior_body(
+                model_fn, operator, None, clip_denoised, params, x, apy,
+                None, None, noise, t_orig, sqrt_recip, sqrt_recipm1, lam,
+                coef1, coef2, gamma, nonzero, op_ctx,
+            )
+    else:
+        def step(params, x, apy, key, t_orig, sqrt_recip, sqrt_recipm1, lam,
+                 coef1, coef2, gamma, nonzero):
+            noise = jax.random.normal(key, x.shape, dtype=jnp.float32)
+            return _posterior_body(
+                model_fn, operator, None, clip_denoised, params, x, apy,
+                None, None, noise, t_orig, sqrt_recip, sqrt_recipm1, lam,
+                coef1, coef2, gamma, nonzero,
+            )
 
     scalar = jax.ShapeDtypeStruct((), jnp.float32)
     img = jax.ShapeDtypeStruct((batch, image_size, image_size, 3), jnp.float32)
+    ctx = (jax.ShapeDtypeStruct((batch, image_size, image_size, 1),
+                                jnp.float32),) if with_ctx else ()
     args = (
         jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params),
         img,
         img,
+    ) + ctx + (
         jax.ShapeDtypeStruct((2,), jnp.uint32),  # raw PRNG key
     ) + (scalar,) * 8
     exp = jax.export.export(

@@ -310,3 +310,42 @@ def test_aggregate_reports(tmp_path):
     p0, p1 = tmp_path / "a.json", tmp_path / "b.json"
     p0.write_text(json.dumps(r0)); p1.write_text(json.dumps(r1))
     assert agg_main([str(p0), str(p1)])["sr"]["avg_psnr"] == 28.0
+
+
+def test_serving_export_posterior_with_ctx(tmp_path):
+    """Posterior step export with a context-parameterised (masked) operator."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddnm_tpu.operators.functional import FunctionalOperator
+    from ddnm_tpu.serving import export_posterior_step, load_exported
+
+    size, batch = 16, 1
+
+    def model_fn(p, x, t):
+        return jnp.concatenate([p["s"] * x, jnp.zeros_like(x)], axis=-1)
+
+    params = {"s": jnp.float32(0.1)}
+    mask_ctx = lambda z, c: z * c
+    op = FunctionalOperator("inpainting", lambda z: z, lambda z: z,
+                            mask_ctx, mask_ctx)
+    blob = export_posterior_step(
+        model_fn, params, op, batch=batch, image_size=size, with_ctx=True,
+        path=tmp_path / "cstep.bin",
+    )
+    call = load_exported(tmp_path / "cstep.bin")
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (batch, size, size, 3))
+    apy = 0.5 * x
+    ctx = (jax.random.uniform(rng, (batch, size, size, 1)) > 0.5).astype(jnp.float32)
+    key = jax.random.key_data(jax.random.PRNGKey(7)).astype(jnp.uint32)
+    out, x0 = call(params, x, apy, ctx, key, 3.0, 1.2, 0.8, 1.0, 0.1, 0.9,
+                   1e-4, 1.0)
+    assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
+
+    import pytest as _pytest
+
+    op_plain = FunctionalOperator("id", lambda z: z, lambda z: z)
+    with _pytest.raises(ValueError, match="with_ctx"):
+        export_posterior_step(model_fn, params, op_plain, batch=batch,
+                              image_size=size, with_ctx=True)
