@@ -62,7 +62,7 @@ CHECKPOINTS = {
     ),
     "ema_lsun_church": (
         "https://heibox.uni-heidelberg.de/f/44ccb50ef3c6436db52e/?dl=1",
-        "eb619b8a5ab95ef80f94ce8a5488dae3",
+        "fdc68a23938c2397caba4a260bc2445f",
         "ema_lsun_church.ckpt",
     ),
 }

@@ -39,21 +39,43 @@ def CenterCropLongEdge(img: np.ndarray) -> np.ndarray:
     return img[top : top + s, left : left + s]
 
 
+def center_crop_arr(pil, size: int):
+    """The reference's center_crop_arr (datasets/__init__.py:29-44): BOX
+    halving while the short edge >= 2*size, BICUBIC to the target scale,
+    then center crop. Used for every non-manifest ImageNet / ood path."""
+    from PIL import Image
+
+    while min(pil.size) >= 2 * size:
+        pil = pil.resize((pil.size[0] // 2, pil.size[1] // 2), Image.BOX)
+    scale = size / min(pil.size)
+    pil = pil.resize(
+        (round(pil.size[0] * scale), round(pil.size[1] * scale)), Image.BICUBIC
+    )
+    arr = np.asarray(pil)
+    h, w = arr.shape[:2]
+    top, left = (h - size) // 2, (w - size) // 2
+    return Image.fromarray(arr[top : top + size, left : left + size])
+
+
 class FolderDataset:
     """ImageFolder-equivalent with the reference's fixed shuffle.
 
-    Preprocessing matches the reference per dataset family:
-      - crop_long_edge=False (CelebA_HQ/FFHQ): squash-resize to (s, s) with
-        BILINEAR, no crop (torchvision Resize([s, s]),
-        datasets/__init__.py:146-148);
-      - crop_long_edge=True (ImageNet): CenterCropLongEdge then BILINEAR
-        resize (imagenet_subset.py:5-23 + Resize(s)).
+    `crop` selects the reference preprocessing per dataset family:
+      - "squash" (CelebA_HQ/FFHQ): squash-resize to (s, s) with BILINEAR,
+        no crop (torchvision Resize([s, s]), datasets/__init__.py:146-148);
+      - "long_edge" (ImageNet 1k manifest): CenterCropLongEdge then
+        BILINEAR resize (imagenet_subset.py:5-23 + Resize(s));
+      - "center_arr" (non-manifest ImageNet / ood folders): the reference's
+        center_crop_arr (BOX halving + BICUBIC + crop,
+        datasets/__init__.py:29-44, used at :115,116,179,186).
     """
 
     def __init__(self, root: str | Path, image_size: int = 256,
-                 shuffle_seed: int | None = 2019, crop_long_edge: bool = False):
+                 shuffle_seed: int | None = 2019, crop: str = "squash"):
+        if crop not in ("squash", "long_edge", "center_arr"):
+            raise ValueError(f"unknown crop mode {crop!r}")
         self.paths = _list_images(Path(root))
-        self.crop_long_edge = crop_long_edge
+        self.crop = crop
         if not self.paths:
             raise FileNotFoundError(f"no images under {root}")
         if shuffle_seed is not None:
@@ -72,7 +94,9 @@ class FolderDataset:
         from PIL import Image
 
         pil = Image.open(self.paths[i]).convert("RGB")
-        if self.crop_long_edge:
+        if self.crop == "center_arr":
+            pil = center_crop_arr(pil, self.image_size)
+        elif self.crop == "long_edge":
             s = min(pil.size)
             left = (pil.size[0] - s) // 2
             top = (pil.size[1] - s) // 2
@@ -86,7 +110,7 @@ class ImageNetManifestDataset(FolderDataset):
     """Images + class labels from a `(filename class)` manifest txt."""
 
     def __init__(self, root: str | Path, manifest: str | Path, image_size: int = 256):
-        self.crop_long_edge = True  # CenterCropLongEdge (imagenet_subset.py:5-23)
+        self.crop = "long_edge"  # CenterCropLongEdge (imagenet_subset.py:5-23)
         root = Path(root)
         entries = []
         with open(manifest) as f:
@@ -116,14 +140,25 @@ def get_dataset(
     image_size: int = 256,
     manifest: str | Path | None = None,
     subset: tuple[int, int] | None = None,
+    out_of_dist: bool = False,
 ):
-    """Build a dataset by reference config name (CelebA_HQ, FFHQ, ImageNet...)."""
+    """Build a dataset by reference config name (CelebA_HQ, FFHQ, ImageNet...).
+
+    `out_of_dist` mirrors the config flag: ood ImageFolder datasets are
+    NOT shuffled (the seed-2019 shuffle applies only to the reference's
+    non-ood path_y branch, datasets/__init__.py:137-165)."""
     if name.lower() in ("celeba_hq", "ffhq", "solvay", "oldphoto", "folder"):
-        ds = FolderDataset(root, image_size)
+        ds = FolderDataset(root, image_size,
+                           shuffle_seed=None if out_of_dist else 2019)
     elif name.upper() == "CELEBA":
         from ddnm_tpu.data.extra_datasets import CelebADataset
 
         ds = CelebADataset(root, image_size, split="test")
+    elif name.upper() == "LSUN" and out_of_dist:
+        # ood_<category> ImageFolder with center_crop_arr
+        # (datasets/__init__.py:113-118)
+        ds = FolderDataset(root, image_size, shuffle_seed=None,
+                           crop="center_arr")
     elif name.upper() == "LSUN":
         from ddnm_tpu.data.extra_datasets import LSUNDataset
 
@@ -132,7 +167,10 @@ def get_dataset(
     elif name.lower() == "imagenet" and manifest is not None:
         ds = ImageNetManifestDataset(root, manifest, image_size)
     elif name.lower() == "imagenet":
-        ds = FolderDataset(root, image_size, shuffle_seed=None, crop_long_edge=True)
+        # ood folder or torchvision-val layout: center_crop_arr either way
+        # (datasets/__init__.py:176-189)
+        ds = FolderDataset(root, image_size, shuffle_seed=None,
+                           crop="center_arr")
     else:
         raise ValueError(f"unknown dataset {name}")
     if subset is not None:

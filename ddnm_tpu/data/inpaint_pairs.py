@@ -25,21 +25,14 @@ def _tree(root: str | Path) -> list[Path]:
 
 
 def _center_crop(img: np.ndarray, size: int) -> np.ndarray:
-    """Repeated-downsample center crop (image_datasets.py:201-218 behaviour:
-    box-downscale while >= 2x target, then bicubic to target, center crop)."""
+    """Repeated-downsample center crop (image_datasets.py:201-218; same
+    algorithm as datasets.center_crop_arr, shared)."""
     from PIL import Image
 
-    pil = Image.fromarray((img * 255).astype(np.uint8))
-    while min(pil.size) >= 2 * size:
-        pil = pil.resize((pil.size[0] // 2, pil.size[1] // 2), Image.BOX)
-    scale = size / min(pil.size)
-    pil = pil.resize(
-        (round(pil.size[0] * scale), round(pil.size[1] * scale)), Image.BICUBIC
-    )
-    arr = np.asarray(pil, dtype=np.float32) / 255.0
-    h, w = arr.shape[:2]
-    top, left = (h - size) // 2, (w - size) // 2
-    return arr[top : top + size, left : left + size]
+    from ddnm_tpu.data.datasets import center_crop_arr
+
+    pil = center_crop_arr(Image.fromarray((img * 255).astype(np.uint8)), size)
+    return np.asarray(pil, dtype=np.float32) / 255.0
 
 
 class InpaintPairs:
@@ -49,12 +42,21 @@ class InpaintPairs:
                  image_size: int = 256, max_len: int | None = None):
         gts = _tree(gt_path)
         masks = {p.name: p for p in _tree(mask_path)}
-        self.pairs = [(g, masks[g.name]) for g in gts if g.name in masks]
-        if not self.pairs:
-            # fall back to positional pairing (the reference pairs sorted
-            # trees positionally, image_datasets.py:60-76)
-            mlist = _tree(mask_path)
-            self.pairs = list(zip(gts, mlist))
+        named = [(g, masks[g.name]) for g in gts if g.name in masks]
+        if len(named) == len(gts):
+            # every gt has a same-named mask: pair by name
+            self.pairs = named
+        else:
+            # otherwise pair the two sorted trees positionally like the
+            # reference (image_datasets.py:60-76) — a PARTIAL name overlap
+            # must not silently drop the unmatched gts
+            import logging
+
+            if named:
+                logging.getLogger("ddnm_tpu").warning(
+                    "gt/mask name overlap is partial (%d/%d) — pairing "
+                    "positionally like the reference", len(named), len(gts))
+            self.pairs = list(zip(gts, _tree(mask_path)))
         if max_len:
             self.pairs = self.pairs[:max_len]
         if not self.pairs:

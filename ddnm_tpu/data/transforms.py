@@ -26,12 +26,13 @@ def data_transform(x, *, rescaled: bool = True, logit_transform: bool = False,
         x = jnp.asarray(
             np.asarray(x) + rng.standard_normal(np.shape(x)) * 0.01, jnp.float32
         )
+    # rescaled takes precedence over logit (reference :207-210 if/elif)
+    if rescaled:
+        return 2.0 * x - 1.0
     if logit_transform:
         lam = 1e-6
         x = lam + (1 - 2 * lam) * x
         return jnp.log(x) - jnp.log1p(-x)
-    if rescaled:
-        return 2.0 * x - 1.0
     return x
 
 

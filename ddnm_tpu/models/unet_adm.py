@@ -497,6 +497,12 @@ class ADMClassifier(_ADMBase):
             h = ResBlock(ch, self.use_scale_shift_norm, dtype=self.dtype, name="middle_block_2")(h, emb)
             results.append(h.astype(orig_dtype).mean(axis=(1, 2)))
             feats = jnp.concatenate(results, axis=-1)
+            if self.pool == "spatial_v2":
+                # Linear + GroupNorm + SiLU + Linear (unet.py:848-854);
+                # torch Sequential indices 0/1/3 -> out_0/out_1/out_3
+                feats = _dense(2048, "out_0")(feats)
+                feats = swish(_gn("out_1")(feats[:, None, None, :])[:, 0, 0, :])
+                return _dense(self.out_channels, "out_3")(feats)
             feats = nn.relu(_dense(2048, "out_0")(feats))
             return _dense(self.out_channels, "out_2")(feats)
 

@@ -68,6 +68,13 @@ def ddnm_plus_noise_coeffs(singulars, a, sigma_y, sigma_t, eta):
     # s == 0 (pure null space): DDIM defaults
     d1 = jnp.where(zero, sigma_t * eta, d1)
     d2 = jnp.where(zero, sigma_t * (1 - eta**2) ** 0.5, d2)
+    # the reference applies the three-case masking only under
+    # `a != 0 and sigma_y != 0` (svd_operators.py:264 etc.); without the
+    # gate, sigma_y=0 would collapse to d1=sigma_t, d2=0 instead of the
+    # DDIM defaults
+    gate = (jnp.asarray(a) != 0) & (jnp.asarray(sigma_y) != 0)
+    d1 = jnp.where(gate, d1, d1_default)
+    d2 = jnp.where(gate, d2, d2_default)
     return d1, d2
 
 

@@ -1117,10 +1117,24 @@ class GeneralA(SVDOperator):
     def singulars(self):
         return self._s
 
+    def A(self, vec):
+        # tall A (rows > cols): the spectral vector must be zero-padded to
+        # the row count before the full-U rotation (the base class — like
+        # the reference — assumes U accepts the singular count directly,
+        # which only holds for wide A)
+        k = self._s.shape[0]
+        spec = self._s[None] * self.Vt(vec).reshape(vec.shape[0], -1)[:, :k]
+        out = jnp.zeros((vec.shape[0], self._u.shape[0]), spec.dtype)
+        return self.U(out.at[:, :k].set(spec))
+
     def add_zeros(self, vec):
+        # the reference writes :U.shape[0] columns (svd_operators.py:205-207),
+        # which equals the singular count only for wide A and CRASHES for
+        # tall A (more rows than columns); slice to the true spectral size
+        k = self._s.shape[0]
         out = jnp.zeros((vec.shape[0], self._v.shape[0]), vec.dtype)
         r = vec.reshape(vec.shape[0], -1)
-        return out.at[:, : self._u.shape[0]].set(r)
+        return out.at[:, :k].set(r[:, :k])
 
     # --- fused spectral forms (stay in V's coordinate basis per step) ------
     def _s_full(self):
@@ -1128,10 +1142,12 @@ class GeneralA(SVDOperator):
         return jnp.concatenate([self._s, jnp.zeros(n - m, self._s.dtype)])
 
     def prepare_measurement(self, y):
-        """Spectral-space pinv of y on the full V axis (zeros in null space)."""
+        """Spectral-space pinv of y on the full V axis (zeros in null space).
+        Slices Ut(y) to the singular count so tall A (rows > cols) works."""
         s = self._s
         inv = jnp.where(s == 0, 0.0, 1.0 / jnp.where(s == 0, 1.0, s))
-        return self.add_zeros(inv[None] * self.Ut(y))
+        uty = self.Ut(y).reshape(y.shape[0], -1)[:, : s.shape[0]]
+        return self.add_zeros(inv[None] * uty)
 
     def range_project(self, vec):
         return self.V(jnp.where(self._s_full() == 0, 0.0, self.Vt(vec)))

@@ -224,6 +224,7 @@ class Runner:
             image_size=cfg.data.image_size,
             manifest=args.manifest,
             subset=subset,
+            out_of_dist=bool(getattr(cfg.data, "out_of_dist", False)),
         )
         if args.max_images:
             # global cap, applied BEFORE the per-process slice so a

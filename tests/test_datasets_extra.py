@@ -88,3 +88,63 @@ def test_iterate_batches_prefetch_order(tmp_path):
         np.testing.assert_array_equal(la, lb)
         assert va == vb
     assert [v for _, _, v in sync] == [3, 3, 1]
+
+
+def test_data_transform_rescaled_precedence():
+    """rescaled wins over logit_transform (reference if/elif,
+    datasets/__init__.py:207-210)."""
+    import jax.numpy as jnp
+
+    from ddnm_tpu.data.transforms import data_transform
+
+    x = jnp.asarray(np.linspace(0.1, 0.9, 5, dtype=np.float32))
+    both = data_transform(x, rescaled=True, logit_transform=True)
+    np.testing.assert_allclose(np.asarray(both), 2 * np.asarray(x) - 1, atol=1e-6)
+
+
+def test_center_crop_arr_matches_reference():
+    """Our center_crop_arr reproduces the reference's exactly (transcription
+    oracle of datasets/__init__.py:29-44 — the real module can't import in
+    this environment because its top-level torchvision import is stubbed)."""
+    from PIL import Image
+
+    from ddnm_tpu.data.datasets import center_crop_arr
+
+    def ref_center_crop_arr(pil_image, image_size):  # datasets/__init__.py:29-44
+        while min(*pil_image.size) >= 2 * image_size:
+            pil_image = pil_image.resize(
+                tuple(x // 2 for x in pil_image.size), resample=Image.BOX
+            )
+        scale = image_size / min(*pil_image.size)
+        pil_image = pil_image.resize(
+            tuple(round(x * scale) for x in pil_image.size),
+            resample=Image.BICUBIC,
+        )
+        arr = np.array(pil_image)
+        crop_y = (arr.shape[0] - image_size) // 2
+        crop_x = (arr.shape[1] - image_size) // 2
+        return arr[crop_y: crop_y + image_size, crop_x: crop_x + image_size]
+
+    rng = np.random.default_rng(1)
+    for shape in [(600, 430), (260, 300), (128, 500)]:
+        img = Image.fromarray(
+            rng.integers(0, 255, shape + (3,), dtype=np.uint8), "RGB")
+        ours = np.asarray(center_crop_arr(img, 128))
+        theirs = ref_center_crop_arr(img, 128)
+        np.testing.assert_array_equal(ours, theirs)
+
+
+def test_get_dataset_ood_unshuffled(tmp_path):
+    """out_of_dist folders keep sorted order (no seed-2019 shuffle)."""
+    from ddnm_tpu.data.datasets import get_dataset
+    from ddnm_tpu.data.io import save_image
+
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        save_image(rng.uniform(size=(32, 32, 3)).astype(np.float32),
+                   tmp_path / f"{i}.png")
+    ood = get_dataset("CelebA_HQ", root=tmp_path, image_size=32,
+                      out_of_dist=True)
+    assert [p.name for p in ood.paths] == [f"{i}.png" for i in range(6)]
+    shuffled = get_dataset("CelebA_HQ", root=tmp_path, image_size=32)
+    assert [p.name for p in shuffled.paths] != [f"{i}.png" for i in range(6)]

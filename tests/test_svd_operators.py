@@ -356,3 +356,40 @@ def test_noisy_mode_works_for_srconv_and_aniso():
             eta=0.85, sigma_y=0.1,
         )
         assert np.isfinite(np.asarray(out)).all(), deg
+
+
+def test_generala_tall_matrix_fused_paths():
+    """GeneralA with MORE ROWS THAN COLUMNS (overdetermined A): the fused
+    spectral paths must slice to the singular count (the reference's own
+    add_zeros crashes here; ours generalises)."""
+    from ddnm_tpu.operators.svd_ops import GeneralA
+
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((12, 8))
+    op = GeneralA(A)
+    x = jnp.asarray(rng.standard_normal((2, 8)), jnp.float32)
+    y = op.A(x)
+    assert y.shape == (2, 12)
+    spec_y = op.prepare_measurement(y)
+    # fused range path == composed pinv path
+    np.testing.assert_allclose(
+        np.asarray(op.V(spec_y)), np.asarray(op.A_pinv(y)), atol=1e-4)
+    # range_correction(x, spec_y) == Ap(A x) - Ap(y)
+    corr = op.range_correction(x, spec_y)
+    ref = op.A_pinv(op.A(x)) - op.A_pinv(y)
+    np.testing.assert_allclose(np.asarray(corr), np.asarray(ref), atol=1e-4)
+
+
+def test_noise_coeffs_sigma_y_zero_gate():
+    """sigma_y=0 (or a=0) keeps the DDIM defaults d1=sigma_t*eta,
+    d2=sigma_t*sqrt(1-eta^2) — the reference's `a != 0 and sigma_y != 0`
+    gate (svd_operators.py:264)."""
+    from ddnm_tpu.operators.base import ddnm_plus_noise_coeffs
+
+    s = jnp.asarray([0.0, 0.5, 1.0, 2.0])
+    sigma_t, eta = 0.3, 0.85
+    for a, sy in [(0.9, 0.0), (0.0, 0.1)]:
+        d1, d2 = ddnm_plus_noise_coeffs(s, a, sy, sigma_t, eta)
+        np.testing.assert_allclose(np.asarray(d1), sigma_t * eta, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(d2), sigma_t * (1 - eta**2) ** 0.5, atol=1e-6)

@@ -81,7 +81,7 @@ def test_adm_unet_parity(class_cond):
     np.testing.assert_allclose(out_nchw, ref_out, atol=5e-4, rtol=1e-3)
 
 
-@pytest.mark.parametrize("pool", ["attention", "adaptive", "spatial"])
+@pytest.mark.parametrize("pool", ["attention", "adaptive", "spatial", "spatial_v2"])
 def test_adm_classifier_parity(pool):
     torch = pytest.importorskip("torch")
     ref_unet_mod = import_reference("guided_diffusion.unet")
