@@ -30,7 +30,7 @@ precomputed host-side. Two interchangeable loop drivers share one step body:
 Default is "auto": the axon remote-compile backend takes minutes to compile
 scan-over-UNet bodies (measured 480 s for a toy model vs 5 s for the same
 step jitted alone), so "auto" picks "host" there and "scan" elsewhere.
-Numerics are identical — both drivers call the same step function.
+Numerics agree to fp32 rounding — both drivers call the same step function.
 """
 
 from __future__ import annotations
@@ -294,7 +294,7 @@ def _run_host(body, noise_fn, params, x_init, y, sched: DDNMSchedule, key):
 
     The schedule is static numpy, so the travel branch is a *Python* branch
     — travel steps never trace the model. RNG-key carry order matches the
-    scan driver exactly, so both drivers produce bit-identical trajectories.
+    scan driver exactly, so both drivers produce numerically equivalent trajectories (fp32-rounding-level differences from XLA fusion order).
     """
     abar = np.asarray(sched.alpha_bar)
     x, x0_pred = x_init, jnp.zeros_like(x_init)

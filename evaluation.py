@@ -115,7 +115,12 @@ def main(argv=None):
             print(f"!! {name} failed: {e}")
             report[name] = {"error": str(e)}
 
-    out_path = Path(ns.out) / "report.json"
+    # main.py re-roots relative -i under <exp>/image_samples (main.py:85-91);
+    # write the report into the SAME tree the images landed in
+    out_root = Path(ns.out)
+    if not out_root.is_absolute():
+        out_root = Path(ns.exp) / "image_samples" / ns.out
+    out_path = out_root / "report.json"
     out_path.parent.mkdir(parents=True, exist_ok=True)
     out_path.write_text(json.dumps(report, indent=2))
     print(json.dumps(report, indent=2))

@@ -82,9 +82,9 @@ def main(argv=None):
     # 1) simplified 4x SR
     op = build_functional_operator("sr_averagepooling", image_size=RES, deg_scale=4)
     y = op.A(x)
-    sample_simplified(model_fn, x, y, op, sched_warm, jax.random.PRNGKey(0),
-                      params=params)  # absorb one-time costs
     if wanted("simplified_sr4"):
+        sample_simplified(model_fn, x, y, op, sched_warm, jax.random.PRNGKey(0),
+                          params=params)  # absorb one-time costs
         results["simplified_sr4"] = timeit(
             lambda k: sample_simplified(model_fn, x, y, op, sched, k, params=params)
         )

@@ -45,6 +45,6 @@ shutil.rmtree(d, ignore_errors=True)
 with jax.profiler.trace(d):
     jax.device_get(fn(x, w, gamma, beta))
 print(f"== {which}: busy per iter over {N} iters ==")
-r = subprocess.run([sys.executable, "/root/repo/tools/trace_report.py", d, "--top", "4"],
+r = subprocess.run([sys.executable, str(Path(__file__).resolve().parents[2] / "tools" / "trace_report.py"), d, "--top", "4"],
                    capture_output=True, text=True)
 print(r.stdout[-1400:])

@@ -19,10 +19,10 @@ def main(argv=None):
     ns = p.parse_args(argv)
 
     import numpy as np
-    from ddnm_tpu.data.io import load_image
+    from ddnm_tpu.data.io import load_mask
 
-    img = load_image(ns.src)
-    mask = (img.mean(axis=-1) > 0.5).astype(np.int64)
+    # one source of truth for the threshold convention (data/io.py)
+    mask = load_mask(ns.src).astype(np.int64)
     dst = Path(ns.dst) if ns.dst else Path(ns.src).with_suffix(".npy")
     np.save(dst, mask)
     print(f"wrote {dst} shape={mask.shape} kept={mask.mean():.3f}")
