@@ -353,3 +353,24 @@ def test_hq_cli_multitile_inpainting_with_mask(tmp_path):
     ])
     assert out["final"].shape == (1, 384, 384, 3)
     assert np.isfinite(out["final"]).all()
+
+
+def test_hq_cli_noisy_smoke(tmp_path):
+    """hq CLI with sigma_y > 0: noisy posterior DDNM (lambda/gamma tables,
+    reference gaussian_diffusion.py:323-336 — sigma_y used RAW, unlike the
+    main pipeline's 2x domain scaling)."""
+    import hq_main as hq
+    from ddnm_tpu.data.io import save_image
+
+    rng = np.random.default_rng(2)
+    src = tmp_path / "in.png"
+    save_image(rng.uniform(size=(256, 256, 3)).astype(np.float32), src)
+    out = hq.main([
+        "--config", "configs/hq/smoke.yml",
+        "--deg", "sr_averagepooling", "--scale", "4",
+        "--sigma_y", "0.1",
+        "--path_y", str(src),
+        "--random_init",
+        "-i", str(tmp_path / "hq"),
+    ])
+    assert np.isfinite(out["final"]).all()
