@@ -1076,3 +1076,42 @@ def test_mask_shift_checkpoint_identity_and_cleanup(tmp_path):
                             jax.random.PRNGKey(9), scale=4, resize_y=False,
                             noise_fn=zero_noise)
     np.testing.assert_allclose(fresh["final"], ref["final"], atol=1e-7)
+
+
+def test_mask_shift_checkpoint_resume_parallel(tmp_path):
+    """Interrupt a wavefront-parallel run mid-schedule and resume: final
+    canvas equals the uninterrupted parallel run (groups redo atomically)."""
+    rng = np.random.default_rng(51)
+    gt = rng.uniform(-1, 1, (1, 512, 512, 3)).astype(np.float32)
+    tables = build_posterior_tables(
+        betas=sch.named_beta_schedule("linear", 100, use_scale=True),
+        timestep_respacing="2", sigma_y=0.0,
+        schedule_jump_params=dict(t_T=2, n_sample=1, jump_length=1, jump_n_sample=1),
+    )
+    toy = _toy_model_jax()
+    zero_noise = lambda key, shape: jnp.zeros(shape, jnp.float32)
+    common = dict(scale=4, resize_y=False, noise_fn=zero_noise, parallel=True)
+
+    full = mask_shift_sample(toy, gt, "sr_averagepooling", tables,
+                             jax.random.PRNGKey(8), **common)
+
+    class Boom(Exception):
+        pass
+
+    calls = []
+
+    def bomb(tile, x0):
+        calls.append(tile.index)
+        if len(calls) == 4:
+            raise Boom
+
+    with pytest.raises(Boom):
+        mask_shift_sample(toy, gt, "sr_averagepooling", tables,
+                          jax.random.PRNGKey(8), checkpoint_dir=tmp_path,
+                          progress_fn=bomb, **common)
+    assert (tmp_path / "mask_shift_state.npz").exists()
+    resumed = mask_shift_sample(toy, gt, "sr_averagepooling", tables,
+                                jax.random.PRNGKey(8), checkpoint_dir=tmp_path,
+                                resume=True, **common)
+    np.testing.assert_allclose(resumed["final"], full["final"], atol=1e-7)
+    assert not (tmp_path / "mask_shift_state.npz").exists()
