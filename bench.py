@@ -107,7 +107,9 @@ def main():
         mark(f"trial {i}: {per_trial[-1]:.2f}s")
     dt = sorted(per_trial)[len(per_trial) // 2]
 
-    n_chips = max(len(jax.devices()), 1)
+    # the bench workload is a single-device jit (inputs unsharded), so the
+    # per-chip divisor is 1 regardless of how many devices the host exposes
+    n_chips = 1
     img_per_sec_chip = (runs_per_trial * BATCH) / dt / n_chips
     print(
         json.dumps(

@@ -17,6 +17,8 @@ def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = Non
     """1-D data mesh over the first n devices (default: all)."""
     devs = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(f"need {n_devices} devices, have {len(devs)}")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (DATA_AXIS,))
 

@@ -7,7 +7,8 @@ that any JAX runtime (same or newer jaxlib, matching platform) can
 deserialize and call without the ddnm_tpu Python stack — the TPU-native
 equivalent of shipping a TorchScript/ONNX file.
 
-The exported step has signature (params, x, y, key, t, at, at_next) -> x_next
+The exported step has signature
+(params, x, y, key, t, at, at_next) -> (x_next, x0_prediction)
 with a fixed batch/shape; export per deployment shape (static shapes are a
 feature: the serving binary never retraces).
 """

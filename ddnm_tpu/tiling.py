@@ -184,6 +184,7 @@ def mask_shift_sample(
     decode_fn=None,
     checkpoint_dir=None,
     resume: bool = False,
+    resume_salt=None,
 ) -> dict:
     """Restore an arbitrary-size image with Mask-Shift DDNM.
 
@@ -360,19 +361,22 @@ def mask_shift_sample(
         _Path(checkpoint_dir).mkdir(parents=True, exist_ok=True)
         ckpt_path = _Path(checkpoint_dir) / "mask_shift_state.npz"
         # full run identity: geometry/schedule flags AND the input image,
-        # measurement setup, RNG key and timestep tables — a checkpoint
-        # from any other run must never be replayed
+        # measurement setup, RNG key and the COMPLETE timestep tables
+        # (lambda/gamma encode sigma_y, travel_shift encodes
+        # inpa_inj_time_shift) — a checkpoint from any other run must
+        # never be replayed. `resume_salt` lets callers fold in identity
+        # the tiling layer can't see (class label, classifier scale, ...).
         h = hashlib.sha256()
         h.update(repr((h_target, w_target, parallel, tile_init, deg,
-                       scale, resize_y, encoder_cache)).encode())
+                       scale, resize_y, encoder_cache, resume_salt)).encode())
         h.update(np.asarray(gt).tobytes())
         if mask is not None:
             h.update(np.asarray(as_mask(mask)).tobytes())
         kd = (jax.random.key_data(key)
               if jnp.issubdtype(key.dtype, jax.dtypes.prng_key) else key)
         h.update(np.asarray(kd).tobytes())
-        h.update(np.asarray(tables.t_cur).tobytes())
-        h.update(np.asarray(tables.betas).tobytes())
+        for leaf in jax.tree_util.tree_leaves(tables):
+            h.update(np.asarray(leaf).tobytes())
         meta = np.frombuffer(h.digest(), dtype=np.uint8)
         if resume and ckpt_path.exists():
             state = np.load(ckpt_path)

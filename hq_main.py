@@ -196,11 +196,13 @@ def main(argv=None):
         elif ns.random_init:
             cparams = jit_init(clf, k_model, jnp.zeros((1, size, size, 3)), jnp.zeros((1,)))
         else:
-            cparams = None
-        if cparams is not None:
-            guidance_fn = classifier_guidance_fn(
-                clf.apply, classes, float(conf.classifier_scale)
+            raise FileNotFoundError(
+                "classifier_scale > 0 but no classifier checkpoint at "
+                f"{cckpt!r}; pass --classifier_ckpt or --random_init"
             )
+        guidance_fn = classifier_guidance_fn(
+            clf.apply, classes, float(conf.classifier_scale)
+        )
 
     betas = named_beta_schedule(
         str(conf.noise_schedule or "linear"),
@@ -265,6 +267,8 @@ def main(argv=None):
         encoder_cache=ns.encoder_cache, encode_fn=encode_fn, decode_fn=decode_fn,
         mesh=mesh,
         checkpoint_dir=out_dir if ns.resume else None, resume=ns.resume,
+        resume_salt=(ns.class_label, float(conf.classifier_scale or 0),
+                     ns.sigma_y, ns.dtype),
     )
     if pbar is not None:
         pbar.close()
