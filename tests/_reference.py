@@ -9,6 +9,7 @@ absent; we stub those (they are dead imports on the paths we exercise, e.g.
 
 import importlib
 import sys
+from pathlib import Path
 import types
 
 import pytest
@@ -77,7 +78,9 @@ def import_hq_reference(module: str):
                     pass
         return importlib.import_module(f"{alias}.{module}")
     except Exception as e:  # pragma: no cover
-        pytest.skip(f"hq reference module {module} unavailable: {e}")
+        if not Path(REFERENCE_ROOT).exists():
+            pytest.skip(f"reference tree missing: {e}")
+        raise  # reference exists -> an import failure is a REAL regression
 
 
 def import_reference(module: str):
@@ -95,4 +98,6 @@ def import_reference(module: str):
     try:
         return importlib.import_module(module)
     except Exception as e:  # pragma: no cover
-        pytest.skip(f"reference module {module} unavailable: {e}")
+        if not Path(REFERENCE_ROOT).exists():
+            pytest.skip(f"reference tree missing: {e}")
+        raise  # reference exists -> an import failure is a REAL regression

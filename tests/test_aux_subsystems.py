@@ -294,7 +294,7 @@ def test_aggregate_reports(tmp_path):
     import json
     import sys
 
-    sys.path.insert(0, "tools")
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
     from aggregate_reports import aggregate, main as agg_main
 
     r0 = {"sr": {"avg_psnr": 30.0, "num_samples": 4, "wall_seconds": 10.0},

@@ -31,13 +31,15 @@ def test_celeba_dataset_with_partition(tmp_path):
     assert img.shape == (64, 64, 3) and 0.0 <= img.min() and img.max() <= 1.0
 
 
-def test_lsun_requires_lmdb(tmp_path):
-    try:
-        import lmdb  # noqa: F401
+def test_lsun_requires_lmdb(tmp_path, monkeypatch):
+    import importlib.util
+    import sys
 
-        pytest.skip("lmdb present; gating test not applicable")
-    except ImportError:
-        pass
+    if importlib.util.find_spec("lmdb") is not None and             getattr(sys.modules.get("lmdb"), "__file__", None) is not None:
+        pytest.skip("real lmdb present; gating test not applicable")
+    # tests/_reference may have installed a stub module: remove it so the
+    # gating path under test actually runs
+    monkeypatch.delitem(sys.modules, "lmdb", raising=False)
     with pytest.raises(ImportError):
         LSUNDataset(tmp_path, "bedroom")
 

@@ -234,8 +234,6 @@ def test_parity_lambda(op_cases):
 
     a, sigma_y, sigma_t, eta = 0.9, 0.1, 0.3, 0.85
     for name, ours, theirs in op_cases:
-        if not type(theirs).Lambda is not None:
-            continue
         try:
             n = _full_dim(ours)
             x = RNG.randn(B, n).astype(np.float32)
