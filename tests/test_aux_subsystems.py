@@ -349,3 +349,52 @@ def test_serving_export_posterior_with_ctx(tmp_path):
     with _pytest.raises(ValueError, match="with_ctx"):
         export_posterior_step(model_fn, params, op_plain, batch=batch,
                               image_size=size, with_ctx=True)
+
+
+def test_compare_with_reference_tool(tmp_path):
+    """tools/compare_with_reference.py end-to-end on a random 'simple'
+    checkpoint: reference torch sampler vs ours on converted weights must
+    agree (zero noise; measured >100 dB on this toy geometry)."""
+    torch = pytest.importorskip("torch")
+
+    import runpy
+    import sys
+
+    from tests._reference import import_reference
+
+    models = import_reference("guided_diffusion.models")
+
+    class _N:
+        def __init__(self, d):
+            for k, v in d.items():
+                setattr(self, k, _N(v) if isinstance(v, dict) else v)
+
+    cfg = _N({"model": {"type": "simple", "ch": 32, "out_ch": 3,
+                        "ch_mult": [1, 2], "num_res_blocks": 1,
+                        "attn_resolutions": [16], "dropout": 0.0,
+                        "in_channels": 3, "resamp_with_conv": True},
+              "data": {"image_size": 64},
+              "diffusion": {"num_diffusion_timesteps": 1000}})
+    torch.manual_seed(0)
+    m = models.Model(cfg)
+    ckpt = tmp_path / "rand.ckpt"
+    torch.save(m.state_dict(), ckpt)
+
+    from ddnm_tpu.data.io import save_image
+
+    rng = np.random.default_rng(0)
+    src = tmp_path / "in.png"
+    save_image(rng.uniform(size=(64, 64, 3)).astype(np.float32), src)
+
+    argv = sys.argv
+    sys.argv = ["compare", "--ckpt", str(ckpt), "--image", str(src),
+                "--deg", "sr_averagepooling", "--deg-scale", "4",
+                "--size", "64", "--t-sampling", "3", "--min-psnr", "60",
+                "--ch", "32", "--ch-mult", "1,2", "--num-res-blocks", "1"]
+    try:
+        with pytest.raises(SystemExit) as e:
+            runpy.run_path("tools/compare_with_reference.py",
+                           run_name="__main__")
+        assert e.value.code == 0  # agreement above --min-psnr
+    finally:
+        sys.argv = argv

@@ -43,7 +43,12 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--min-psnr", type=float, default=35.0,
                    help="pass iff PSNR(ours, reference) >= this (dB)")
+    # architecture flags (defaults = the CelebA-HQ checkpoint family)
+    p.add_argument("--ch", type=int, default=128)
+    p.add_argument("--ch-mult", type=str, default="1,1,2,2,4,4")
+    p.add_argument("--num-res-blocks", type=int, default=2)
     ns = p.parse_args(argv)
+    ch_mult = [int(m) for m in ns.ch_mult.split(",")]
 
     import numpy as np
     import torch
@@ -66,8 +71,8 @@ def main(argv=None):
     ref_ops = import_reference("functions.svd_operators")
 
     cfg = _NS({
-        "model": {"type": "simple", "ch": 128, "out_ch": 3,
-                   "ch_mult": [1, 1, 2, 2, 4, 4], "num_res_blocks": 2,
+        "model": {"type": "simple", "ch": ns.ch, "out_ch": 3,
+                   "ch_mult": ch_mult, "num_res_blocks": ns.num_res_blocks,
                    "attn_resolutions": [16], "dropout": 0.0, "in_channels": 3,
                    "resamp_with_conv": True},
         "data": {"image_size": size},
@@ -82,7 +87,9 @@ def main(argv=None):
     ref.load_state_dict(sd)
     ref.eval()
 
-    model = DDPMUNet()
+    model = DDPMUNet(ch=ns.ch, ch_mult=tuple(ch_mult),
+                     num_res_blocks=ns.num_res_blocks,
+                     attn_resolutions=(16,), resolution=size)
     params = load_params(ns.ckpt)
 
     img = load_image(ns.image, size=size)
