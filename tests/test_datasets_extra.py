@@ -35,11 +35,12 @@ def test_lsun_requires_lmdb(tmp_path, monkeypatch):
     import importlib.util
     import sys
 
-    if importlib.util.find_spec("lmdb") is not None and             getattr(sys.modules.get("lmdb"), "__file__", None) is not None:
-        pytest.skip("real lmdb present; gating test not applicable")
-    # tests/_reference may have installed a stub module: remove it so the
-    # gating path under test actually runs
+    # tests/_reference may have installed a spec-less stub module: remove
+    # it FIRST (find_spec raises on spec-less sys.modules entries), so both
+    # the probe and the gating path under test see reality
     monkeypatch.delitem(sys.modules, "lmdb", raising=False)
+    if importlib.util.find_spec("lmdb") is not None:
+        pytest.skip("real lmdb present; gating test not applicable")
     with pytest.raises(ImportError):
         LSUNDataset(tmp_path, "bedroom")
 
