@@ -126,7 +126,7 @@ def main(argv=None):
         results["hq_tile"] = timeit(
             lambda k: sample_posterior(model6_fn, x[:1], apy, op, tables, k,
                                        params=params),
-            n_runs=1, items_per_run=1,
+            n_runs=3, items_per_run=1,  # averages out tunnel transients
         )
         results["hq_tile_model_calls"] = n_model_calls
 
@@ -148,7 +148,7 @@ def main(argv=None):
                 enc_fn, dec_fn, x[:1], apy, op, tables, k,
                 interval=3, params=params,
             ),
-            n_runs=1, items_per_run=1,
+            n_runs=3, items_per_run=1,
         )
 
     for k, v in results.items():
