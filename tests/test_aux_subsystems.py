@@ -398,3 +398,22 @@ def test_compare_with_reference_tool(tmp_path):
         assert e.value.code == 0  # agreement above --min-psnr
     finally:
         sys.argv = argv
+
+
+def test_hq_evaluation_dry_run(tmp_path, capsys):
+    """hq_evaluation constructs the reference's 5 demo invocations."""
+    import hq_evaluation as hev
+    from ddnm_tpu.data.io import save_image
+
+    rng = np.random.default_rng(0)
+    for name, _, _ in hev.DEMOS:
+        save_image(rng.uniform(size=(32, 32, 3)).astype(np.float32),
+                   tmp_path / f"{name}.png")
+    hev.main(["--dry-run", "--random-init", "--data", str(tmp_path),
+              "--encoder_cache", "3", "--dtype", "bfloat16",
+              "-i", str(tmp_path / "out")])
+    out = capsys.readouterr().out
+    for name, cls, scale in hev.DEMOS:
+        assert f"--class {cls}" in out and f"--scale {scale}" in out
+    assert out.count("hq_main.py") == len(hev.DEMOS)
+    assert "--encoder_cache 3" in out and "--dtype bfloat16" in out
