@@ -226,12 +226,22 @@ class _ADMBase(nn.Module):
     num_heads_upsample: int = -1
     use_scale_shift_norm: bool = True
     resblock_updown: bool = True
+    use_new_attention_order: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def _heads(self, ch: int) -> int:
         if self.num_head_channels == -1:
             return self.num_heads
         return ch // self.num_head_channels
+
+    def _attn(self, heads: int, name: str) -> "AttentionBlock":
+        """AttentionBlock with the configured channel-split order
+        (unet.py:287-293: use_new_attention_order selects QKVAttention
+        over QKVAttentionLegacy)."""
+        return AttentionBlock(
+            heads, legacy_order=not self.use_new_attention_order,
+            dtype=self.dtype, name=name,
+        )
 
     def _torso(self, x, emb):
         """Run input blocks + middle block; returns (h, skip list)."""
@@ -252,10 +262,7 @@ class _ADMBase(nn.Module):
                     name=f"input_blocks_{idx}_0",
                 )(h, emb)
                 if attn:
-                    h = AttentionBlock(
-                        self._heads(ch_out), dtype=self.dtype,
-                        name=f"input_blocks_{idx}_1",
-                    )(h)
+                    h = self._attn(self._heads(ch_out), f"input_blocks_{idx}_1")(h)
             else:  # downsample transition
                 if self.resblock_updown:
                     h = ResBlock(
@@ -272,7 +279,7 @@ class _ADMBase(nn.Module):
 
         ch = h.shape[-1]
         h = ResBlock(ch, self.use_scale_shift_norm, dtype=self.dtype, name="middle_block_0")(h, emb)
-        h = AttentionBlock(self._heads(ch), dtype=self.dtype, name="middle_block_1")(h)
+        h = self._attn(self._heads(ch), "middle_block_1")(h)
         h = ResBlock(ch, self.use_scale_shift_norm, dtype=self.dtype, name="middle_block_2")(h, emb)
         return h, hs
 
@@ -340,9 +347,7 @@ class ADMUNet(_ADMBase):
                         num_heads_up if self.num_head_channels == -1
                         else ch // self.num_head_channels
                     )
-                    h = AttentionBlock(
-                        heads, dtype=self.dtype, name=f"output_blocks_{idx}_{layer_i}"
-                    )(h)
+                    h = self._attn(heads, f"output_blocks_{idx}_{layer_i}")(h)
                     layer_i += 1
                 if level and i == self.num_res_blocks:
                     if self.resblock_updown:
@@ -381,6 +386,7 @@ class ADMUNet(_ADMBase):
             num_heads_upsample=m.num_heads_upsample,
             use_scale_shift_norm=m.use_scale_shift_norm,
             resblock_updown=m.resblock_updown,
+            use_new_attention_order=m.use_new_attention_order,
             num_classes=1000 if m.class_cond else None,
             dtype=dtype,
         )
@@ -475,10 +481,7 @@ class ADMClassifier(_ADMBase):
                         name=f"input_blocks_{idx}_0",
                     )(h, emb)
                     if attn:
-                        h = AttentionBlock(
-                            self._heads(ch_out), dtype=self.dtype,
-                            name=f"input_blocks_{idx}_1",
-                        )(h)
+                        h = self._attn(self._heads(ch_out), f"input_blocks_{idx}_1")(h)
                 elif self.resblock_updown:
                     h = ResBlock(
                         ch_out, self.use_scale_shift_norm, down=True,
@@ -493,7 +496,7 @@ class ADMClassifier(_ADMBase):
                 idx += 1
             ch = h.shape[-1]
             h = ResBlock(ch, self.use_scale_shift_norm, dtype=self.dtype, name="middle_block_0")(h, emb)
-            h = AttentionBlock(self._heads(ch), dtype=self.dtype, name="middle_block_1")(h)
+            h = self._attn(self._heads(ch), "middle_block_1")(h)
             h = ResBlock(ch, self.use_scale_shift_norm, dtype=self.dtype, name="middle_block_2")(h, emb)
             results.append(h.astype(orig_dtype).mean(axis=(1, 2)))
             feats = jnp.concatenate(results, axis=-1)

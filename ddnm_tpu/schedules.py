@@ -254,6 +254,15 @@ def space_timesteps(num_timesteps: int, section_counts) -> set[int]:
                 f"cannot create exactly {desired_count} steps with an integer stride"
             )
         section_counts = [int(x) for x in section_counts.split(",")]
+    if len(section_counts) == 1 and section_counts[0] > num_timesteps:
+        # Oversampling fallback (respace.py:59-60): the reference returns
+        # set(np.linspace(0, num_timesteps, section_counts[0])) — a set of
+        # FLOATS. Downstream it is only ever probed with integer timestep
+        # indices (`i in use_timesteps` over range(num_timesteps)), so the
+        # effective kept set is the exactly-integral linspace points below
+        # num_timesteps. We return that set directly as ints.
+        lin = np.linspace(start=0, stop=num_timesteps, num=section_counts[0])
+        return {int(v) for v in lin if v == int(v) and v < num_timesteps}
     size_per = num_timesteps // len(section_counts)
     extra = num_timesteps % len(section_counts)
     start_idx = 0

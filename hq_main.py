@@ -94,6 +94,7 @@ def build_adm_from_hq(conf, dtype):
         num_head_channels=int(conf.num_head_channels or 64),
         use_scale_shift_norm=bool(conf.use_scale_shift_norm),
         resblock_updown=bool(conf.resblock_updown),
+        use_new_attention_order=bool(conf.use_new_attention_order),
         out_channels=6 if conf.learn_sigma else 3,
         num_classes=1000 if conf.class_cond else None,
         dtype=dtype,

@@ -56,6 +56,20 @@ def test_space_timesteps_matches_reference():
         assert schedules.space_timesteps(1000, spec) == ref.space_timesteps(1000, spec)
 
 
+def test_space_timesteps_oversample_fallback_matches_reference():
+    """Single section count > num_timesteps: the reference returns a FLOAT
+    linspace set (respace.py:59-60) that is only ever probed with integer
+    indices; our int set must match that effective membership exactly."""
+    ref = import_hq_reference("respace")
+    for num_timesteps, spec in [(10, "15"), (100, "150"), (100, "101"), (7, "20")]:
+        ref_set = ref.space_timesteps(num_timesteps, spec)
+        effective = {i for i in range(num_timesteps) if i in ref_set}
+        assert schedules.space_timesteps(num_timesteps, spec) == effective
+    # multi-section oversampling still raises, like the reference
+    with pytest.raises(ValueError):
+        schedules.space_timesteps(10, "9,9")
+
+
 def test_time_pairs_semantics():
     times = schedules.get_schedule_jump(100, 1, 1)
     tp = schedules.build_time_pairs(times, skip=10)

@@ -13,7 +13,19 @@ from tests._reference import import_reference
 RES = 32
 
 
-def _ref_unet(torch, ref_unet_mod, num_classes=None):
+def _wake_zero_params(torch, model, std=0.05, seed=7):
+    """Randomize every exactly-zero parameter (zero_module() convs, zero
+    biases). A random-init reference UNet outputs exactly 0 because the
+    final conv is zero_module()'d (unet.py:539-543) — parity on the raw
+    init would be vacuous; this makes the whole forward path live."""
+    gen = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in model.parameters():
+            if p.detach().abs().max().item() == 0.0:
+                p.copy_(torch.randn(p.shape, generator=gen) * std)
+
+
+def _ref_unet(torch, ref_unet_mod, num_classes=None, new_order=False):
     torch.manual_seed(0)
     m = ref_unet_mod.UNetModel(
         image_size=RES,
@@ -28,12 +40,13 @@ def _ref_unet(torch, ref_unet_mod, num_classes=None):
         num_head_channels=16,
         use_scale_shift_norm=True,
         resblock_updown=True,
+        use_new_attention_order=new_order,
     )
     m.eval()
     return m
 
 
-def _ours_unet(num_classes=None):
+def _ours_unet(num_classes=None, new_order=False):
     return ADMUNet(
         image_size=RES,
         in_channels=3,
@@ -47,16 +60,24 @@ def _ours_unet(num_classes=None):
         num_head_channels=16,
         use_scale_shift_norm=True,
         resblock_updown=True,
+        use_new_attention_order=new_order,
     )
 
 
-@pytest.mark.parametrize("class_cond", [False, True])
-def test_adm_unet_parity(class_cond):
+@pytest.mark.parametrize(
+    "class_cond,new_order",
+    [(False, False), (True, False), (False, True)],
+    ids=["uncond", "class_cond", "new_order"],
+)
+def test_adm_unet_parity(class_cond, new_order):
+    """Forward parity incl. QKVAttention's non-legacy channel split
+    (unet.py:287-293,361-393) when use_new_attention_order=True."""
     torch = pytest.importorskip("torch")
     ref_unet_mod = import_reference("guided_diffusion.unet")
     num_classes = 1000 if class_cond else None
-    ref = _ref_unet(torch, ref_unet_mod, num_classes)
-    model = _ours_unet(num_classes)
+    ref = _ref_unet(torch, ref_unet_mod, num_classes, new_order)
+    model = _ours_unet(num_classes, new_order)
+    _wake_zero_params(torch, ref)
     params = {"params": torch_state_dict_to_flax(ref.state_dict(), adm_key_map)}
 
     rng = np.random.RandomState(0)
@@ -80,6 +101,14 @@ def test_adm_unet_parity(class_cond):
     out_nchw = np.transpose(np.asarray(out), (0, 3, 1, 2))
     np.testing.assert_allclose(out_nchw, ref_out, atol=5e-4, rtol=1e-3)
 
+    if new_order:
+        # guard against the flag being silently ignored on both sides:
+        # same weights under the legacy split must give a different output
+        legacy_out = _ours_unet(num_classes, new_order=False).apply(
+            params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), jnp.asarray(t)
+        )
+        assert not np.allclose(np.asarray(legacy_out), np.asarray(out), atol=1e-3)
+
 
 @pytest.mark.parametrize("pool", ["attention", "adaptive", "spatial", "spatial_v2"])
 def test_adm_classifier_parity(pool):
@@ -101,6 +130,7 @@ def test_adm_classifier_parity(pool):
         pool=pool,
     )
     ref.eval()
+    _wake_zero_params(torch, ref)
     model = ADMClassifier(
         image_size=RES,
         in_channels=3,
@@ -140,6 +170,7 @@ def test_classifier_guidance_grad():
         resblock_updown=True, pool="attention",
     )
     ref.eval()
+    _wake_zero_params(torch, ref)
     model = ADMClassifier(
         image_size=RES, in_channels=3, model_channels=32, out_channels=100,
         num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
