@@ -17,14 +17,31 @@ card — consistent with the README's "may take hours" for larger jobs).
 
 Prints ONE JSON line:
   {"metric": "images_per_sec_per_chip", "value": N, "unit": "img/s", "vs_baseline": N}
+Multi-chip: `--dp N` shards the image batch over an N-way data mesh
+(batch scales to 8*N), `--sp N` additionally shards each image's rows
+(spatial partitioning). On real multi-chip hardware this makes scaling a
+one-command measurement; on this one-chip dev host use it with
+JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=N for
+a layout sanity run (timings then mean nothing).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
-REFERENCE_IMG_PER_SEC = 0.1  # documented estimate, see module docstring
+# Reference throughput anchors (VERDICT round-1 #2). Measured:
+# tools/measure_reference_baseline.py runs the reference's OWN simplified
+# DDNM+ loop (random-init weights; timing is weight-independent) on this
+# host's CPU — see BASELINE.md "measured reference" for the current
+# numbers. The GPU figure stays an extrapolation (no CUDA here): ~0.1
+# img/s on a V100/3090-class card (100 UNet passes at 256px, batch 1),
+# consistent with the README's "may take hours" for larger jobs and with
+# the measured ~6.2 s/step CPU floor (a V100 runs this UNet forward
+# ~60-100x faster than one Rome-class core).
+REFERENCE_IMG_PER_SEC = 0.1  # documented GPU estimate (headline divisor)
+REFERENCE_IMG_PER_SEC_CPU_MEASURED = 0.00139  # measured 2026-08-17, BASELINE.md
 
 # sampling workload
 BATCH = 8
@@ -32,7 +49,14 @@ RES = 256
 T_SAMPLING = 100
 
 
-def main():
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dp", type=int, default=1,
+                    help="data-parallel mesh width (batch scales to 8*dp)")
+    ap.add_argument("--sp", type=int, default=1,
+                    help="spatial partitioning: shard image rows this many ways")
+    ns = ap.parse_args(argv)
+
     import jax
     import jax.numpy as jnp
 
@@ -51,13 +75,31 @@ def main():
         print(f"# {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
 
     mark("start")
+    n_chips = ns.dp * ns.sp
+    batch = BATCH * ns.dp
     model = DDPMUNet(dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
-    x = jax.random.normal(rng, (BATCH, RES, RES, 3), dtype=jnp.float32)
-    t = jnp.zeros((BATCH,))
+    x = jax.random.normal(rng, (batch, RES, RES, 3), dtype=jnp.float32)
+    t = jnp.zeros((batch,))
     params = jit_init(model, rng, x[:1], t[:1])
     jax.block_until_ready(params)
     mark("init done")
+
+    shard_in = lambda a: a
+    if n_chips > 1:
+        if ns.sp > 1:
+            from ddnm_tpu.parallel import make_mesh_2d, replicate, shard_tiles
+
+            mesh = make_mesh_2d(ns.dp, ns.sp)
+            shard_in = lambda a: shard_tiles(mesh, a)
+        else:
+            from ddnm_tpu.parallel import make_mesh, replicate, shard_batch
+
+            mesh = make_mesh(ns.dp)
+            shard_in = lambda a: shard_batch(mesh, a)
+        params = replicate(mesh, params)
+        x = shard_in(x)
+        mark(f"mesh {ns.dp}x{ns.sp} over {len(jax.devices())} devices")
 
     def model_fn(p, xx, tt):
         return model.apply(p, xx, tt)
@@ -69,7 +111,7 @@ def main():
     sched_warm = build_schedule(betas=betas, t_sampling=10)
     mark("schedule built")
     op = build_functional_operator("sr_averagepooling", image_size=RES, deg_scale=4)
-    y = op.A(x)
+    y = shard_in(op.A(x))
 
     kwargs = dict(eta=0.85, sigma_y=0.0)
 
@@ -107,10 +149,9 @@ def main():
         mark(f"trial {i}: {per_trial[-1]:.2f}s")
     dt = sorted(per_trial)[len(per_trial) // 2]
 
-    # the bench workload is a single-device jit (inputs unsharded), so the
-    # per-chip divisor is 1 regardless of how many devices the host exposes
-    n_chips = 1
-    img_per_sec_chip = (runs_per_trial * BATCH) / dt / n_chips
+    # per-chip divisor = mesh size (1 for the default single-device jit,
+    # regardless of how many devices the host exposes)
+    img_per_sec_chip = (runs_per_trial * batch) / dt / n_chips
     print(
         json.dumps(
             {

@@ -120,12 +120,27 @@ def fetch(name: str, root: str | Path = "exp/logs", *, allow_download: bool = Tr
     return path
 
 
-def load_params(ckpt_path: str | Path, *, cache: bool = True) -> dict:
+def load_params(ckpt_path: str | Path, *, cache: bool = True,
+                expected=None) -> dict:
     """Torch state dict -> flax params pytree, with on-disk .npz cache.
 
     Conversion (NCHW->NHWC kernel transposes + key mapping) happens once;
-    subsequent loads read the cached arrays directly, no torch needed."""
+    subsequent loads read the cached arrays directly, no torch needed.
+
+    `expected`: optional parameter-structure oracle for STRICT loading —
+    the model's own tree, e.g. `jax.eval_shape(model.init, key, *dummy)`
+    (free: no FLOPs run). When given, the converted tree must match it
+    leaf-for-leaf (models/convert.py:validate_converted_params) so an
+    unexpected checkpoint key set fails loudly instead of silently building
+    a wrong tree."""
     import numpy as np
+
+    from ddnm_tpu.models.convert import validate_converted_params
+
+    def _check(tree):
+        if expected is not None:
+            want = expected["params"] if "params" in expected else expected
+            validate_converted_params(tree, want)
 
     ckpt_path = Path(ckpt_path)
     cache_path = ckpt_path.with_suffix(ckpt_path.suffix + ".flax.npz")
@@ -138,6 +153,7 @@ def load_params(ckpt_path: str | Path, *, cache: bool = True) -> dict:
             for p in parts[:-1]:
                 node = node.setdefault(p, {})
             node[parts[-1]] = data[flat_key]
+        _check(params)
         return {"params": params}
 
     from ddnm_tpu.models.convert import (
@@ -148,6 +164,7 @@ def load_params(ckpt_path: str | Path, *, cache: bool = True) -> dict:
 
     sd = load_torch_checkpoint(ckpt_path)
     params = torch_state_dict_to_flax(sd, adm_key_map)
+    _check(params)
     if cache:
         flat: dict = {}
 

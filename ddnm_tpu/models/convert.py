@@ -26,6 +26,7 @@ __all__ = [
     "ddpm_key_map",
     "collapse_numeric",
     "load_torch_checkpoint",
+    "validate_converted_params",
 ]
 
 
@@ -120,6 +121,50 @@ def torch_state_dict_to_flax(
             node = node.setdefault(p, {})
         node[name] = value.astype(np.float32)
     return params
+
+
+def _flatten_shapes(tree: Mapping, prefix: tuple = ()) -> dict[tuple, tuple]:
+    out: dict[tuple, tuple] = {}
+    for k, v in tree.items():
+        if isinstance(v, Mapping):
+            out.update(_flatten_shapes(v, prefix + (k,)))
+        else:
+            # arrays AND shape-only leaves (jax.eval_shape ShapeDtypeStructs)
+            out[prefix + (k,)] = tuple(getattr(v, "shape", None) or np.shape(v))
+    return out
+
+
+def validate_converted_params(converted: Mapping, expected: Mapping) -> None:
+    """Strict-load check: the converted tree must match the model's own
+    parameter structure (`model.init(...)["params"]`) exactly — every leaf
+    present, nothing extra, every shape equal.
+
+    Without this, an unexpected state-dict key set (a new checkpoint
+    revision, a renamed module, an EMA-wrapped dump) silently builds a wrong
+    tree that flax would partially or wrongly apply. Raises ValueError
+    listing every missing / unexpected / shape-mismatched leaf.
+    """
+    got = _flatten_shapes(converted)
+    want = _flatten_shapes(expected)
+    fmt = lambda p: "/".join(p)
+    missing = sorted(set(want) - set(got))
+    unexpected = sorted(set(got) - set(want))
+    mismatched = sorted(p for p in set(got) & set(want) if got[p] != want[p])
+    if not (missing or unexpected or mismatched):
+        return
+    lines = []
+    if missing:
+        lines.append("missing from checkpoint (%d):" % len(missing))
+        lines += [f"  {fmt(p)} {want[p]}" for p in missing[:20]]
+    if unexpected:
+        lines.append("unexpected in checkpoint (%d):" % len(unexpected))
+        lines += [f"  {fmt(p)} {got[p]}" for p in unexpected[:20]]
+    if mismatched:
+        lines.append("shape mismatches (%d):" % len(mismatched))
+        lines += [f"  {fmt(p)}: ckpt {got[p]} != model {want[p]}"
+                  for p in mismatched[:20]]
+    raise ValueError("converted checkpoint does not match the model:\n"
+                     + "\n".join(lines))
 
 
 def load_torch_checkpoint(path: str) -> dict:

@@ -109,17 +109,18 @@ class Runner:
         else:
             raise ValueError(f"unknown model type {cfg.model.type}")
 
+        dummy = (jnp.zeros((1, size, size, 3)), jnp.zeros((1,)))
+        if cfg.model.type == "openai" and cfg.model.class_cond:
+            dummy = dummy + (jnp.zeros((1,), jnp.int32),)
         if args.ckpt and Path(args.ckpt).exists():
             logger.info("loading checkpoint %s", args.ckpt)
-            params = load_params(args.ckpt)
+            # strict: converted tree must match the model's own structure
+            params = load_params(
+                args.ckpt, expected=jax.eval_shape(model.init, rng, *dummy)
+            )
         elif args.random_init:
             logger.warning("random-init model (no checkpoint) — smoke/bench mode")
-            dummy_t = jnp.zeros((1,))
-            dummy_x = jnp.zeros((1, size, size, 3))
-            if cfg.model.type == "openai" and cfg.model.class_cond:
-                params = jit_init(model, rng, dummy_x, dummy_t, jnp.zeros((1,), jnp.int32))
-            else:
-                params = jit_init(model, rng, dummy_x, dummy_t)
+            params = jit_init(model, rng, *dummy)
         else:
             raise FileNotFoundError(
                 f"checkpoint {args.ckpt!r} not found; pass --ckpt or --random-init"
@@ -143,7 +144,13 @@ class Runner:
         if class_cond and cfg.classifier is not None:
             clf = ADMClassifier.from_config(cfg.classifier, size, dtype=self.dtype)
             if args.classifier_ckpt and Path(args.classifier_ckpt).exists():
-                cparams = load_params(args.classifier_ckpt)
+                cparams = load_params(
+                    args.classifier_ckpt,
+                    expected=jax.eval_shape(
+                        clf.init, rng, jnp.zeros((1, size, size, 3)),
+                        jnp.zeros((1,)),
+                    ),
+                )
             elif args.random_init:
                 cparams = jit_init(clf, rng, jnp.zeros((1, size, size, 3)), jnp.zeros((1,)))
             else:

@@ -30,6 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ddnm_tpu.sampling.rng import draw_noise, split_key
 from ddnm_tpu.sampling.ddnm import (
     DDNMSchedule,
     _default_noise,
@@ -105,8 +106,8 @@ def _eps_of(out, x):
 def _key_step(encode_fn, decode_fn, operator, eta, sigma_y, noise_fn, params,
               x, y, key, t_f, at, at_next):
     """Full forward: run encoder + decoder, return the encoder cache."""
-    key, k_noise = jax.random.split(key)
-    noise = noise_fn(k_noise, x.shape)
+    key, k_noise = split_key(key)
+    noise = draw_noise(noise_fn, k_noise, x.shape)
     t_b = jnp.full((x.shape[0],), t_f, jnp.float32)
     cache = encode_fn(params, x, t_b)
     et = _eps_of(decode_fn(params, cache, x, t_b), x)
@@ -119,8 +120,8 @@ def _key_step(encode_fn, decode_fn, operator, eta, sigma_y, noise_fn, params,
 def _cached_step(decode_fn, operator, eta, sigma_y, noise_fn, params, x, y,
                  cache, key, t_f, at, at_next):
     """Decoder-only forward from the cached encoder features."""
-    key, k_noise = jax.random.split(key)
-    noise = noise_fn(k_noise, x.shape)
+    key, k_noise = split_key(key)
+    noise = draw_noise(noise_fn, k_noise, x.shape)
     t_b = jnp.full((x.shape[0],), t_f, jnp.float32)
     et = _eps_of(decode_fn(params, cache, x, t_b), x)
     x_next, x0_t = _simplified_update(operator, eta, sigma_y, x, y, et, at, at_next, noise)
@@ -129,8 +130,8 @@ def _cached_step(decode_fn, operator, eta, sigma_y, noise_fn, params, x, y,
 
 @partial(jax.jit, static_argnames=("noise_fn",))
 def _travel(noise_fn, x0_pred, key, at_next):
-    key, k_noise = jax.random.split(key)
-    noise = noise_fn(k_noise, x0_pred.shape)
+    key, k_noise = split_key(key)
+    noise = draw_noise(noise_fn, k_noise, x0_pred.shape)
     return _travel_step(x0_pred, at_next, noise), key
 
 
@@ -210,8 +211,8 @@ def _p_key_step(encode_fn, decode_fn, operator, guidance_fn, clip_denoised,
                 noise_fn, has_paste, has_ctx, params, x, apy, paste_mask,
                 paste_content, op_ctx, key, t_orig, sqrt_recip, sqrt_recipm1,
                 lam, coef1, coef2, gamma, nonzero):
-    key, k_noise = jax.random.split(key)
-    noise = noise_fn(k_noise, x.shape)
+    key, k_noise = split_key(key)
+    noise = draw_noise(noise_fn, k_noise, x.shape)
     t_b = jnp.full((x.shape[0],), t_orig, dtype=jnp.float32)
     cache = encode_fn(params, x, t_b)
     out = decode_fn(params, cache, x, t_b)
@@ -232,8 +233,8 @@ def _p_cached_step(decode_fn, operator, guidance_fn, clip_denoised, noise_fn,
                    has_paste, has_ctx, params, x, apy, paste_mask,
                    paste_content, op_ctx, cache, key, t_orig, sqrt_recip,
                    sqrt_recipm1, lam, coef1, coef2, gamma, nonzero):
-    key, k_noise = jax.random.split(key)
-    noise = noise_fn(k_noise, x.shape)
+    key, k_noise = split_key(key)
+    noise = draw_noise(noise_fn, k_noise, x.shape)
     t_b = jnp.full((x.shape[0],), t_orig, dtype=jnp.float32)
     out = decode_fn(params, cache, x, t_b)
     x_next, x0_hat = _posterior_update(

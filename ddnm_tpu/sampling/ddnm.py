@@ -46,6 +46,7 @@ import jax.numpy as jnp
 from ddnm_tpu import schedules as sch
 from ddnm_tpu.operators.base import SVDOperator
 from ddnm_tpu.operators.functional import FunctionalOperator
+from ddnm_tpu.sampling.rng import draw_noise, split_key
 
 __all__ = ["DDNMSchedule", "build_schedule", "sample_simplified", "sample_svd"]
 
@@ -251,10 +252,10 @@ def _run_scan(body, noise_fn, params, x_init, y, sched: DDNMSchedule, key):
     def step(carry, inputs):
         x, x0_pred, key = carry
         t_i, t_j, travel = inputs
-        key, k_noise = jax.random.split(key)
+        key, k_noise = split_key(key)
         at = alpha_bar[t_i + 1]
         at_next = alpha_bar[t_j + 1]
-        noise = noise_fn(k_noise, x.shape)
+        noise = draw_noise(noise_fn, k_noise, x.shape)
 
         def normal(_):
             t_f = jnp.full((n,), t_i, dtype=jnp.float32)
@@ -275,8 +276,8 @@ def _run_scan(body, noise_fn, params, x_init, y, sched: DDNMSchedule, key):
 @partial(jax.jit, static_argnames=("body", "noise_fn"))
 def _host_step(body, noise_fn, params, x, y, key, t_i, at, at_next):
     n = x.shape[0]
-    key, k_noise = jax.random.split(key)
-    noise = noise_fn(k_noise, x.shape)
+    key, k_noise = split_key(key)
+    noise = draw_noise(noise_fn, k_noise, x.shape)
     t_f = jnp.full((n,), t_i, dtype=jnp.float32)
     x_next, x0_t = body(params, x, y, t_f, at, at_next, noise)
     return x_next, x0_t, key
@@ -284,8 +285,8 @@ def _host_step(body, noise_fn, params, x, y, key, t_i, at, at_next):
 
 @partial(jax.jit, static_argnames=("noise_fn",))
 def _host_travel(noise_fn, x0_pred, key, at_next):
-    key, k_noise = jax.random.split(key)
-    noise = noise_fn(k_noise, x0_pred.shape)
+    key, k_noise = split_key(key)
+    noise = draw_noise(noise_fn, k_noise, x0_pred.shape)
     return _travel_step(x0_pred, at_next, noise), key
 
 

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from ddnm_tpu import schedules as sch
 from ddnm_tpu.operators.functional import FunctionalOperator
+from ddnm_tpu.sampling.rng import draw_noise, split_key
 
 __all__ = [
     "PosteriorTables",
@@ -283,8 +284,8 @@ def _run_scan(body, noise_fn, has_paste, has_ctx, params, x_init, apy,
     def step(carry, inputs):
         x, x0_hat, key = carry
         t, travel = inputs
-        key, k_noise = jax.random.split(key)
-        noise = noise_fn(k_noise, x.shape)
+        key, k_noise = split_key(key)
+        noise = draw_noise(noise_fn, k_noise, x.shape)
 
         def normal(_):
             return body(
@@ -325,8 +326,8 @@ def _run_scan(body, noise_fn, has_paste, has_ctx, params, x_init, apy,
 def _host_step(body, noise_fn, has_paste, has_ctx, params, x, apy, paste_mask,
                paste_content, op_ctx, key, t_orig, sqrt_recip, sqrt_recipm1,
                lam, coef1, coef2, gamma, nonzero):
-    key, k_noise = jax.random.split(key)
-    noise = noise_fn(k_noise, x.shape)
+    key, k_noise = split_key(key)
+    noise = draw_noise(noise_fn, k_noise, x.shape)
     x_next, x0_hat = body(
         params, x, apy,
         paste_mask if has_paste else None,
@@ -339,8 +340,8 @@ def _host_step(body, noise_fn, has_paste, has_ctx, params, x, apy, paste_mask,
 
 @partial(jax.jit, static_argnames=("noise_fn",))
 def _host_undo(noise_fn, x, key, beta):
-    key, k_noise = jax.random.split(key)
-    noise = noise_fn(k_noise, x.shape)
+    key, k_noise = split_key(key)
+    noise = draw_noise(noise_fn, k_noise, x.shape)
     return jnp.sqrt(1.0 - beta) * x + jnp.sqrt(beta) * noise, key
 
 

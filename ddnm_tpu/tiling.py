@@ -20,10 +20,12 @@ canvas content written only by (i, j-1), (i-1, j-1), (i-1, j), (i-1, j+1),
 so the skewed wavefront s = 2i + j is a valid schedule — and tiles sharing
 an s have pairwise-disjoint canvas reads/writes (their row ranges differ by
 >=1 stride only when their column ranges are disjoint), so a whole wavefront
-batches into ONE `sample_posterior` call along the batch axis. With
-deterministic noise the parallel schedule is bit-identical to sequential
-(tested); with stochastic noise the draws regroup across the batch, so
-trajectories are equal in distribution but not bitwise.
+batches into ONE `sample_posterior` call along the batch axis. Each tile
+samples from its OWN per-tile key (a key batch, sampling/rng.py), so its
+noise stream is independent of how tiles are grouped: with deterministic
+noise the parallel schedule is bit-identical to sequential, and with
+stochastic noise every tile draws the same noise it would draw
+sequentially — schedule-independent either way (both tested).
 """
 
 from __future__ import annotations
@@ -441,12 +443,17 @@ def mask_shift_sample(
             if ctx_b is not None:
                 ctx_b = shard_tiles(mesh, ctx_b)
         noise_kw = {"noise_fn": noise_fn} if noise_fn is not None else {}
+        # per-tile sampling keys, stacked: each tile draws from its OWN
+        # stream, so a tile's noise is identical whether it runs alone
+        # (sequential) or inside any wavefront batch — parallel runs are
+        # schedule-independent even with stochastic noise (sampling/rng.py)
+        keys_b = jnp.stack([tile_keys[t.index][1] for t in padded])
         if encoder_cache > 1:
             from ddnm_tpu.sampling.accel import sample_posterior_encoder_prop
 
             x_b, x0_b = sample_posterior_encoder_prop(
                 encode_fn, decode_fn, x_init_b, apy_b, op, tables,
-                tile_keys[group[0].index][1],
+                keys_b,
                 interval=encoder_cache, paste_mask=mask_b,
                 paste_content=content_b, guidance_fn=guidance_fn,
                 params=params, op_ctx=ctx_b, **noise_kw,
@@ -458,7 +465,7 @@ def mask_shift_sample(
                 apy_b,
                 op,
                 tables,
-                tile_keys[group[0].index][1],
+                keys_b,
                 paste_mask=mask_b,
                 paste_content=content_b,
                 guidance_fn=guidance_fn,

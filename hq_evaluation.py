@@ -44,9 +44,44 @@ def main(argv=None):
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--face_sweep", action="store_true",
+                   help="run the face256 inpainting dataset sweep "
+                        "(hq_demo/confs/face256.yml eval dataset) instead of "
+                        "the five SR demos")
+    p.add_argument("--face_config", type=str, default="configs/hq/face256.yml")
+    p.add_argument("--face_gt", type=str, default=None,
+                   help="override the gt directory for --face_sweep "
+                        "(default: the conf's data.eval entry)")
+    p.add_argument("--face_masks", type=str, default=None)
+    p.add_argument("--max_len", type=int, default=None)
     ns = p.parse_args(argv)
 
     import hq_main as hq
+
+    if ns.face_sweep:
+        # reference: hq_demo face256 eval — batch inpainting over the
+        # conf-declared paired gt/keep-mask trees (conf_base.py:60-106)
+        argv_run = ["--config", ns.face_config, "--deg", "inpainting",
+                    "-i", str(Path(ns.out) / "face256")]
+        if ns.face_gt:
+            argv_run += ["--gt_path", ns.face_gt,
+                         "--mask_path_dir", ns.face_masks or ns.face_gt]
+        if ns.max_len is not None:
+            argv_run += ["--max_len", str(ns.max_len)]
+        if ns.ckpt:
+            argv_run += ["--ckpt", ns.ckpt]
+        elif ns.random_init:
+            argv_run.append("--random_init")
+        if ns.parallel_tiles:
+            argv_run.append("--parallel_tiles")
+        if ns.encoder_cache > 1:
+            argv_run += ["--encoder_cache", str(ns.encoder_cache)]
+        if ns.dtype != "float32":
+            argv_run += ["--dtype", ns.dtype]
+        print(f"== face256 sweep: hq_main.py {' '.join(argv_run)}")
+        if ns.dry_run:
+            return {}
+        return {"face256": hq.main(argv_run)}
 
     demos = DEMOS
     if ns.demos:

@@ -33,9 +33,22 @@ def parse_args(argv=None):
     p.add_argument("--scale", type=int, default=4)
     p.add_argument("--resize_y", action="store_true",
                    help="treat --path_y as the low-res measurement and upsample it")
-    p.add_argument("--path_y", type=str, required=True, help="input image path")
+    p.add_argument("--path_y", type=str, default=None,
+                   help="input image path (single-image mode)")
     p.add_argument("--class", dest="class_label", type=int, default=None)
     p.add_argument("--mask_path", type=str, default=None)
+    # dataset sweep mode (the reference's conf-declared eval dataset,
+    # hq_demo/conf_mgt/conf_base.py:60-106 + image_datasets.py:29-106):
+    # iterate filename-paired gt/mask trees and write the reference's
+    # srs/lrs/gts/gt_keep_masks output tree
+    p.add_argument("--gt_path", type=str, default=None,
+                   help="directory of ground-truth images (dataset sweep "
+                        "mode; overrides the conf's data.eval entry)")
+    p.add_argument("--mask_path_dir", type=str, default=None,
+                   help="directory of keep-masks paired with --gt_path by "
+                        "filename")
+    p.add_argument("--max_len", type=int, default=None,
+                   help="cap the number of gt/mask pairs in sweep mode")
     p.add_argument("--seed", type=int, default=1234)
     # TPU-native extras
     p.add_argument("--ckpt", type=str, default=None)
@@ -139,16 +152,17 @@ def main(argv=None):
     model = build_adm_from_hq(conf, dtype)
     size = int(conf.image_size or 256)
     ckpt = ns.ckpt or conf.model_path
+    dummy = (jnp.zeros((1, size, size, 3)), jnp.zeros((1,)))
+    if conf.class_cond:
+        dummy = dummy + (jnp.zeros((1,), jnp.int32),)
     if ckpt and Path(ckpt).exists():
         logger.info("loading checkpoint %s", ckpt)
-        params = load_params(ckpt)
+        # strict load: converted tree must match the model's own structure
+        expected = jax.eval_shape(model.init, k_model, *dummy)
+        params = load_params(ckpt, expected=expected)
     elif ns.random_init:
         logger.warning("random-init model — smoke mode")
-        dummy = (jnp.zeros((1, size, size, 3)), jnp.zeros((1,)))
-        if conf.class_cond:
-            params = jit_init(model, k_model, *dummy, jnp.zeros((1,), jnp.int32))
-        else:
-            params = jit_init(model, k_model, *dummy)
+        params = jit_init(model, k_model, *dummy)
     else:
         raise FileNotFoundError("pass --ckpt (torch .pt to convert) or --random_init")
 
@@ -193,7 +207,13 @@ def main(argv=None):
             dtype=dtype,
         )
         if cckpt and Path(cckpt).exists():
-            cparams = load_params(cckpt)
+            cparams = load_params(
+                cckpt,
+                expected=jax.eval_shape(
+                    clf.init, k_model, jnp.zeros((1, size, size, 3)),
+                    jnp.zeros((1,)),
+                ),
+            )
         elif ns.random_init:
             cparams = jit_init(clf, k_model, jnp.zeros((1, size, size, 3)), jnp.zeros((1,)))
         else:
@@ -219,34 +239,10 @@ def main(argv=None):
                     else int(conf.inpa_inj_time_shift)),
     )
 
-    gt = load_image(ns.path_y)  # (H, W, 3) float32 in [0, 1]
-    gt = (gt * 2.0 - 1.0)[None]
-    mask = load_mask(ns.mask_path) if ns.mask_path else None
-
     run_params = {"model": params}
     if cparams is not None:
         run_params["classifier"] = cparams
     out_dir = Path(ns.image_folder)
-    (out_dir / "tiles").mkdir(parents=True, exist_ok=True)
-    try:
-        import sys as _sys
-
-        from tqdm import tqdm
-
-        pbar = tqdm(desc="tiles", disable=not _sys.stderr.isatty())
-    except ImportError:  # pragma: no cover
-        pbar = None
-
-    def progress(tile, x0_np):
-        # per-tile intermediate save (the reference dumps intermediates under
-        # results/<save_path>/<shift_h>_<shift_w>, gaussian_diffusion.py:382-386)
-        i, j = tile.index
-        save_image(
-            np.clip((x0_np[0] + 1.0) / 2.0, 0.0, 1.0),
-            out_dir / "tiles" / f"{i}_{j}.png",
-        )
-        if pbar is not None:
-            pbar.update(1)
 
     mesh = None
     if ns.dp > 1 or ns.sp > 1:
@@ -260,21 +256,111 @@ def main(argv=None):
         mesh = make_mesh_2d(ns.dp, ns.sp)
         run_params = replicate(mesh, run_params)
 
-    out = mask_shift_sample(
-        model_fn, gt, ns.deg, tables, key,
-        scale=ns.scale, resize_y=ns.resize_y, mask=mask, guidance_fn=guidance_fn,
-        params=run_params, parallel=ns.parallel_tiles, progress_fn=progress,
-        tile_init="fresh" if (ns.parallel_tiles or ns.fresh_tile_init) else "carry",
-        encoder_cache=ns.encoder_cache, encode_fn=encode_fn, decode_fn=decode_fn,
-        mesh=mesh,
-        checkpoint_dir=out_dir if ns.resume else None, resume=ns.resume,
-        resume_salt=(ns.class_label, float(conf.classifier_scale or 0),
-                     ns.sigma_y, ns.dtype),
-    )
-    if pbar is not None:
-        pbar.close()
-
     to01 = lambda a: np.clip((a + 1.0) / 2.0, 0.0, 1.0)
+
+    def run_one(gt, mask, run_key, tiles_dir, salt):
+        """One Mask-Shift restoration; returns the tiling output dict."""
+        tiles_dir.mkdir(parents=True, exist_ok=True)
+        try:
+            import sys as _sys
+
+            from tqdm import tqdm
+
+            pbar = tqdm(desc="tiles", disable=not _sys.stderr.isatty())
+        except ImportError:  # pragma: no cover
+            pbar = None
+
+        def progress(tile, x0_np):
+            # per-tile intermediate save (the reference dumps intermediates
+            # under results/<save_path>/<shift_h>_<shift_w>,
+            # gaussian_diffusion.py:382-386)
+            i, j = tile.index
+            save_image(to01(x0_np[0]), tiles_dir / f"{i}_{j}.png")
+            if pbar is not None:
+                pbar.update(1)
+
+        out = mask_shift_sample(
+            model_fn, gt, ns.deg, tables, run_key,
+            scale=ns.scale, resize_y=ns.resize_y, mask=mask,
+            guidance_fn=guidance_fn,
+            params=run_params, parallel=ns.parallel_tiles, progress_fn=progress,
+            tile_init="fresh" if (ns.parallel_tiles or ns.fresh_tile_init) else "carry",
+            encoder_cache=ns.encoder_cache, encode_fn=encode_fn, decode_fn=decode_fn,
+            mesh=mesh,
+            checkpoint_dir=tiles_dir if ns.resume else None, resume=ns.resume,
+            resume_salt=salt,
+        )
+        if pbar is not None:
+            pbar.close()
+        return out
+
+    base_salt = (ns.class_label, float(conf.classifier_scale or 0),
+                 ns.sigma_y, ns.dtype)
+
+    # --- dataset sweep mode (conf-declared eval dataset or --gt_path) ----
+    eval_ds = None
+    data_eval = conf.pget("data.eval")
+    if isinstance(data_eval, dict) and data_eval and ns.gt_path is None:
+        eval_name = next(iter(data_eval))
+        eval_ds = dict(data_eval[eval_name] or {})
+    if ns.gt_path is not None:
+        if ns.mask_path_dir is None:
+            raise SystemExit("--gt_path needs --mask_path_dir (filename-paired)")
+        eval_ds = {"gt_path": ns.gt_path, "mask_path": ns.mask_path_dir,
+                   "image_size": size, "max_len": ns.max_len}
+
+    if eval_ds is not None:
+        from ddnm_tpu.data.inpaint_pairs import InpaintPairs
+
+        pairs = InpaintPairs(
+            eval_ds["gt_path"], eval_ds["mask_path"],
+            image_size=int(eval_ds.get("image_size") or size),
+            max_len=(ns.max_len if ns.max_len is not None
+                     else eval_ds.get("max_len")),
+        )
+        # output tree: conf-declared paths (conf_base.py:81-106) with the
+        # reference's default names under -i otherwise
+        paths = dict(eval_ds.get("paths") or {})
+        tree = {
+            "srs": Path(paths.get("srs") or out_dir / "srs"),
+            "lrs": Path(paths.get("lrs") or out_dir / "lrs"),
+            "gts": Path(paths.get("gts") or out_dir / "gts"),
+            "gt_keep_masks": Path(paths.get("gt_keep_masks")
+                                  or out_dir / "gt_keep_masks"),
+        }
+        for p in tree.values():
+            p.mkdir(parents=True, exist_ok=True)
+        psnrs = []
+        for idx, item in enumerate(pairs):
+            name = item["GT_name"]
+            gt = item["GT"][None]
+            mask = item["gt_keep_mask"][..., 0]  # (H, W): as_mask convention
+            run_key = jax.random.fold_in(key, idx)
+            out = run_one(gt, mask, run_key, out_dir / "tiles" / Path(name).stem,
+                          base_salt + (name,))
+            final01 = to01(out["final"][0])
+            gt01 = to01(gt[0])
+            save_image(final01, tree["srs"] / name)
+            save_image(to01(out["apy"][0]), tree["lrs"] / name)  # gt_masked
+            save_image(gt01, tree["gts"] / name)
+            save_image(mask, tree["gt_keep_masks"] / name)
+            mse = float(np.mean((final01 - gt01) ** 2))
+            psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+            psnrs.append(psnr)
+            logger.info("[%d/%d] %s PSNR %.2f", idx + 1, len(pairs), name, psnr)
+        logger.info("sweep done: %d pairs, avg PSNR %.2f",
+                    len(psnrs), float(np.mean(psnrs)))
+        return {"psnr": psnrs, "tree": tree}
+
+    # --- single-image mode ----------------------------------------------
+    if ns.path_y is None:
+        raise SystemExit("pass --path_y (single image) or --gt_path + "
+                         "--mask_path_dir / a conf data.eval entry (sweep)")
+    gt = load_image(ns.path_y)  # (H, W, 3) float32 in [0, 1]
+    gt = (gt * 2.0 - 1.0)[None]
+    mask = load_mask(ns.mask_path) if ns.mask_path else None
+
+    out = run_one(gt, mask, key, out_dir / "tiles", base_salt)
     save_image(to01(out["final"][0]), out_dir / "final.png")
     save_image(to01(out["apy"][0]), out_dir / "Apy.png")
     save_image(to01(out["y"][0]), out_dir / "y.png")

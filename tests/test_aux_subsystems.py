@@ -417,3 +417,20 @@ def test_hq_evaluation_dry_run(tmp_path, capsys):
         assert f"--class {cls}" in out and f"--scale {scale}" in out
     assert out.count("hq_main.py") == len(hev.DEMOS)
     assert "--encoder_cache 3" in out and "--dtype bfloat16" in out
+
+
+def test_hq_evaluation_face_sweep_dry_run(tmp_path, capsys):
+    """--face_sweep constructs the face256 inpainting dataset-sweep
+    invocation (hq_demo/confs/face256.yml eval dataset)."""
+    import hq_evaluation as hev
+
+    hev.main(["--dry-run", "--random-init", "--face_sweep",
+              "--face_gt", str(tmp_path / "gts"),
+              "--face_masks", str(tmp_path / "masks"),
+              "--max_len", "2", "-i", str(tmp_path / "out")])
+    out = capsys.readouterr().out
+    assert out.count("hq_main.py") == 1
+    assert "--deg inpainting" in out
+    assert "--gt_path" in out and "--mask_path_dir" in out
+    assert "--max_len 2" in out
+    assert "face256.yml" in out

@@ -133,6 +133,44 @@ def test_hq_cli_mask_shift_smoke(tmp_path):
     assert (tmp_path / "hq" / "Apy.png").exists()
 
 
+def test_hq_cli_dataset_sweep(tmp_path):
+    """hq_main dataset-sweep mode (--gt_path/--mask_path_dir): iterates
+    filename-paired gt/mask trees like the reference's conf-declared eval
+    dataset (hq_demo/conf_mgt/conf_base.py:60-106) and writes the
+    srs/lrs/gts/gt_keep_masks output tree."""
+    import hq_main as hq
+    from ddnm_tpu.data.io import save_image
+
+    rng = np.random.default_rng(7)
+    gt_dir, mask_dir = tmp_path / "gts", tmp_path / "masks"
+    for name in ("a.png", "b.png"):
+        save_image(rng.uniform(size=(256, 256, 3)).astype(np.float32),
+                   gt_dir / name)
+        m = np.ones((256, 256), np.float32)
+        m[96:160, 96:160] = 0.0  # hole to inpaint
+        save_image(m, mask_dir / name)
+
+    out = hq.main([
+        "--config", "configs/hq/smoke.yml",
+        "--deg", "inpainting",
+        "--gt_path", str(gt_dir),
+        "--mask_path_dir", str(mask_dir),
+        "--random_init",
+        "-i", str(tmp_path / "hq"),
+    ])
+    assert len(out["psnr"]) == 2
+    for sub in ("srs", "lrs", "gts", "gt_keep_masks"):
+        for name in ("a.png", "b.png"):
+            assert (tmp_path / "hq" / sub / name).exists(), (sub, name)
+    # the keep-region must carry gt content in the masked "lrs" image
+    from PIL import Image
+
+    lrs = np.asarray(Image.open(tmp_path / "hq" / "lrs" / "a.png"), np.float32)
+    gts = np.asarray(Image.open(tmp_path / "hq" / "gts" / "a.png"), np.float32)
+    assert np.abs(lrs[:64, :64] - gts[:64, :64]).max() <= 1.0  # kept region
+    assert np.abs(lrs[120:140, 120:140]).max() <= 140.0  # hole ~ mid-gray/dark
+
+
 def test_hq_cli_encoder_cache_smoke(tmp_path):
     """hq_main with --encoder_cache 2: posterior encoder-propagation accel
     through the Mask-Shift pipeline (sampling/accel.py)."""

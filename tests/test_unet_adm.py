@@ -158,6 +158,57 @@ def test_adm_classifier_parity(pool):
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=5e-4, rtol=1e-3)
 
 
+def test_converter_strict_validation(tmp_path):
+    """Strict load (VERDICT round-1 #1c): the converted tree must match
+    model.init's structure exactly; missing / extra / wrong-shaped
+    state-dict keys fail loudly instead of building a wrong tree."""
+    torch = pytest.importorskip("torch")
+    from ddnm_tpu.data.checkpoints import load_params
+    from ddnm_tpu.models.convert import validate_converted_params
+
+    ref_unet_mod = import_reference("guided_diffusion.unet")
+    ref = _ref_unet(torch, ref_unet_mod)
+    model = _ours_unet()
+    sd = {k: v for k, v in ref.state_dict().items()}
+    expected = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, RES, RES, 3)), jnp.zeros((1,)),
+    )
+
+    good = torch_state_dict_to_flax(sd, adm_key_map)
+    validate_converted_params(good, expected["params"])  # no raise
+
+    missing = dict(sd)
+    missing.pop("out.2.weight")
+    with pytest.raises(ValueError, match="missing"):
+        validate_converted_params(
+            torch_state_dict_to_flax(missing, adm_key_map), expected["params"])
+
+    extra = dict(sd)
+    extra["bogus_module.weight"] = torch.zeros(4, 4)
+    with pytest.raises(ValueError, match="unexpected"):
+        validate_converted_params(
+            torch_state_dict_to_flax(extra, adm_key_map), expected["params"])
+
+    wrong = dict(sd)
+    wrong["time_embed.0.weight"] = torch.zeros(7, 7)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        validate_converted_params(
+            torch_state_dict_to_flax(wrong, adm_key_map), expected["params"])
+
+    # end-to-end through load_params (fresh conversion AND the .npz cache)
+    ckpt = tmp_path / "model.pt"
+    torch.save(sd, ckpt)
+    p1 = load_params(ckpt, expected=expected)
+    assert "params" in p1
+    p2 = load_params(ckpt, expected=expected)  # cache hit, still validated
+    assert p2["params"].keys() == p1["params"].keys()
+    torch.save(missing, ckpt)
+    (tmp_path / "model.pt.flax.npz").unlink()
+    with pytest.raises(ValueError, match="missing"):
+        load_params(ckpt, expected=expected)
+
+
 def test_classifier_guidance_grad():
     """Guidance gradient direction matches torch autograd (diffusion.py:183-191)."""
     torch = pytest.importorskip("torch")

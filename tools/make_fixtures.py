@@ -61,7 +61,24 @@ def main(argv=None):
     m[q : 3 * q, q : 3 * q] = 0
     np.save(masks / "mask.npy", m)
     save_image(m.astype(np.float32), masks / "mask.png")
-    print(f"fixtures under {exp}: 2x{ns.count} images + inp_masks/mask.npy")
+
+    # hq face256 sweep pairs (reference layout: data/datasets/gts/face +
+    # data/datasets/gt_keep_masks/face, filename-paired)
+    face_gts = exp / "datasets" / "face" / "gts"
+    face_masks = exp / "datasets" / "face" / "gt_keep_masks"
+    face_gts.mkdir(parents=True, exist_ok=True)
+    face_masks.mkdir(parents=True, exist_ok=True)
+    for i in range(ns.count):
+        name = f"face_{i:05d}.png"
+        save_image(_texture(rng, ns.size), face_gts / name)
+        km = np.ones((ns.size, ns.size), np.float32)
+        # varied rectangular holes (0 = restore), deterministic per index
+        h0 = int(rng.uniform(0.2, 0.5) * ns.size)
+        w0 = int(rng.uniform(0.2, 0.5) * ns.size)
+        km[h0 : h0 + ns.size // 4, w0 : w0 + ns.size // 3] = 0.0
+        save_image(km, face_masks / name)
+    print(f"fixtures under {exp}: 2x{ns.count} images + inp_masks/mask.npy "
+          f"+ {ns.count} face gt/mask pairs")
 
 
 if __name__ == "__main__":
