@@ -23,6 +23,7 @@ import numpy as np
 
 __all__ = [
     "torch_state_dict_to_flax",
+    "flax_to_torch_state_dict",
     "ddpm_key_map",
     "collapse_numeric",
     "load_torch_checkpoint",
@@ -121,6 +122,52 @@ def torch_state_dict_to_flax(
             node = node.setdefault(p, {})
         node[name] = value.astype(np.float32)
     return params
+
+
+def flax_to_torch_state_dict(
+    params: Mapping,
+    template_sd: Mapping[str, "np.ndarray"],
+    key_map: Callable[[Sequence[str]], tuple[str, ...]] = ddpm_key_map,
+) -> dict:
+    """Inverse of `torch_state_dict_to_flax`: rebuild a torch state dict
+    from a flax params tree, using a torch model's own state dict as the
+    name/shape template (e.g. `Model(config).state_dict()`).
+
+    Lets a model TRAINED in this framework run through the reference
+    verbatim — the basis of the trained-weights golden parity suite
+    (tools/golden_suite.py)."""
+    weight_ndim = {
+        k.rsplit(".", 1)[0]: np.asarray(
+            v.detach().cpu() if hasattr(v, "detach") else v
+        ).ndim
+        for k, v in template_sd.items()
+        if k.endswith(".weight")
+    }
+    out: dict = {}
+    for k, tmpl in template_sd.items():
+        tmpl = np.asarray(tmpl.detach().cpu() if hasattr(tmpl, "detach") else tmpl)
+        *mods, leaf = k.split(".")
+        prefix = ".".join(mods)
+        path, name, _ = _leaf(key_map(mods), leaf, tmpl, weight_ndim.get(prefix, 0))
+        node = params
+        for p in path:
+            if p not in node:
+                raise KeyError(f"flax params missing {'/'.join(path)} for torch key {k}")
+            node = node[p]
+        v = np.asarray(node[name], dtype=np.float32)
+        if leaf == "weight":
+            if path and path[-1] == "label_emb":
+                pass  # embedding table: same layout
+            elif tmpl.ndim == 4:  # HWIO -> OIHW
+                v = np.transpose(v, (3, 2, 0, 1))
+            elif tmpl.ndim == 3:  # dense (I, O) -> 1-d conv (O, I, 1)
+                v = v.T[:, :, None]
+            elif tmpl.ndim == 2:  # dense IO -> linear OI
+                v = v.T
+        if v.shape != tmpl.shape:
+            raise ValueError(f"{k}: rebuilt shape {v.shape} != template {tmpl.shape}")
+        out[k] = v
+    return out
 
 
 def _flatten_shapes(tree: Mapping, prefix: tuple = ()) -> dict[tuple, tuple]:

@@ -1,0 +1,296 @@
+"""Trained-weights golden-suite harness (VERDICT round-1 item #1b).
+
+One locally TRAINED toy DDPM (tests/fixtures/toy_ddpm32.pt, produced by
+tools/train_toy_golden.py) drives BOTH frameworks on the evaluation.sh task
+matrix at toy scale: the reference side loads the state dict into its own
+`guided_diffusion.models.Model` and runs its own `functions/svd_ddnm.py`
+loops with its own `functions/svd_operators.py`; our side loads the SAME
+file through data/checkpoints.load_params (converter + strict validation in
+the loop) and runs sample_svd. Zero-noise + shared x_T makes every task
+deterministic, so cross-framework PSNR deltas are numerics, not sampling
+variance.
+"""
+
+from __future__ import annotations
+
+import contextlib
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+FIXTURE_PT = REPO / "tests/fixtures/toy_ddpm32.pt"
+EVAL_DIR = REPO / "exp/datasets/toy32"
+RES = 32
+T = 1000
+T_SAMPLING = 25
+
+# (name, deg, deg_scale, sigma_y) — evaluation.sh:1-36 at toy scale
+# (16x SR is impossible at 32px; the noisy rows keep their tasks at 4x/0.25)
+TASKS = [
+    ("sr_bicubic_4x", "sr_bicubic", 4.0, 0.0),
+    ("sr_ap_4x", "sr_averagepooling", 4.0, 0.0),
+    ("deblur_gauss", "deblur_gauss", 4.0, 0.0),
+    ("colorization", "colorization", 4.0, 0.0),
+    ("cs_wh_025", "cs_walshhadamard", 0.25, 0.0),
+    ("inpainting", "inpainting", 4.0, 0.0),
+    ("sr_ap_4x_noisy", "sr_averagepooling", 4.0, 0.1),
+    ("cs_wh_noisy", "cs_walshhadamard", 0.25, 0.1),
+]
+
+
+def toy_mask() -> np.ndarray:
+    """Deterministic 32px keep-mask (center hole), shared by both sides."""
+    m = np.ones((RES, RES), np.int64)
+    m[10:22, 8:26] = 0
+    return m
+
+
+def toy_perm() -> np.ndarray:
+    """Deterministic pixel permutation for cs_walshhadamard."""
+    return np.random.default_rng(7).permutation(RES * RES)
+
+
+def load_eval_images(n: int = 4) -> np.ndarray:
+    """(n, 3, RES, RES) in [-1, 1] from the committed blob PNGs (NCHW)."""
+    from PIL import Image
+
+    paths = sorted(EVAL_DIR.glob("*.png"))[:n]
+    assert paths, f"run tools/train_toy_golden.py first ({EVAL_DIR})"
+    imgs = [np.asarray(Image.open(p), np.float32) / 255.0 for p in paths]
+    x = np.stack(imgs).transpose(0, 3, 1, 2) * 2.0 - 1.0
+    return x.astype(np.float32)
+
+
+def build_our_operator(deg: str, deg_scale: float, ref_op=None):
+    from ddnm_tpu.operators import build_svd_operator
+
+    if deg == "deblur_gauss" and ref_op is not None:
+        # inject the oracle's singular-value sort permutation: sigma=10
+        # gives a near-uniform kernel whose many near-tied singulars sort
+        # differently between numpy and torch (see test_svd_operators.py:4-7)
+        from ddnm_tpu.operators import Deblurring
+
+        sigma = 10.0
+        k = np.exp(-0.5 * (np.array([-2, -1, 0, 1, 2]) / sigma) ** 2)
+        return Deblurring((k / k.sum()).astype(np.float32), 3, RES,
+                          perm=ref_op._perm.numpy())
+    kw = {}
+    if deg == "inpainting":
+        kw["mask"] = toy_mask()
+    if deg == "cs_walshhadamard":
+        kw["perm"] = toy_perm()
+    return build_svd_operator(deg, channels=3, image_size=RES,
+                              deg_scale=deg_scale, **kw)
+
+
+def build_ref_operator(deg: str, deg_scale: float):
+    """The reference's own operator, constructed exactly as
+    guided_diffusion/diffusion.py:451-520 does (device='cpu')."""
+    import torch
+
+    dev = "cpu"
+    if deg == "sr_averagepooling":
+        from functions.svd_operators import SuperResolution
+
+        return SuperResolution(3, RES, int(deg_scale), dev)
+    if deg == "sr_bicubic":
+        from functions.svd_operators import SRConv
+
+        factor = int(deg_scale)
+
+        def bicubic_kernel(x, a=-0.5):
+            if abs(x) <= 1:
+                return (a + 2) * abs(x) ** 3 - (a + 3) * abs(x) ** 2 + 1
+            if 1 < abs(x) < 2:
+                return a * abs(x) ** 3 - 5 * a * abs(x) ** 2 + 8 * a * abs(x) - 4 * a
+            return 0
+
+        k = np.zeros((factor * 4))
+        for i in range(factor * 4):
+            xx = (1 / factor) * (i - np.floor(factor * 4 / 2) + 0.5)
+            k[i] = bicubic_kernel(xx)
+        k = torch.from_numpy(k / k.sum()).float()
+        return SRConv(k / k.sum(), 3, RES, dev, stride=factor)
+    if deg == "deblur_gauss":
+        from functions.svd_operators import Deblurring
+
+        sigma = 10
+        pdf = lambda x: torch.exp(torch.Tensor([-0.5 * (x / sigma) ** 2]))
+        kernel = torch.Tensor([pdf(-2), pdf(-1), pdf(0), pdf(1), pdf(2)])
+        return Deblurring(kernel / kernel.sum(), 3, RES, dev)
+    if deg == "colorization":
+        from functions.svd_operators import Colorization
+
+        return Colorization(RES, dev)
+    if deg == "cs_walshhadamard":
+        from functions.svd_operators import WalshHadamardCS
+
+        compress_by = round(1 / deg_scale)
+        perm = torch.from_numpy(toy_perm()).long()
+        return WalshHadamardCS(3, RES, compress_by, perm, dev)
+    if deg == "inpainting":
+        from functions.svd_operators import Inpainting
+
+        mask = torch.from_numpy(toy_mask()).reshape(-1)
+        missing_r = torch.nonzero(mask == 0).long().reshape(-1) * 3
+        missing = torch.cat([missing_r, missing_r + 1, missing_r + 2], dim=0)
+        return Inpainting(3, RES, missing, dev)
+    raise ValueError(deg)
+
+
+def load_our_model():
+    """(model_fn, params) from the fixture via the FULL load path."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddnm_tpu.data.checkpoints import load_params
+
+    import sys
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from train_toy_golden import build_model
+
+    model = build_model()
+    expected = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, RES, RES, 3)), jnp.zeros((1,)),
+    )
+    params = load_params(FIXTURE_PT, cache=False, expected=expected)
+
+    def model_fn(p, x, t):
+        return model.apply(p, x, t)
+
+    return model_fn, params
+
+
+def load_ref_model():
+    """The reference's Model with the trained fixture weights loaded."""
+    import sys
+
+    import torch
+    import yaml
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from tests._reference import import_reference
+    from train_toy_golden import TOY_CONFIG_YAML
+
+    ref_models = import_reference("guided_diffusion.models")
+
+    class _NS:
+        def __init__(self, d):
+            for k, v in d.items():
+                setattr(self, k, _NS(v) if isinstance(v, dict) else v)
+
+    m = ref_models.Model(_NS(yaml.safe_load(TOY_CONFIG_YAML)))
+    m.load_state_dict(torch.load(FIXTURE_PT, map_location="cpu"))
+    m.eval()
+    return m
+
+
+@contextlib.contextmanager
+def cpu_as_cuda_and_zero_noise():
+    import torch
+
+    orig_to = torch.Tensor.to
+    orig_randn_like = torch.randn_like
+
+    def patched_to(self, *args, **kwargs):
+        args = tuple("cpu" if a == "cuda" else a for a in args)
+        if kwargs.get("device") == "cuda":
+            kwargs["device"] = "cpu"
+        return orig_to(self, *args, **kwargs)
+
+    torch.Tensor.to = patched_to
+    torch.randn_like = lambda x: torch.zeros_like(x)
+    try:
+        yield
+    finally:
+        torch.Tensor.to = orig_to
+        torch.randn_like = orig_randn_like
+
+
+def psnr01(a01: np.ndarray, b01: np.ndarray) -> float:
+    mse = float(np.mean((a01 - b01) ** 2))
+    return 10.0 * float(np.log10(1.0 / max(mse, 1e-12)))
+
+
+def run_task(deg: str, deg_scale: float, sigma_y: float, n_images: int = 4):
+    """Run one task through both frameworks (zero noise, shared x_T).
+
+    Returns dict with ours/ref PSNR vs gt and ours-vs-ref max abs diff."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ddnm_tpu import schedules as sch
+    from ddnm_tpu.sampling import build_schedule, sample_svd
+    from tests._reference import import_reference
+
+    svd_ddnm = import_reference("functions.svd_ddnm")
+
+    x_orig = load_eval_images(n_images)  # NCHW [-1,1]
+    rng = np.random.RandomState(42)
+    x_T = rng.randn(*x_orig.shape).astype(np.float32)
+    betas = sch.get_beta_schedule(
+        "linear", beta_start=1e-4, beta_end=0.02, num_diffusion_timesteps=T
+    ).astype(np.float32)
+
+    # reference side first: its own operator on the same gt (deblurring's
+    # sort permutation is injected into ours, see build_our_operator). Raw
+    # measurement layouts legitimately differ for the tiled-spectral
+    # operators (svd_ops.py:15-23), so equivalence is checked on the
+    # layout-free range-space projection Ap(A(x)) instead.
+    ref_op = build_ref_operator(deg, deg_scale)
+    our_op = build_our_operator(deg, deg_scale, ref_op)
+    y = np.asarray(our_op.A(jnp.asarray(x_orig.reshape(n_images, -1))))
+    y_ref = ref_op.A(torch.from_numpy(x_orig).reshape(n_images, -1))
+    apay_ours = np.asarray(our_op.A_pinv(jnp.asarray(y)))
+    apay_ref = ref_op.A_pinv(y_ref).numpy()
+    np.testing.assert_allclose(apay_ours, apay_ref, atol=2e-3,
+                               err_msg=f"range-space projection mismatch: {deg}")
+
+    class _NS:
+        def __init__(self, d):
+            for k, v in d.items():
+                setattr(self, k, _NS(v) if isinstance(v, dict) else v)
+
+    cfg = _NS({
+        "diffusion": {"num_diffusion_timesteps": T},
+        "time_travel": {"T_sampling": T_SAMPLING, "travel_length": 1,
+                        "travel_repeat": 1},
+    })
+
+    ref_model = load_ref_model()
+    with cpu_as_cuda_and_zero_noise(), torch.no_grad():
+        fn = svd_ddnm.ddnm_diffusion if sigma_y == 0 else svd_ddnm.ddnm_plus_diffusion
+        args = [torch.from_numpy(x_T.copy()), ref_model,
+                torch.from_numpy(betas), 0.85, ref_op, y_ref]
+        if sigma_y != 0:
+            args.append(sigma_y)
+        xs, _ = fn(*args, config=cfg)
+        ref_out = xs[-1].numpy()
+
+    model_fn, params = load_our_model()
+    sched = build_schedule(betas=betas, t_sampling=T_SAMPLING)
+    zero = lambda key, shape: jnp.zeros(shape, jnp.float32)
+    x, _ = sample_svd(
+        model_fn,
+        jnp.asarray(np.transpose(x_T, (0, 2, 3, 1))),
+        jnp.asarray(y),
+        our_op,
+        sched,
+        jax.random.PRNGKey(0),
+        eta=0.85,
+        sigma_y=sigma_y,
+        noise_fn=zero,
+        params=params,
+    )
+    ours = np.transpose(np.asarray(x), (0, 3, 1, 2))
+
+    to01 = lambda a: np.clip((a + 1) / 2, 0, 1)
+    return {
+        "ours_psnr": round(psnr01(to01(ours), to01(x_orig)), 4),
+        "ref_psnr": round(psnr01(to01(ref_out), to01(x_orig)), 4),
+        "max_abs_diff": float(np.abs(ours - ref_out).max()),
+    }

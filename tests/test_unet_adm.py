@@ -209,6 +209,23 @@ def test_converter_strict_validation(tmp_path):
         load_params(ckpt, expected=expected)
 
 
+def test_converter_roundtrip_torch_flax_torch():
+    """flax_to_torch_state_dict inverts torch_state_dict_to_flax exactly
+    (basis of the trained-weights golden suite: a model trained here runs
+    through the reference verbatim)."""
+    torch = pytest.importorskip("torch")
+    from ddnm_tpu.models.convert import flax_to_torch_state_dict
+
+    ref_unet_mod = import_reference("guided_diffusion.unet")
+    ref = _ref_unet(torch, ref_unet_mod, num_classes=1000)
+    sd = {k: v for k, v in ref.state_dict().items()}
+    flax_params = torch_state_dict_to_flax(sd, adm_key_map)
+    back = flax_to_torch_state_dict(flax_params, sd, adm_key_map)
+    assert back.keys() == sd.keys()
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k].numpy(), err_msg=k)
+
+
 def test_classifier_guidance_grad():
     """Guidance gradient direction matches torch autograd (diffusion.py:183-191)."""
     torch = pytest.importorskip("torch")
