@@ -60,11 +60,46 @@ def timestep_embedding_adm(timesteps, dim: int, max_period: int = 10000):
     return emb
 
 
+def gn_impl() -> str:
+    """GroupNorm implementation knob (env DDNM_TPU_GN, read at trace time):
+
+      - "flax"   (default): flax nn.GroupNorm in fp32 — XLA's own layout
+        choice. Best at batch >= 8 (producer/consumer fusion, measured
+        548 GB/s effective).
+      - "xla"    : ops.group_norm's reshaped fast-variance formulation —
+        keeps the NHWC layout, which avoids the channel-major transpose XLA
+        picks for flax GN at batch 1 (docs/PERFORMANCE.md batch-1 study).
+      - "pallas" : the fused two-pass Pallas kernel (ops/groupnorm.py).
+    """
+    import os
+
+    v = os.environ.get("DDNM_TPU_GN", "flax").lower()
+    if v not in ("flax", "xla", "pallas"):
+        raise ValueError(f"DDNM_TPU_GN must be flax|xla|pallas, got {v!r}")
+    return v
+
+
+class _GNParams(nn.Module):
+    """Bare scale/bias holder named like nn.GroupNorm ('gn/scale', 'gn/bias')
+    so every GroupNorm implementation shares one checkpoint layout."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return scale, bias
+
+
 class GroupNormF32(nn.Module):
     """GroupNorm computed in fp32 regardless of input dtype, cast back.
 
     Matches ADM's GroupNorm32 (reference nn.py:17-19) under mixed precision
-    and plain GroupNorm in fp32.
+    and plain GroupNorm in fp32. The computation path is selectable via
+    DDNM_TPU_GN (see gn_impl) — parameter layout is identical across paths.
     """
 
     num_groups: int = 32
@@ -73,6 +108,15 @@ class GroupNormF32(nn.Module):
     @nn.compact
     def __call__(self, x):
         dtype = x.dtype
+        impl = gn_impl()
+        if impl != "flax" and x.ndim == 4:
+            from ddnm_tpu.ops import group_norm
+
+            scale, bias = _GNParams(x.shape[-1], name="gn")()
+            return group_norm(
+                x, scale, bias, num_groups=self.num_groups, eps=self.epsilon,
+                force=impl,
+            ).astype(dtype)
         out = nn.GroupNorm(
             num_groups=self.num_groups,
             epsilon=self.epsilon,

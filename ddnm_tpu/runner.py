@@ -125,6 +125,12 @@ class Runner:
             raise FileNotFoundError(
                 f"checkpoint {args.ckpt!r} not found; pass --ckpt or --random-init"
             )
+        if self.dtype == jnp.bfloat16:
+            # bf16-resident weights: halves the dominant HBM stream for
+            # small-batch sampling (GroupNorm still computes fp32)
+            from ddnm_tpu.models import cast_torso
+
+            params = cast_torso(params, jnp.bfloat16)
 
         self._model = model
         self._params = params

@@ -165,6 +165,13 @@ def main(argv=None):
         params = jit_init(model, k_model, *dummy)
     else:
         raise FileNotFoundError("pass --ckpt (torch .pt to convert) or --random_init")
+    if ns.dtype == "bfloat16":
+        # store params bf16-resident too: at batch 1 the UNet is weight-
+        # bandwidth bound, so halving stored weight bytes halves the
+        # dominant HBM stream (GroupNorm still computes fp32 internally)
+        from ddnm_tpu.models import cast_torso
+
+        params = cast_torso(params, jnp.bfloat16)
 
     from ddnm_tpu.sampling.accel import adm_split_fns
 

@@ -133,6 +133,27 @@ def test_hq_cli_mask_shift_smoke(tmp_path):
     assert (tmp_path / "hq" / "Apy.png").exists()
 
 
+def test_hq_cli_bf16_resident_params(tmp_path):
+    """--dtype bfloat16 now also stores params bf16-resident (cast_torso):
+    halves the weight HBM stream for the batch-1 tile chain. Finite output
+    end-to-end through the CLI."""
+    import hq_main as hq
+    from ddnm_tpu.data.io import save_image
+
+    rng = np.random.default_rng(3)
+    src = tmp_path / "in.png"
+    save_image(rng.uniform(size=(256, 256, 3)).astype(np.float32), src)
+    out = hq.main([
+        "--config", "configs/hq/smoke.yml",
+        "--deg", "colorization",
+        "--path_y", str(src),
+        "--random_init",
+        "--dtype", "bfloat16",
+        "-i", str(tmp_path / "hq"),
+    ])
+    assert np.isfinite(out["final"]).all()
+
+
 def test_hq_cli_dataset_sweep(tmp_path):
     """hq_main dataset-sweep mode (--gt_path/--mask_path_dir): iterates
     filename-paired gt/mask trees like the reference's conf-declared eval

@@ -209,6 +209,32 @@ def test_converter_strict_validation(tmp_path):
         load_params(ckpt, expected=expected)
 
 
+def test_groupnorm_impl_knob(monkeypatch):
+    """DDNM_TPU_GN selects the GroupNorm computation path without changing
+    numerics or the parameter tree (checkpoint layout)."""
+    model = _ours_unet()
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, RES, RES, 3), jnp.float32)
+    t = jnp.asarray([5.0, 99.0])
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t)
+    base = model.apply(params, x, t)
+    for impl in ("xla", "pallas"):
+        monkeypatch.setenv("DDNM_TPU_GN", impl)
+        if impl == "pallas":
+            # pallas_call needs interpret mode on CPU; the kernel itself is
+            # covered by tests/test_pallas_ops.py — here we only assert the
+            # xla formulation through the knob
+            continue
+        params2 = jax.jit(model.init)(jax.random.PRNGKey(0), x, t)
+        assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params2)
+        out = model.apply(params, x, t)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                                   atol=1e-5, rtol=1e-5)
+    monkeypatch.setenv("DDNM_TPU_GN", "bogus")
+    with pytest.raises(ValueError, match="DDNM_TPU_GN"):
+        model.apply(params, x, t)
+
+
 def test_converter_roundtrip_torch_flax_torch():
     """flax_to_torch_state_dict inverts torch_state_dict_to_flax exactly
     (basis of the trained-weights golden suite: a model trained here runs
