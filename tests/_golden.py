@@ -215,10 +215,14 @@ def psnr01(a01: np.ndarray, b01: np.ndarray) -> float:
     return 10.0 * float(np.log10(1.0 / max(mse, 1e-12)))
 
 
-def run_task(deg: str, deg_scale: float, sigma_y: float, n_images: int = 4):
+def run_task(deg: str, deg_scale: float, sigma_y: float, n_images: int = 4,
+             return_images: bool = False):
     """Run one task through both frameworks (zero noise, shared x_T).
 
-    Returns dict with ours/ref PSNR vs gt and ours-vs-ref max abs diff."""
+    Returns dict with ours/ref PSNR vs gt and ours-vs-ref max abs diff.
+    With return_images, adds an "images" dict of [0,1] NCHW arrays
+    (gt / apy / ref / ours) for the side-by-side gallery
+    (tools/make_gallery.py, docs/GALLERY.md)."""
     import jax
     import jax.numpy as jnp
     import torch
@@ -289,8 +293,16 @@ def run_task(deg: str, deg_scale: float, sigma_y: float, n_images: int = 4):
     ours = np.transpose(np.asarray(x), (0, 3, 1, 2))
 
     to01 = lambda a: np.clip((a + 1) / 2, 0, 1)
-    return {
+    out = {
         "ours_psnr": round(psnr01(to01(ours), to01(x_orig)), 4),
         "ref_psnr": round(psnr01(to01(ref_out), to01(x_orig)), 4),
         "max_abs_diff": float(np.abs(ours - ref_out).max()),
     }
+    if return_images:
+        out["images"] = {
+            "gt": to01(x_orig),
+            "apy": to01(apay_ours.reshape(n_images, 3, RES, RES)),
+            "ref": to01(ref_out),
+            "ours": to01(ours),
+        }
+    return out
