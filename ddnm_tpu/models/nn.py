@@ -165,15 +165,21 @@ def update_ema(ema_params, params, rate: float = 0.9999):
 
 
 def cast_torso(params, dtype):
-    """Cast floating-point parameters to `dtype` (the TPU-native analogue of
-    the reference's convert_module_to_f16, fp16_util.py:15-32 — on TPU the
-    torso runs bf16 via the model's `dtype` attr; this helper additionally
-    lets callers store params themselves in bf16 to halve HBM)."""
+    """Cast floating-point parameters to `dtype`, EXCEPT GroupNorm affines
+    (any subtree named "gn" stays fp32) — the TPU-native analogue of the
+    reference's convert_module_to_f16 (fp16_util.py:15-32), which converts
+    conv weights while GroupNorm32 keeps normalization in fp32. On TPU the
+    torso already computes bf16 via the model's `dtype` attr; this helper
+    additionally lets callers store params bf16-resident to halve the
+    weight HBM stream without rounding the affine inputs of the fp32
+    GroupNorm compute."""
     import jax.numpy as _jnp
 
-    def cast(x):
+    def cast(path, x):
+        if any(getattr(k, "key", None) == "gn" for k in path):
+            return x
         if hasattr(x, "dtype") and _jnp.issubdtype(x.dtype, _jnp.floating):
             return x.astype(dtype)
         return x
 
-    return jax.tree.map(cast, params)
+    return jax.tree_util.tree_map_with_path(cast, params)

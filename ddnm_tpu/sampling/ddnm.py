@@ -46,6 +46,7 @@ import jax.numpy as jnp
 from ddnm_tpu import schedules as sch
 from ddnm_tpu.operators.base import SVDOperator
 from ddnm_tpu.operators.functional import FunctionalOperator
+from ddnm_tpu.sampling.rng import default_noise as _default_noise
 from ddnm_tpu.sampling.rng import draw_noise, split_key
 
 __all__ = ["DDNMSchedule", "build_schedule", "sample_simplified", "sample_svd"]
@@ -95,10 +96,6 @@ def build_schedule(
         t_next=pairs.t_next,
         is_travel=pairs.is_travel,
     )
-
-
-def _default_noise(key, shape):
-    return jax.random.normal(key, shape, dtype=jnp.float32)
 
 
 def _resolve_loop(loop: str) -> str:

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from ddnm_tpu import schedules as sch
 from ddnm_tpu.operators.functional import FunctionalOperator
+from ddnm_tpu.sampling.rng import default_noise as _default_noise
 from ddnm_tpu.sampling.rng import draw_noise, split_key
 
 __all__ = [
@@ -176,10 +177,6 @@ def build_posterior_tables(
         is_travel=is_travel,
         travel_shift=np.asarray(time_shift, dtype=np.int32),
     )
-
-
-def _default_noise(key, shape):
-    return jax.random.normal(key, shape, dtype=jnp.float32)
 
 
 def _resolve_loop(loop: str) -> str:

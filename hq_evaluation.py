@@ -63,9 +63,15 @@ def main(argv=None):
         # conf-declared paired gt/keep-mask trees (conf_base.py:60-106)
         argv_run = ["--config", ns.face_config, "--deg", "inpainting",
                     "-i", str(Path(ns.out) / "face256")]
+        if bool(ns.face_gt) != bool(ns.face_masks):
+            # never default one to the other: masks-as-gt (or gt-as-masks)
+            # silently produces garbage keep-masks
+            raise SystemExit("--face_gt and --face_masks must be given together "
+                             "(filename-paired trees); omit both to use the "
+                             "conf's data.eval entry")
         if ns.face_gt:
             argv_run += ["--gt_path", ns.face_gt,
-                         "--mask_path_dir", ns.face_masks or ns.face_gt]
+                         "--mask_path_dir", ns.face_masks]
         if ns.max_len is not None:
             argv_run += ["--max_len", str(ns.max_len)]
         if ns.ckpt:

@@ -305,9 +305,12 @@ def main(argv=None):
                  ns.sigma_y, ns.dtype)
 
     # --- dataset sweep mode (conf-declared eval dataset or --gt_path) ----
+    # An explicit --path_y always means single-image mode, even when the
+    # conf declares a data.eval dataset (which configs/hq/face256.yml does).
     eval_ds = None
     data_eval = conf.pget("data.eval")
-    if isinstance(data_eval, dict) and data_eval and ns.gt_path is None:
+    if (isinstance(data_eval, dict) and data_eval
+            and ns.gt_path is None and ns.path_y is None):
         eval_name = next(iter(data_eval))
         eval_ds = dict(data_eval[eval_name] or {})
     if ns.gt_path is not None:

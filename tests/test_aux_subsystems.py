@@ -419,6 +419,18 @@ def test_hq_evaluation_dry_run(tmp_path, capsys):
     assert "--encoder_cache 3" in out and "--dtype bfloat16" in out
 
 
+def test_hq_evaluation_face_sweep_rejects_lone_override(tmp_path):
+    """--face_gt / --face_masks must come together: defaulting one to the
+    other would threshold gt photos into keep-masks (silent garbage)."""
+    import hq_evaluation as hev
+
+    for args in (["--face_gt", str(tmp_path / "gts")],
+                 ["--face_masks", str(tmp_path / "masks")]):
+        with pytest.raises(SystemExit, match="together"):
+            hev.main(["--dry-run", "--random-init", "--face_sweep",
+                      "-i", str(tmp_path / "out")] + args)
+
+
 def test_hq_evaluation_face_sweep_dry_run(tmp_path, capsys):
     """--face_sweep constructs the face256 inpainting dataset-sweep
     invocation (hq_demo/confs/face256.yml eval dataset)."""

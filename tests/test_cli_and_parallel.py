@@ -10,6 +10,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+REPO = Path(__file__).resolve().parents[1]
+
 FIXTURES = Path("/root/reference/exp/datasets/celeba_hq")
 
 
@@ -151,6 +153,36 @@ def test_hq_cli_bf16_resident_params(tmp_path):
         "--dtype", "bfloat16",
         "-i", str(tmp_path / "hq"),
     ])
+    assert np.isfinite(out["final"]).all()
+
+
+def test_hq_cli_path_y_wins_over_conf_eval_dataset(tmp_path):
+    """An explicit --path_y means single-image mode even when the conf
+    declares a data.eval dataset (configs/hq/face256.yml does): the sweep
+    branch must not hijack the run (and would FileNotFoundError on the
+    conf's absent fixture trees here)."""
+    import hq_main as hq
+    from ddnm_tpu.data.io import save_image
+
+    conf = tmp_path / "conf.yml"
+    conf.write_text(
+        (REPO / "configs/hq/smoke.yml").read_text()
+        + "\ndata:\n  eval:\n    paper_face_mask:\n"
+        "      gt_path: /nonexistent/gts\n"
+        "      mask_path: /nonexistent/masks\n"
+        "      image_size: 256\n"
+    )
+    rng = np.random.default_rng(5)
+    src = tmp_path / "in.png"
+    save_image(rng.uniform(size=(256, 256, 3)).astype(np.float32), src)
+    out = hq.main([
+        "--config", str(conf),
+        "--deg", "colorization",
+        "--path_y", str(src),
+        "--random_init",
+        "-i", str(tmp_path / "hq"),
+    ])
+    assert (tmp_path / "hq" / "final.png").exists()
     assert np.isfinite(out["final"]).all()
 
 

@@ -209,6 +209,34 @@ def test_converter_strict_validation(tmp_path):
         load_params(ckpt, expected=expected)
 
 
+def test_cast_torso_keeps_groupnorm_affines_fp32():
+    """cast_torso(bf16) mirrors the reference's mixed-precision split
+    (fp16_util.py:15-32 + GroupNorm32): conv/dense weights go bf16-resident
+    but GroupNorm scale/bias stay fp32 so the fp32 GN compute sees exact
+    affine values."""
+    from ddnm_tpu.models import cast_torso
+
+    model = _ours_unet()
+    x = jnp.zeros((1, RES, RES, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, jnp.zeros((1,)))
+    cast = cast_torso(params, jnp.bfloat16)
+
+    flat = jax.tree_util.tree_flatten_with_path(cast)[0]
+    n_gn = n_cast = 0
+    for path, leaf in flat:
+        keys = [getattr(k, "key", None) for k in path]
+        if "gn" in keys:
+            assert leaf.dtype == jnp.float32, path
+            n_gn += 1
+        elif jnp.issubdtype(leaf.dtype, jnp.floating) or leaf.dtype == jnp.bfloat16:
+            assert leaf.dtype == jnp.bfloat16, path
+            n_cast += 1
+    assert n_gn > 0 and n_cast > 0
+    # the model still runs with mixed-resident params
+    out = model.apply(cast, x, jnp.zeros((1,)))
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
 def test_groupnorm_impl_knob(monkeypatch):
     """DDNM_TPU_GN selects the GroupNorm computation path without changing
     numerics or the parameter tree (checkpoint layout)."""

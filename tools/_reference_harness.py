@@ -51,11 +51,35 @@ def install_torchvision_stub():
             return x
 
     class Resize:
-        def __init__(self, size):
-            self.size = tuple(size) if isinstance(size, (list, tuple)) else (size, size)
+        """torchvision semantics: an int means shorter-edge resize keeping
+        aspect ratio; a (h, w) pair is exact. Default interpolation is
+        bilinear, like transforms.Resize."""
+
+        def __init__(self, size, interpolation=None):
+            self.size = size
 
         def __call__(self, img):
-            return img.resize((self.size[1], self.size[0]), Image.BICUBIC)
+            if isinstance(self.size, (list, tuple)):
+                h, w = self.size
+            else:
+                w0, h0 = img.size
+                if w0 <= h0:
+                    w, h = self.size, max(1, round(self.size * h0 / w0))
+                else:
+                    h, w = self.size, max(1, round(self.size * w0 / h0))
+            return img.resize((w, h), Image.BILINEAR)
+
+    class CenterCrop:
+        def __init__(self, size):
+            self.size = ((size, size) if not isinstance(size, (list, tuple))
+                         else tuple(size))
+
+        def __call__(self, img):
+            w0, h0 = img.size
+            th, tw = self.size
+            left = int(round((w0 - tw) / 2.0))
+            top = int(round((h0 - th) / 2.0))
+            return img.crop((left, top, left + tw, top + th))
 
     class ToTensor:
         def __call__(self, img):
@@ -110,7 +134,7 @@ def install_torchvision_stub():
     tv_transforms.Resize = Resize
     tv_transforms.ToTensor = ToTensor
     tv_transforms.RandomHorizontalFlip = RandomHorizontalFlip
-    tv_transforms.CenterCrop = Resize
+    tv_transforms.CenterCrop = CenterCrop
     tv_transforms.Lambda = lambda f: f
     tv_tf.crop = lambda img, top, left, h, w: img.crop((left, top, left + w, top + h))
     tv_transforms.functional = tv_tf
@@ -234,6 +258,21 @@ def seed_checkpoint(exp: Path, rel_path: str, src: Path | None,
     torch.save(m.state_dict(), dst)
 
 
+def load_reference_main():
+    """Load /root/reference/main.py by file path. Plain __import__("main")
+    would return whichever module already owns the name "main" in
+    sys.modules (e.g. the repo's own CLI, cached by evaluation.main)."""
+    import importlib.util
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)  # its own absolute imports
+    spec = importlib.util.spec_from_file_location(
+        "_ddnm_reference_main", os.path.join(REFERENCE_ROOT, "main.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def run_reference_main(exp: Path, cfg_path: Path, *, deg: str,
                        deg_scale: float = 4.0, sigma_y: float = 0.0,
                        image_folder: str = "run", path_y: str = "celeba_hq",
@@ -250,7 +289,7 @@ def run_reference_main(exp: Path, cfg_path: Path, *, deg: str,
     old_cwd = os.getcwd()
     os.chdir(REFERENCE_ROOT)  # diffusion.py reads exp-relative asset paths
     try:
-        ref_main = __import__("main")
+        ref_main = load_reference_main()
         argv_ref = [
             "main.py", "--config", str(cfg_path), "--deg", deg,
             "--deg_scale", str(deg_scale), "--sigma_y", str(sigma_y),
