@@ -1,0 +1,258 @@
+"""Trained-weights golden harness for the hq/posterior pipeline (ADM family).
+
+Companion to tests/_golden.py (which proves the main pipeline's "simple"
+DDPM family): one locally TRAINED toy ADM UNet with learn_sigma
+(tests/fixtures/toy_adm32.pt, produced by tools/train_toy_adm_golden.py)
+drives BOTH frameworks through the hq task matrix at toy scale:
+
+  - the reference side loads the state dict into its own
+    guided_diffusion.unet.UNetModel and runs the hq fork's OWN
+    SpacedDiffusion.p_sample / undo loop (gaussian_diffusion.py:432-493,
+    208-217) with the reference's operator closures
+    (gaussian_diffusion.py:595-643 mirrored at toy scale);
+  - our side loads the SAME file through data/checkpoints.load_params
+    (adm converter + strict validation) and runs sample_posterior.
+
+Zero noise + shared x_T makes every task deterministic, so cross-framework
+PSNR deltas are numerics, not sampling variance. This composes trained-UNet
+parity, LEARNED_RANGE respacing, the posterior DDNM update, and the 3-level
+jump schedule in one run per task.
+"""
+
+from __future__ import annotations
+
+import contextlib
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+FIXTURE_PT = REPO / "tests/fixtures/toy_adm32.pt"
+RES = 32
+T = 1000
+RESPACING = "25"
+JUMP = dict(t_T=25, n_sample=1, jump_length=10, jump_n_sample=2)
+
+# (name, deg, scale) — the hq task matrix (gaussian_diffusion.py:595-643)
+# at toy scale; masked tasks use tests/_golden.toy_mask
+TASKS_HQ = [
+    ("hq_sr_ap_4x", "sr_averagepooling", 4),
+    ("hq_colorization", "colorization", 0),
+    ("hq_inpainting", "inpainting", 0),
+    ("hq_mask_color_sr", "mask_color_sr", 2),
+    ("hq_sr_color", "sr_color", 2),
+]
+
+
+def load_our_model():
+    """(model_fn, params) via the FULL strict load path."""
+    import jax
+    import jax.numpy as jnp
+    import sys
+
+    from ddnm_tpu.data.checkpoints import load_params
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from train_toy_adm_golden import build_model
+
+    model = build_model()
+    expected = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, RES, RES, 3)), jnp.zeros((1,)),
+    )
+    params = load_params(FIXTURE_PT, cache=False, expected=expected)
+
+    def model_fn(p, x, t):
+        return model.apply(p, x, t)
+
+    return model_fn, params
+
+
+def load_ref_model():
+    import sys
+
+    import torch
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from train_toy_adm_golden import build_ref_model
+
+    m = build_ref_model()
+    m.load_state_dict(torch.load(FIXTURE_PT, map_location="cpu"))
+    m.eval()
+    return m
+
+
+def build_ref_ops(gd, deg: str, scale: int, mask_t):
+    """The reference's A/Ap closures (gaussian_diffusion.py:595-643) at toy
+    scale (256 -> RES), built from the reference's OWN helpers
+    (gd.color2gray / gd.gray2color / gd.MeanUpsample). Batch-1 only: the
+    reference's color2gray relies on the enforced batch size
+    (x.repeat(1,3,1,1) on a 3-D tensor)."""
+    import torch
+
+    if deg == "sr_averagepooling":
+        pool = torch.nn.AdaptiveAvgPool2d((RES // scale, RES // scale))
+        return (lambda z: pool(z)), (lambda z: gd.MeanUpsample(z, scale))
+    if deg == "colorization":
+        return (lambda z: gd.color2gray(z)), (lambda z: gd.gray2color(z))
+    if deg == "inpainting":
+        return (lambda z: z * mask_t), (lambda z: z * mask_t)
+    if deg == "mask_color_sr":
+        pool = torch.nn.AdaptiveAvgPool2d((RES // scale, RES // scale))
+        A = lambda z: pool(gd.color2gray(z * mask_t))
+        Ap = lambda z: gd.gray2color(gd.MeanUpsample(z, scale)) * mask_t
+        return A, Ap
+    if deg == "sr_color":
+        pool = torch.nn.AdaptiveAvgPool2d((RES // scale, RES // scale))
+        A = lambda z: gd.color2gray(pool(z))
+        Ap = lambda z: gd.MeanUpsample(gd.gray2color(z), scale)
+        return A, Ap
+    raise ValueError(deg)
+
+
+def build_our_operator(deg: str, scale: int):
+    from ddnm_tpu.operators import build_functional_operator
+
+    from tests._golden import toy_mask
+
+    kw = {}
+    if deg in ("inpainting", "mask_color_sr"):
+        kw["mask"] = toy_mask().astype(np.float32)
+    return build_functional_operator(deg, image_size=RES,
+                                     deg_scale=float(scale or 1), **kw)
+
+
+@contextlib.contextmanager
+def zero_noise_torch():
+    import torch
+
+    orig_randn_like = torch.randn_like
+    orig_ones = torch.ones
+    torch.randn_like = lambda x: torch.zeros_like(x)
+    torch.ones = lambda *a, **kw: orig_ones(
+        *a, **{k: v for k, v in kw.items() if k != "device"})
+    try:
+        yield
+    finally:
+        torch.randn_like = orig_randn_like
+        torch.ones = orig_ones
+
+
+def run_hq_task(deg: str, scale: int, n_images: int = 2):
+    """One hq task through both frameworks (zero noise, shared x_T).
+
+    Returns ours/ref PSNR vs gt, cross-framework max abs diff, and with
+    return arrays for the gallery under "images"."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ddnm_tpu import schedules as sch
+    from ddnm_tpu.sampling.posterior import (
+        build_posterior_tables,
+        sample_posterior,
+    )
+
+    from tests._golden import load_eval_images, psnr01, toy_mask
+    from tests._reference import import_hq_reference
+
+    gd = import_hq_reference("gaussian_diffusion")
+    respace = import_hq_reference("respace")
+    scheduler = import_hq_reference("scheduler")
+
+    x_orig = load_eval_images(n_images)  # NCHW [-1,1]
+    rng = np.random.RandomState(7)
+    x_T = rng.randn(*x_orig.shape).astype(np.float32)
+    betas = sch.named_beta_schedule("linear", T, use_scale=True)
+
+    mask_t = torch.from_numpy(
+        toy_mask().astype(np.float32)).reshape(1, 1, RES, RES)
+    refA, refAp = build_ref_ops(gd, deg, scale, mask_t)
+    op = build_our_operator(deg, scale)
+
+    # reference ops are batch-1 only (see build_ref_ops) — apply per image
+    gt_t = torch.from_numpy(x_orig.copy())
+    apy_ref = np.concatenate(
+        [refAp(refA(gt_t[i:i + 1])).numpy() for i in range(n_images)])
+    apy_ours = np.transpose(
+        np.asarray(op.Ap(op.A(jnp.asarray(np.transpose(x_orig, (0, 2, 3, 1)))))),
+        (0, 3, 1, 2))
+    np.testing.assert_allclose(apy_ours, apy_ref, atol=2e-5,
+                               err_msg=f"operator mismatch: {deg}")
+
+    # ---- ours ----
+    model_fn, params = load_our_model()
+    tables = build_posterior_tables(
+        betas=betas, timestep_respacing=RESPACING, sigma_y=0.0,
+        schedule_jump_params=JUMP,
+    )
+    zero = lambda key, shape: jnp.zeros(shape, jnp.float32)
+    x_fin, _ = sample_posterior(
+        model_fn,
+        jnp.asarray(np.transpose(x_T, (0, 2, 3, 1))),
+        jnp.asarray(apy_ours.transpose(0, 2, 3, 1)),
+        op, tables, jax.random.PRNGKey(0),
+        noise_fn=zero, params=params,
+    )
+    ours = np.transpose(np.asarray(x_fin), (0, 3, 1, 2))
+
+    # ---- reference (its own SpacedDiffusion.p_sample / undo loop) ----
+    class _Conf(dict):
+        def __getattr__(self, k):
+            return self.get(k)
+
+    conf = _Conf(respace_interpolate=False, use_value_logger=False)
+    sd = respace.SpacedDiffusion(
+        use_timesteps=respace.space_timesteps(T, RESPACING),
+        conf=conf, betas=betas,
+        model_mean_type=gd.ModelMeanType.EPSILON,
+        model_var_type=gd.ModelVarType.LEARNED_RANGE,
+        loss_type=gd.LossType.MSE,
+        rescale_timesteps=False,
+    )
+    ref_model = load_ref_model()
+    orig_save = getattr(gd, "save_image", None)
+    gd.save_image = lambda *a, **k: None
+
+    def tmodel(x, ts, **kw):
+        return ref_model(x, ts)
+
+    ref_imgs = []
+    try:
+        with zero_noise_torch(), torch.no_grad():
+            times = scheduler.get_schedule_jump(**JUMP)
+            for i in range(n_images):  # batch-1, like the reference CLI
+                kwargs = {
+                    "A": refA, "Ap": refAp, "sigma_y": 0.0,
+                    "Apy": torch.from_numpy(apy_ref[i:i + 1].copy()),
+                    "shift_w": 0, "shift_h": 0,
+                    "shift_w_total": 1, "shift_h_total": 1,
+                    "H_target": RES, "W_target": RES, "x_temp": None,
+                    "save_path": "x", "gt": None,
+                }
+                x = torch.from_numpy(x_T[i:i + 1].copy())
+                for t_last, t_cur in zip(times[:-1], times[1:]):
+                    tt = torch.tensor([t_last])
+                    if t_cur < t_last:
+                        out = sd.p_sample(tmodel, x, tt, model_kwargs=kwargs)
+                        x = out["sample"]
+                    else:
+                        x = sd.undo(None, x, est_x_0=None, t=tt + 1)
+                ref_imgs.append(x.detach().numpy())
+    finally:
+        if orig_save is not None:
+            gd.save_image = orig_save
+    ref_out = np.concatenate(ref_imgs)
+
+    to01 = lambda a: np.clip((a + 1) / 2, 0, 1)
+    return {
+        "ours_psnr": round(psnr01(to01(ours), to01(x_orig)), 4),
+        "ref_psnr": round(psnr01(to01(ref_out), to01(x_orig)), 4),
+        "max_abs_diff": float(np.abs(ours - ref_out).max()),
+        "images": {
+            "gt": to01(x_orig),
+            "apy": to01(apy_ours),
+            "ref": to01(ref_out),
+            "ours": to01(ours),
+        },
+    }

@@ -1,11 +1,20 @@
-"""Emit the trained-weights golden PSNR table (VERDICT round-1 #1b).
+"""Emit the trained-weights golden PSNR tables (VERDICT round-1 #1b).
 
-Runs every task in tests/_golden.TASKS through BOTH frameworks (zero-noise
-deterministic, shared trained weights) and writes:
-  tests/fixtures/toy_golden_psnr.json  — committed regression goldens
-  stdout                               — markdown table for BASELINE.md
+Runs every task of a family's golden suite through BOTH frameworks
+(zero-noise deterministic, shared trained weights) and writes:
 
-Run after (re)training the fixture:  python tools/golden_suite.py --emit-goldens
+  --family ddpm (default): tests/fixtures/toy_golden_psnr.json
+      main pipeline, "simple" DDPM family, evaluation.sh task matrix
+      (tests/_golden.TASKS via sample_svd vs the reference's svd_ddnm)
+  --family adm: tests/fixtures/toy_adm32_psnr.json
+      hq pipeline, ADM family with learn_sigma, hq task matrix
+      (tests/_golden_adm.TASKS_HQ via sample_posterior vs the reference's
+      SpacedDiffusion.p_sample loop)
+
+stdout: markdown table for BASELINE.md.
+
+Run after (re)training a fixture:
+  python tools/golden_suite.py [--family adm] --emit-goldens
 """
 
 from __future__ import annotations
@@ -23,19 +32,32 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--emit-goldens", action="store_true")
     ap.add_argument("--images", type=int, default=4)
+    ap.add_argument("--family", choices=["ddpm", "adm"], default="ddpm")
     ns = ap.parse_args(argv)
 
     import jax
 
     jax.config.update("jax_platforms", "cpu")  # torch oracle side by side
 
-    from tests._golden import TASKS, run_task
+    if ns.family == "ddpm":
+        from tests._golden import TASKS, run_task
+
+        tasks = TASKS
+        run = lambda t: run_task(t[1], t[2], t[3], n_images=ns.images)
+        out_path = REPO / "tests/fixtures/toy_golden_psnr.json"
+    else:
+        from tests._golden_adm import TASKS_HQ, run_hq_task
+
+        tasks = TASKS_HQ
+        run = lambda t: run_hq_task(t[1], t[2], n_images=min(ns.images, 2))
+        out_path = REPO / "tests/fixtures/toy_adm32_psnr.json"
 
     results = {}
     lines = ["| task | ours PSNR (dB) | reference PSNR (dB) | delta | max abs diff |",
              "|---|---|---|---|---|"]
-    for name, deg, scale, sigma_y in TASKS:
-        r = run_task(deg, scale, sigma_y, n_images=ns.images)
+    for task in tasks:
+        name = task[0]
+        r = {k: v for k, v in run(task).items() if k != "images"}
         results[name] = r
         lines.append(
             f"| {name} | {r['ours_psnr']:.4f} | {r['ref_psnr']:.4f} | "
@@ -45,9 +67,8 @@ def main(argv=None):
 
     print("\n".join(lines))
     if ns.emit_goldens:
-        out = REPO / "tests/fixtures/toy_golden_psnr.json"
-        out.write_text(json.dumps(results, indent=2) + "\n")
-        print(f"\nwrote {out}")
+        out_path.write_text(json.dumps(results, indent=2) + "\n")
+        print(f"\nwrote {out_path}")
     return results
 
 

@@ -30,15 +30,25 @@ GALLERY_DIR = REPO / "docs/gallery"
 
 HEADER = """# Gallery — reference vs ours, side by side
 
-Cross-framework output grids for the trained-weights golden suite
-(`tests/_golden.py`: one locally trained toy DDPM drives BOTH the
-reference's own samplers/operators and ours, zero-noise deterministic, so
-every visual difference is numerics, not sampling variance). Regenerate
-with `python tools/make_gallery.py` after retraining the fixture.
+Cross-framework output grids for the trained-weights golden suites
+(`tests/_golden.py` + `tests/_golden_adm.py`: locally trained toy models
+drive BOTH the reference's own samplers/operators and ours, zero-noise
+deterministic, so every visual difference is numerics, not sampling
+variance). Regenerate with `python tools/make_gallery.py` after retraining
+a fixture.
 
 Column order in every grid: **GT | A&dagger;y (degraded) | reference | ours**.
 Real-checkpoint grids can be produced the same way the moment pretrained
 weights are reachable (`tools/validate_real_ckpts.py`).
+
+## Main pipeline — "simple" DDPM family, SVD samplers (evaluation.sh matrix)
+
+| task | grid | ours PSNR (dB) | reference PSNR (dB) | delta |
+|---|---|---|---|---|
+"""
+
+HEADER_HQ = """
+## hq pipeline — ADM family (learn_sigma), posterior sampler (hq task matrix)
 
 | task | grid | ours PSNR (dB) | reference PSNR (dB) | delta |
 |---|---|---|---|---|
@@ -80,9 +90,8 @@ def main(argv=None):
 
     GALLERY_DIR.mkdir(parents=True, exist_ok=True)
     lines = [HEADER]
-    for name, deg, scale, sigma_y in TASKS:
-        r = run_task(deg, scale, sigma_y, n_images=ns.images,
-                     return_images=True)
+
+    def emit(name, r):
         grid = to_grid(r["images"], ns.zoom)
         out = GALLERY_DIR / f"{name}.png"
         Image.fromarray(grid).save(out)
@@ -93,6 +102,20 @@ def main(argv=None):
         )
         print(f"{name}: ours {r['ours_psnr']:.2f} dB, "
               f"ref {r['ref_psnr']:.2f} dB -> {out}", flush=True)
+
+    for name, deg, scale, sigma_y in TASKS:
+        emit(name, run_task(deg, scale, sigma_y, n_images=ns.images,
+                            return_images=True))
+
+    from tests._golden_adm import FIXTURE_PT as ADM_PT
+    from tests._golden_adm import TASKS_HQ, run_hq_task
+
+    if ADM_PT.exists():
+        lines.append(HEADER_HQ.rstrip("\n"))
+        for name, deg, scale in TASKS_HQ:
+            emit(name, run_hq_task(deg, scale, n_images=min(ns.images, 2)))
+    else:
+        print("toy_adm32.pt not trained yet — skipping the hq section")
 
     (REPO / "docs/GALLERY.md").write_text("".join(lines[:1])
                                           + "\n".join(lines[1:]) + "\n")
