@@ -33,14 +33,18 @@ T = 1000
 RESPACING = "25"
 JUMP = dict(t_T=25, n_sample=1, jump_length=10, jump_n_sample=2)
 
-# (name, deg, scale) — the hq task matrix (gaussian_diffusion.py:595-643)
-# at toy scale; masked tasks use tests/_golden.toy_mask
+# (name, deg, scale, sigma_y) — the hq task matrix
+# (gaussian_diffusion.py:595-643) at toy scale; masked tasks use
+# tests/_golden.toy_mask. The noisy row exercises the lambda/gamma
+# precedence quirk (sigma_t/a_t*sigma_y, gaussian_diffusion.py:330-336 /
+# posterior.py:151) on trained weights.
 TASKS_HQ = [
-    ("hq_sr_ap_4x", "sr_averagepooling", 4),
-    ("hq_colorization", "colorization", 0),
-    ("hq_inpainting", "inpainting", 0),
-    ("hq_mask_color_sr", "mask_color_sr", 2),
-    ("hq_sr_color", "sr_color", 2),
+    ("hq_sr_ap_4x", "sr_averagepooling", 4, 0.0),
+    ("hq_colorization", "colorization", 0, 0.0),
+    ("hq_inpainting", "inpainting", 0, 0.0),
+    ("hq_mask_color_sr", "mask_color_sr", 2, 0.0),
+    ("hq_sr_color", "sr_color", 2, 0.0),
+    ("hq_sr_ap_4x_noisy", "sr_averagepooling", 4, 0.25),
 ]
 
 
@@ -138,7 +142,8 @@ def zero_noise_torch():
         torch.ones = orig_ones
 
 
-def run_hq_task(deg: str, scale: int, n_images: int = 2):
+def run_hq_task(deg: str, scale: int, sigma_y: float = 0.0,
+                n_images: int = 2):
     """One hq task through both frameworks (zero noise, shared x_T).
 
     Returns ours/ref PSNR vs gt, cross-framework max abs diff, and with
@@ -183,7 +188,7 @@ def run_hq_task(deg: str, scale: int, n_images: int = 2):
     # ---- ours ----
     model_fn, params = load_our_model()
     tables = build_posterior_tables(
-        betas=betas, timestep_respacing=RESPACING, sigma_y=0.0,
+        betas=betas, timestep_respacing=RESPACING, sigma_y=sigma_y,
         schedule_jump_params=JUMP,
     )
     zero = lambda key, shape: jnp.zeros(shape, jnp.float32)
@@ -223,7 +228,7 @@ def run_hq_task(deg: str, scale: int, n_images: int = 2):
             times = scheduler.get_schedule_jump(**JUMP)
             for i in range(n_images):  # batch-1, like the reference CLI
                 kwargs = {
-                    "A": refA, "Ap": refAp, "sigma_y": 0.0,
+                    "A": refA, "Ap": refAp, "sigma_y": sigma_y,
                     "Apy": torch.from_numpy(apy_ref[i:i + 1].copy()),
                     "shift_w": 0, "shift_h": 0,
                     "shift_w_total": 1, "shift_h_total": 1,

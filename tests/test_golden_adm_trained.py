@@ -27,11 +27,11 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.mark.parametrize("name,deg,scale", TASKS_HQ,
+@pytest.mark.parametrize("name,deg,scale,sigma_y", TASKS_HQ,
                          ids=[t[0] for t in TASKS_HQ])
-def test_trained_hq_cross_framework_psnr(name, deg, scale):
+def test_trained_hq_cross_framework_psnr(name, deg, scale, sigma_y):
     pytest.importorskip("torch")
-    r = run_hq_task(deg, scale)
+    r = run_hq_task(deg, scale, sigma_y)
     delta = abs(r["ours_psnr"] - r["ref_psnr"])
     assert delta <= 0.1, f"{name}: ours {r['ours_psnr']} vs ref {r['ref_psnr']}"
     assert r["max_abs_diff"] < 5e-2, {k: v for k, v in r.items()

@@ -49,7 +49,8 @@ def main(argv=None):
         from tests._golden_adm import TASKS_HQ, run_hq_task
 
         tasks = TASKS_HQ
-        run = lambda t: run_hq_task(t[1], t[2], n_images=min(ns.images, 2))
+        run = lambda t: run_hq_task(t[1], t[2], t[3],
+                                    n_images=min(ns.images, 2))
         out_path = REPO / "tests/fixtures/toy_adm32_psnr.json"
 
     results = {}

@@ -112,8 +112,9 @@ def main(argv=None):
 
     if ADM_PT.exists():
         lines.append(HEADER_HQ.rstrip("\n"))
-        for name, deg, scale in TASKS_HQ:
-            emit(name, run_hq_task(deg, scale, n_images=min(ns.images, 2)))
+        for name, deg, scale, sigma_y in TASKS_HQ:
+            emit(name, run_hq_task(deg, scale, sigma_y,
+                                   n_images=min(ns.images, 2)))
     else:
         print("toy_adm32.pt not trained yet — skipping the hq section")
 
