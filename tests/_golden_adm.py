@@ -28,10 +28,13 @@ import numpy as np
 
 REPO = Path(__file__).resolve().parents[1]
 FIXTURE_PT = REPO / "tests/fixtures/toy_adm32.pt"
+CLF_PT = REPO / "tests/fixtures/toy_clf32.pt"
 RES = 32
 T = 1000
 RESPACING = "25"
 JUMP = dict(t_T=25, n_sample=1, jump_length=10, jump_n_sample=2)
+GUIDED_CLASS = 2   # blue-dominant blob family
+GUIDED_SCALE = 2.0
 
 # (name, deg, scale, sigma_y) — the hq task matrix
 # (gaussian_diffusion.py:595-643) at toy scale; masked tasks use
@@ -261,3 +264,187 @@ def run_hq_task(deg: str, scale: int, sigma_y: float = 0.0,
             "ours": to01(ours),
         },
     }
+
+
+def run_hq_guided_task(deg: str = "sr_averagepooling", scale: int = 4,
+                       n_images: int = 2):
+    """Classifier-GUIDED hq restoration through both frameworks on TRAINED
+    weights (toy ADM + toy EncoderUNet classifier): the reference builds
+    cond_fn = grad_x log p(y|x) * scale with torch.autograd
+    (hq_demo/main.py:87-96) inside condition_mean
+    (gaussian_diffusion.py:413-430); ours uses classifier_guidance_fn
+    (jax.grad) inside sample_posterior. Class-pure gt images (GUIDED_CLASS)
+    make the guidance signal meaningful, zero noise keeps it
+    deterministic."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+
+    from ddnm_tpu import schedules as sch
+    from ddnm_tpu.models.unet_adm import classifier_guidance_fn
+    from ddnm_tpu.sampling.posterior import (
+        build_posterior_tables,
+        sample_posterior,
+    )
+
+    from tests._golden import psnr01
+    from tests._reference import import_hq_reference
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from train_toy_classifier_golden import make_class_blobs
+
+    gd = import_hq_reference("gaussian_diffusion")
+    respace = import_hq_reference("respace")
+    scheduler = import_hq_reference("scheduler")
+
+    x_nhwc, _ = make_class_blobs(jax.random.PRNGKey(123), n_images, RES,
+                                 classes=GUIDED_CLASS)
+    x_orig = np.transpose(np.asarray(x_nhwc), (0, 3, 1, 2))
+    rng = np.random.RandomState(11)
+    x_T = rng.randn(*x_orig.shape).astype(np.float32)
+    betas = sch.named_beta_schedule("linear", T, use_scale=True)
+
+    refA, refAp = build_ref_ops(gd, deg, scale, None)
+    op = build_our_operator(deg, scale)
+    gt_t = torch.from_numpy(x_orig.copy())
+    apy_ref = np.concatenate(
+        [refAp(refA(gt_t[i:i + 1])).numpy() for i in range(n_images)])
+    apy_ours = np.transpose(
+        np.asarray(op.Ap(op.A(jnp.asarray(np.asarray(x_nhwc))))), (0, 3, 1, 2))
+    np.testing.assert_allclose(apy_ours, apy_ref, atol=2e-5)
+
+    # ---- ours ----
+    model_fn_raw, mparams = load_our_model()
+    cmodel, cparams = load_our_classifier()
+    run_params = {"model": mparams, "classifier": cparams}
+
+    def model_fn(p, x, t):
+        return model_fn_raw(p["model"], x, t)
+
+    guidance = classifier_guidance_fn(
+        cmodel.apply, jnp.full((n_images,), GUIDED_CLASS, jnp.int32),
+        GUIDED_SCALE,
+    )
+    tables = build_posterior_tables(
+        betas=betas, timestep_respacing=RESPACING, sigma_y=0.0,
+        schedule_jump_params=JUMP,
+    )
+    zero = lambda key, shape: jnp.zeros(shape, jnp.float32)
+    x_fin, _ = sample_posterior(
+        model_fn,
+        jnp.asarray(np.transpose(x_T, (0, 2, 3, 1))),
+        jnp.asarray(apy_ours.transpose(0, 2, 3, 1)),
+        op, tables, jax.random.PRNGKey(0),
+        noise_fn=zero, params=run_params, guidance_fn=guidance,
+    )
+    ours = np.transpose(np.asarray(x_fin), (0, 3, 1, 2))
+
+    # ---- reference ----
+    class _Conf(dict):
+        def __getattr__(self, k):
+            return self.get(k)
+
+    conf = _Conf(respace_interpolate=False, use_value_logger=False)
+    sd = respace.SpacedDiffusion(
+        use_timesteps=respace.space_timesteps(T, RESPACING),
+        conf=conf, betas=betas,
+        model_mean_type=gd.ModelMeanType.EPSILON,
+        model_var_type=gd.ModelVarType.LEARNED_RANGE,
+        loss_type=gd.LossType.MSE,
+        rescale_timesteps=False,
+    )
+    ref_model = load_ref_model()
+    ref_clf = load_ref_classifier()
+    orig_save = getattr(gd, "save_image", None)
+    gd.save_image = lambda *a, **k: None
+
+    def cond_fn(x, t, **kw):  # hq_demo/main.py:87-96
+        with torch.enable_grad():
+            x_in = x.detach().requires_grad_(True)
+            logits = ref_clf(x_in, t)
+            logp = F.log_softmax(logits, dim=-1)
+            sel = logp[range(len(logits)), GUIDED_CLASS]
+            return torch.autograd.grad(sel.sum(), x_in)[0] * GUIDED_SCALE
+
+    def tmodel(x, ts, **kw):
+        return ref_model(x, ts)
+
+    ref_imgs = []
+    try:
+        with zero_noise_torch():
+            times = scheduler.get_schedule_jump(**JUMP)
+            for i in range(n_images):
+                kwargs = {
+                    "A": refA, "Ap": refAp, "sigma_y": 0.0,
+                    "Apy": torch.from_numpy(apy_ref[i:i + 1].copy()),
+                    "shift_w": 0, "shift_h": 0,
+                    "shift_w_total": 1, "shift_h_total": 1,
+                    "H_target": RES, "W_target": RES, "x_temp": None,
+                    "save_path": "x", "gt": None,
+                }
+                x = torch.from_numpy(x_T[i:i + 1].copy())
+                for t_last, t_cur in zip(times[:-1], times[1:]):
+                    tt = torch.tensor([t_last])
+                    if t_cur < t_last:
+                        out = sd.p_sample(tmodel, x, tt, cond_fn=cond_fn,
+                                          model_kwargs=kwargs)
+                        x = out["sample"]
+                    else:
+                        x = sd.undo(None, x, est_x_0=None, t=tt + 1)
+                ref_imgs.append(x.detach().numpy())
+    finally:
+        if orig_save is not None:
+            gd.save_image = orig_save
+    ref_out = np.concatenate(ref_imgs)
+
+    to01 = lambda a: np.clip((a + 1) / 2, 0, 1)
+    return {
+        "ours_psnr": round(psnr01(to01(ours), to01(x_orig)), 4),
+        "ref_psnr": round(psnr01(to01(ref_out), to01(x_orig)), 4),
+        "max_abs_diff": float(np.abs(ours - ref_out).max()),
+        "images": {
+            "gt": to01(x_orig),
+            "apy": to01(apy_ours),
+            "ref": to01(ref_out),
+            "ours": to01(ours),
+        },
+    }
+
+
+def load_our_classifier():
+    """(module, params) for the trained toy classifier via the strict load
+    path."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from ddnm_tpu.data.checkpoints import load_params
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from train_toy_classifier_golden import build_model
+
+    model = build_model()
+    expected = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, RES, RES, 3)), jnp.zeros((1,)),
+    )
+    params = load_params(CLF_PT, cache=False, expected=expected)
+    return model, params
+
+
+def load_ref_classifier():
+    import sys
+
+    import torch
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from train_toy_classifier_golden import build_ref_model
+
+    m = build_ref_model()
+    m.load_state_dict(torch.load(CLF_PT, map_location="cpu"))
+    m.eval()
+    return m

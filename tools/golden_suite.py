@@ -46,11 +46,21 @@ def main(argv=None):
         run = lambda t: run_task(t[1], t[2], t[3], n_images=ns.images)
         out_path = REPO / "tests/fixtures/toy_golden_psnr.json"
     else:
-        from tests._golden_adm import TASKS_HQ, run_hq_task
+        from tests._golden_adm import (
+            CLF_PT,
+            TASKS_HQ,
+            run_hq_guided_task,
+            run_hq_task,
+        )
 
-        tasks = TASKS_HQ
-        run = lambda t: run_hq_task(t[1], t[2], t[3],
-                                    n_images=min(ns.images, 2))
+        tasks = list(TASKS_HQ)
+        run = lambda t: (run_hq_guided_task(t[1], t[2],
+                                            n_images=min(ns.images, 2))
+                         if t[0] == "hq_guided_sr"
+                         else run_hq_task(t[1], t[2], t[3],
+                                          n_images=min(ns.images, 2)))
+        if CLF_PT.exists():
+            tasks.append(("hq_guided_sr", "sr_averagepooling", 4, 0.0))
         out_path = REPO / "tests/fixtures/toy_adm32_psnr.json"
 
     results = {}

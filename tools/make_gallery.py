@@ -111,10 +111,15 @@ def main(argv=None):
     from tests._golden_adm import TASKS_HQ, run_hq_task
 
     if ADM_PT.exists():
+        from tests._golden_adm import CLF_PT, run_hq_guided_task
+
         lines.append(HEADER_HQ.rstrip("\n"))
         for name, deg, scale, sigma_y in TASKS_HQ:
             emit(name, run_hq_task(deg, scale, sigma_y,
                                    n_images=min(ns.images, 2)))
+        if CLF_PT.exists():
+            emit("hq_guided_sr",
+                 run_hq_guided_task(n_images=min(ns.images, 2)))
     else:
         print("toy_adm32.pt not trained yet — skipping the hq section")
 

@@ -41,10 +41,13 @@ sys.path.insert(0, str(REPO / "tools"))
 RES = 32
 T = 1000
 
-# toy ADM architecture — shared by trainer, harness and tests
+# toy ADM architecture — shared by trainer, harness and tests.
+# attention_resolutions holds DS RATIOS (reference UNetModel semantics):
+# ds=2 puts AttentionBlocks on the 16x16 grid in the input AND output
+# blocks (the middle block always has attention).
 ADM_KW = dict(
     image_size=RES, in_channels=3, model_channels=32, out_channels=6,
-    num_res_blocks=1, attention_resolutions=(16,), channel_mult=(1, 2),
+    num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
     num_heads=4, num_head_channels=32, use_scale_shift_norm=True,
     resblock_updown=True,
 )
