@@ -190,10 +190,14 @@ def load_ref_model():
 
 @contextlib.contextmanager
 def cpu_as_cuda_and_zero_noise():
+    """Make reference code written for CUDA + stochastic sampling run
+    deterministically on CPU: .to('cuda') -> cpu, randn_like -> zeros, and
+    torch.ones' device kwarg stripped (the hq fork passes device=...)."""
     import torch
 
     orig_to = torch.Tensor.to
     orig_randn_like = torch.randn_like
+    orig_ones = torch.ones
 
     def patched_to(self, *args, **kwargs):
         args = tuple("cpu" if a == "cuda" else a for a in args)
@@ -203,11 +207,14 @@ def cpu_as_cuda_and_zero_noise():
 
     torch.Tensor.to = patched_to
     torch.randn_like = lambda x: torch.zeros_like(x)
+    torch.ones = lambda *a, **kw: orig_ones(
+        *a, **{k: v for k, v in kw.items() if k != "device"})
     try:
         yield
     finally:
         torch.Tensor.to = orig_to
         torch.randn_like = orig_randn_like
+        torch.ones = orig_ones
 
 
 def psnr01(a01: np.ndarray, b01: np.ndarray) -> float:

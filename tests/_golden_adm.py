@@ -13,6 +13,11 @@ drives BOTH frameworks through the hq task matrix at toy scale:
   - our side loads the SAME file through data/checkpoints.load_params
     (adm converter + strict validation) and runs sample_posterior.
 
+run_hq_guided_task additionally proves the classifier family: a trained
+toy EncoderUNet (tests/fixtures/toy_clf32.pt) guides both frameworks —
+torch.autograd cond_fn + condition_mean on the reference side vs jax.grad
+classifier_guidance_fn on ours.
+
 Zero noise + shared x_T makes every task deterministic, so cross-framework
 PSNR deltas are numerics, not sampling variance. This composes trained-UNet
 parity, LEARNED_RANGE respacing, the posterior DDNM update, and the 3-level
@@ -22,6 +27,8 @@ jump schedule in one run per task.
 from __future__ import annotations
 
 import contextlib
+import functools
+import sys
 from pathlib import Path
 
 import numpy as np
@@ -51,15 +58,21 @@ TASKS_HQ = [
 ]
 
 
+def _tools_on_path():
+    p = str(REPO / "tools")
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+
+@functools.lru_cache(maxsize=1)
 def load_our_model():
-    """(model_fn, params) via the FULL strict load path."""
+    """(model_fn, params) from the fixture via the FULL strict load path."""
     import jax
     import jax.numpy as jnp
-    import sys
 
     from ddnm_tpu.data.checkpoints import load_params
 
-    sys.path.insert(0, str(REPO / "tools"))
+    _tools_on_path()
     from train_toy_adm_golden import build_model
 
     model = build_model()
@@ -75,16 +88,49 @@ def load_our_model():
     return model_fn, params
 
 
+@functools.lru_cache(maxsize=1)
 def load_ref_model():
-    import sys
-
+    """The reference's UNetModel with the trained fixture weights loaded."""
     import torch
 
-    sys.path.insert(0, str(REPO / "tools"))
+    _tools_on_path()
     from train_toy_adm_golden import build_ref_model
 
     m = build_ref_model()
     m.load_state_dict(torch.load(FIXTURE_PT, map_location="cpu"))
+    m.eval()
+    return m
+
+
+@functools.lru_cache(maxsize=1)
+def load_our_classifier():
+    """(module, params) for the trained toy classifier (strict load)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddnm_tpu.data.checkpoints import load_params
+
+    _tools_on_path()
+    from train_toy_classifier_golden import build_model
+
+    model = build_model()
+    expected = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, RES, RES, 3)), jnp.zeros((1,)),
+    )
+    params = load_params(CLF_PT, cache=False, expected=expected)
+    return model, params
+
+
+@functools.lru_cache(maxsize=1)
+def load_ref_classifier():
+    import torch
+
+    _tools_on_path()
+    from train_toy_classifier_golden import build_ref_model
+
+    m = build_ref_model()
+    m.load_state_dict(torch.load(CLF_PT, map_location="cpu"))
     m.eval()
     return m
 
@@ -129,28 +175,121 @@ def build_our_operator(deg: str, scale: int):
                                      deg_scale=float(scale or 1), **kw)
 
 
-@contextlib.contextmanager
-def zero_noise_torch():
-    import torch
+class _Conf(dict):
+    """Minimal Default_Conf stand-in for SpacedDiffusion construction."""
 
-    orig_randn_like = torch.randn_like
-    orig_ones = torch.ones
-    torch.randn_like = lambda x: torch.zeros_like(x)
-    torch.ones = lambda *a, **kw: orig_ones(
-        *a, **{k: v for k, v in kw.items() if k != "device"})
+    def __getattr__(self, k):
+        return self.get(k)
+
+
+def _spaced(gd, respace, betas):
+    return respace.SpacedDiffusion(
+        use_timesteps=respace.space_timesteps(T, RESPACING),
+        conf=_Conf(respace_interpolate=False, use_value_logger=False),
+        betas=betas,
+        model_mean_type=gd.ModelMeanType.EPSILON,
+        model_var_type=gd.ModelVarType.LEARNED_RANGE,
+        loss_type=gd.LossType.MSE,
+        rescale_timesteps=False,
+    )
+
+
+@contextlib.contextmanager
+def _silence_ref_io(gd):
+    """Stub the reference's intermediate-save side effects
+    (gaussian_diffusion.py:382-386 writes results/<save_path>/... PNGs and
+    mkdirs them unconditionally whenever t%25==0). gd.os IS the global os
+    module, so the makedirs patch is process-wide while active — restored
+    on exit; nothing else mkdirs during the loop."""
+    orig_save = getattr(gd, "save_image", None)
+    orig_makedirs = gd.os.makedirs
+    gd.save_image = lambda *a, **k: None
+    gd.os.makedirs = lambda *a, **k: None
     try:
         yield
     finally:
-        torch.randn_like = orig_randn_like
-        torch.ones = orig_ones
+        if orig_save is not None:
+            gd.save_image = orig_save
+        gd.os.makedirs = orig_makedirs
+
+
+def _run_ref_loop(gd, scheduler, sd, tmodel, x_T, apy_ref, sigma_y,
+                  n_images, ops, cond_fn=None):
+    """Drive the reference's own p_sample/undo jump-schedule loop per image
+    (the reference CLI is batch-1) under zero noise; returns (n, 3, H, W).
+
+    The reference CLI wraps sampling in th.no_grad() even when guided —
+    cond_fn re-enables grad internally (hq_demo/main.py:87-96)."""
+    import torch
+
+    from tests._golden import cpu_as_cuda_and_zero_noise
+
+    refA, refAp = ops
+    ref_imgs = []
+    times = scheduler.get_schedule_jump(**JUMP)
+    with cpu_as_cuda_and_zero_noise(), _silence_ref_io(gd), torch.no_grad():
+        for i in range(n_images):
+            kwargs = {
+                "A": refA, "Ap": refAp, "sigma_y": sigma_y,
+                "Apy": torch.from_numpy(apy_ref[i:i + 1].copy()),
+                "shift_w": 0, "shift_h": 0,
+                "shift_w_total": 1, "shift_h_total": 1,
+                "H_target": RES, "W_target": RES, "x_temp": None,
+                "save_path": "x", "gt": None,
+            }
+            x = torch.from_numpy(x_T[i:i + 1].copy())
+            for t_last, t_cur in zip(times[:-1], times[1:]):
+                tt = torch.tensor([t_last])
+                if t_cur < t_last:
+                    out = sd.p_sample(tmodel, x, tt, cond_fn=cond_fn,
+                                      model_kwargs=kwargs)
+                    x = out["sample"]
+                else:
+                    x = sd.undo(None, x, est_x_0=None, t=tt + 1)
+            ref_imgs.append(x.detach().numpy())
+    return np.concatenate(ref_imgs)
+
+
+def _result(ours, ref_out, x_orig, apy):
+    from tests._golden import psnr01
+
+    to01 = lambda a: np.clip((a + 1) / 2, 0, 1)
+    return {
+        "ours_psnr": round(psnr01(to01(ours), to01(x_orig)), 4),
+        "ref_psnr": round(psnr01(to01(ref_out), to01(x_orig)), 4),
+        "max_abs_diff": float(np.abs(ours - ref_out).max()),
+        "images": {
+            "gt": to01(x_orig),
+            "apy": to01(apy),
+            "ref": to01(ref_out),
+            "ours": to01(ours),
+        },
+    }
+
+
+def _apy_both(op, refA, refAp, x_orig, n_images, deg):
+    """Range-space projection through both operator stacks + equality check
+    (reference side per image — its ops are batch-1 only)."""
+    import jax.numpy as jnp
+    import torch
+
+    gt_t = torch.from_numpy(x_orig.copy())
+    apy_ref = np.concatenate(
+        [refAp(refA(gt_t[i:i + 1])).numpy() for i in range(n_images)])
+    apy_ours = np.transpose(
+        np.asarray(op.Ap(op.A(jnp.asarray(np.transpose(x_orig, (0, 2, 3, 1)))))),
+        (0, 3, 1, 2))
+    np.testing.assert_allclose(apy_ours, apy_ref, atol=2e-5,
+                               err_msg=f"operator mismatch: {deg}")
+    return apy_ours, apy_ref
 
 
 def run_hq_task(deg: str, scale: int, sigma_y: float = 0.0,
                 n_images: int = 2):
     """One hq task through both frameworks (zero noise, shared x_T).
 
-    Returns ours/ref PSNR vs gt, cross-framework max abs diff, and with
-    return arrays for the gallery under "images"."""
+    Returns ours/ref PSNR vs gt, cross-framework max abs diff, and the
+    output arrays for the gallery under "images"."""
     import jax
     import jax.numpy as jnp
     import torch
@@ -161,7 +300,7 @@ def run_hq_task(deg: str, scale: int, sigma_y: float = 0.0,
         sample_posterior,
     )
 
-    from tests._golden import load_eval_images, psnr01, toy_mask
+    from tests._golden import load_eval_images, toy_mask
     from tests._reference import import_hq_reference
 
     gd = import_hq_reference("gaussian_diffusion")
@@ -177,16 +316,7 @@ def run_hq_task(deg: str, scale: int, sigma_y: float = 0.0,
         toy_mask().astype(np.float32)).reshape(1, 1, RES, RES)
     refA, refAp = build_ref_ops(gd, deg, scale, mask_t)
     op = build_our_operator(deg, scale)
-
-    # reference ops are batch-1 only (see build_ref_ops) — apply per image
-    gt_t = torch.from_numpy(x_orig.copy())
-    apy_ref = np.concatenate(
-        [refAp(refA(gt_t[i:i + 1])).numpy() for i in range(n_images)])
-    apy_ours = np.transpose(
-        np.asarray(op.Ap(op.A(jnp.asarray(np.transpose(x_orig, (0, 2, 3, 1)))))),
-        (0, 3, 1, 2))
-    np.testing.assert_allclose(apy_ours, apy_ref, atol=2e-5,
-                               err_msg=f"operator mismatch: {deg}")
+    apy_ours, apy_ref = _apy_both(op, refA, refAp, x_orig, n_images, deg)
 
     # ---- ours ----
     model_fn, params = load_our_model()
@@ -205,65 +335,15 @@ def run_hq_task(deg: str, scale: int, sigma_y: float = 0.0,
     ours = np.transpose(np.asarray(x_fin), (0, 3, 1, 2))
 
     # ---- reference (its own SpacedDiffusion.p_sample / undo loop) ----
-    class _Conf(dict):
-        def __getattr__(self, k):
-            return self.get(k)
-
-    conf = _Conf(respace_interpolate=False, use_value_logger=False)
-    sd = respace.SpacedDiffusion(
-        use_timesteps=respace.space_timesteps(T, RESPACING),
-        conf=conf, betas=betas,
-        model_mean_type=gd.ModelMeanType.EPSILON,
-        model_var_type=gd.ModelVarType.LEARNED_RANGE,
-        loss_type=gd.LossType.MSE,
-        rescale_timesteps=False,
-    )
     ref_model = load_ref_model()
-    orig_save = getattr(gd, "save_image", None)
-    gd.save_image = lambda *a, **k: None
 
     def tmodel(x, ts, **kw):
         return ref_model(x, ts)
 
-    ref_imgs = []
-    try:
-        with zero_noise_torch(), torch.no_grad():
-            times = scheduler.get_schedule_jump(**JUMP)
-            for i in range(n_images):  # batch-1, like the reference CLI
-                kwargs = {
-                    "A": refA, "Ap": refAp, "sigma_y": sigma_y,
-                    "Apy": torch.from_numpy(apy_ref[i:i + 1].copy()),
-                    "shift_w": 0, "shift_h": 0,
-                    "shift_w_total": 1, "shift_h_total": 1,
-                    "H_target": RES, "W_target": RES, "x_temp": None,
-                    "save_path": "x", "gt": None,
-                }
-                x = torch.from_numpy(x_T[i:i + 1].copy())
-                for t_last, t_cur in zip(times[:-1], times[1:]):
-                    tt = torch.tensor([t_last])
-                    if t_cur < t_last:
-                        out = sd.p_sample(tmodel, x, tt, model_kwargs=kwargs)
-                        x = out["sample"]
-                    else:
-                        x = sd.undo(None, x, est_x_0=None, t=tt + 1)
-                ref_imgs.append(x.detach().numpy())
-    finally:
-        if orig_save is not None:
-            gd.save_image = orig_save
-    ref_out = np.concatenate(ref_imgs)
-
-    to01 = lambda a: np.clip((a + 1) / 2, 0, 1)
-    return {
-        "ours_psnr": round(psnr01(to01(ours), to01(x_orig)), 4),
-        "ref_psnr": round(psnr01(to01(ref_out), to01(x_orig)), 4),
-        "max_abs_diff": float(np.abs(ours - ref_out).max()),
-        "images": {
-            "gt": to01(x_orig),
-            "apy": to01(apy_ours),
-            "ref": to01(ref_out),
-            "ours": to01(ours),
-        },
-    }
+    ref_out = _run_ref_loop(gd, scheduler, _spaced(gd, respace, betas),
+                            tmodel, x_T, apy_ref, sigma_y, n_images,
+                            (refA, refAp))
+    return _result(ours, ref_out, x_orig, apy_ours)
 
 
 def run_hq_guided_task(deg: str = "sr_averagepooling", scale: int = 4,
@@ -276,8 +356,6 @@ def run_hq_guided_task(deg: str = "sr_averagepooling", scale: int = 4,
     (jax.grad) inside sample_posterior. Class-pure gt images (GUIDED_CLASS)
     make the guidance signal meaningful, zero noise keeps it
     deterministic."""
-    import sys
-
     import jax
     import jax.numpy as jnp
     import torch
@@ -290,10 +368,9 @@ def run_hq_guided_task(deg: str = "sr_averagepooling", scale: int = 4,
         sample_posterior,
     )
 
-    from tests._golden import psnr01
     from tests._reference import import_hq_reference
 
-    sys.path.insert(0, str(REPO / "tools"))
+    _tools_on_path()
     from train_toy_classifier_golden import make_class_blobs
 
     gd = import_hq_reference("gaussian_diffusion")
@@ -309,12 +386,7 @@ def run_hq_guided_task(deg: str = "sr_averagepooling", scale: int = 4,
 
     refA, refAp = build_ref_ops(gd, deg, scale, None)
     op = build_our_operator(deg, scale)
-    gt_t = torch.from_numpy(x_orig.copy())
-    apy_ref = np.concatenate(
-        [refAp(refA(gt_t[i:i + 1])).numpy() for i in range(n_images)])
-    apy_ours = np.transpose(
-        np.asarray(op.Ap(op.A(jnp.asarray(np.asarray(x_nhwc))))), (0, 3, 1, 2))
-    np.testing.assert_allclose(apy_ours, apy_ref, atol=2e-5)
+    apy_ours, apy_ref = _apy_both(op, refA, refAp, x_orig, n_images, deg)
 
     # ---- ours ----
     model_fn_raw, mparams = load_our_model()
@@ -343,23 +415,8 @@ def run_hq_guided_task(deg: str = "sr_averagepooling", scale: int = 4,
     ours = np.transpose(np.asarray(x_fin), (0, 3, 1, 2))
 
     # ---- reference ----
-    class _Conf(dict):
-        def __getattr__(self, k):
-            return self.get(k)
-
-    conf = _Conf(respace_interpolate=False, use_value_logger=False)
-    sd = respace.SpacedDiffusion(
-        use_timesteps=respace.space_timesteps(T, RESPACING),
-        conf=conf, betas=betas,
-        model_mean_type=gd.ModelMeanType.EPSILON,
-        model_var_type=gd.ModelVarType.LEARNED_RANGE,
-        loss_type=gd.LossType.MSE,
-        rescale_timesteps=False,
-    )
     ref_model = load_ref_model()
     ref_clf = load_ref_classifier()
-    orig_save = getattr(gd, "save_image", None)
-    gd.save_image = lambda *a, **k: None
 
     def cond_fn(x, t, **kw):  # hq_demo/main.py:87-96
         with torch.enable_grad():
@@ -372,79 +429,7 @@ def run_hq_guided_task(deg: str = "sr_averagepooling", scale: int = 4,
     def tmodel(x, ts, **kw):
         return ref_model(x, ts)
 
-    ref_imgs = []
-    try:
-        with zero_noise_torch():
-            times = scheduler.get_schedule_jump(**JUMP)
-            for i in range(n_images):
-                kwargs = {
-                    "A": refA, "Ap": refAp, "sigma_y": 0.0,
-                    "Apy": torch.from_numpy(apy_ref[i:i + 1].copy()),
-                    "shift_w": 0, "shift_h": 0,
-                    "shift_w_total": 1, "shift_h_total": 1,
-                    "H_target": RES, "W_target": RES, "x_temp": None,
-                    "save_path": "x", "gt": None,
-                }
-                x = torch.from_numpy(x_T[i:i + 1].copy())
-                for t_last, t_cur in zip(times[:-1], times[1:]):
-                    tt = torch.tensor([t_last])
-                    if t_cur < t_last:
-                        out = sd.p_sample(tmodel, x, tt, cond_fn=cond_fn,
-                                          model_kwargs=kwargs)
-                        x = out["sample"]
-                    else:
-                        x = sd.undo(None, x, est_x_0=None, t=tt + 1)
-                ref_imgs.append(x.detach().numpy())
-    finally:
-        if orig_save is not None:
-            gd.save_image = orig_save
-    ref_out = np.concatenate(ref_imgs)
-
-    to01 = lambda a: np.clip((a + 1) / 2, 0, 1)
-    return {
-        "ours_psnr": round(psnr01(to01(ours), to01(x_orig)), 4),
-        "ref_psnr": round(psnr01(to01(ref_out), to01(x_orig)), 4),
-        "max_abs_diff": float(np.abs(ours - ref_out).max()),
-        "images": {
-            "gt": to01(x_orig),
-            "apy": to01(apy_ours),
-            "ref": to01(ref_out),
-            "ours": to01(ours),
-        },
-    }
-
-
-def load_our_classifier():
-    """(module, params) for the trained toy classifier via the strict load
-    path."""
-    import sys
-
-    import jax
-    import jax.numpy as jnp
-
-    from ddnm_tpu.data.checkpoints import load_params
-
-    sys.path.insert(0, str(REPO / "tools"))
-    from train_toy_classifier_golden import build_model
-
-    model = build_model()
-    expected = jax.eval_shape(
-        model.init, jax.random.PRNGKey(0),
-        jnp.zeros((1, RES, RES, 3)), jnp.zeros((1,)),
-    )
-    params = load_params(CLF_PT, cache=False, expected=expected)
-    return model, params
-
-
-def load_ref_classifier():
-    import sys
-
-    import torch
-
-    sys.path.insert(0, str(REPO / "tools"))
-    from train_toy_classifier_golden import build_ref_model
-
-    m = build_ref_model()
-    m.load_state_dict(torch.load(CLF_PT, map_location="cpu"))
-    m.eval()
-    return m
+    ref_out = _run_ref_loop(gd, scheduler, _spaced(gd, respace, betas),
+                            tmodel, x_T, apy_ref, 0.0, n_images,
+                            (refA, refAp), cond_fn=cond_fn)
+    return _result(ours, ref_out, x_orig, apy_ours)

@@ -34,8 +34,6 @@ def test_trained_hq_cross_framework_psnr(name, deg, scale, sigma_y):
     r = run_hq_task(deg, scale, sigma_y)
     delta = abs(r["ours_psnr"] - r["ref_psnr"])
     assert delta <= 0.1, f"{name}: ours {r['ours_psnr']} vs ref {r['ref_psnr']}"
-    assert r["max_abs_diff"] < 5e-2, {k: v for k, v in r.items()
-                                      if k != "images"}
 
     # signal floor: gray-ambiguous tasks carry no absolute-PSNR meaning
     floor = 4.0 if deg in ("colorization", "sr_color", "mask_color_sr") else 14.0
@@ -47,3 +45,10 @@ def test_trained_hq_cross_framework_psnr(name, deg, scale, sigma_y):
             assert abs(r["ours_psnr"] - golden[name]["ours_psnr"]) <= 0.1, (
                 f"{name}: drifted from committed golden {golden[name]}"
             )
+            # pixel-level: stay within 10x of the recorded cross-framework
+            # diff (worst committed ~1e-4) — a PSNR-invisible numerics
+            # regression still trips this
+            cap = max(10 * golden[name]["max_abs_diff"], 1e-3)
+            assert r["max_abs_diff"] <= cap, (name, r["max_abs_diff"], cap)
+        else:
+            assert r["max_abs_diff"] < 5e-2

@@ -53,14 +53,22 @@ def main(argv=None):
             run_hq_task,
         )
 
+        n_img = min(ns.images, 2)
+        if n_img != ns.images:
+            print(f"# adm family: clamping --images {ns.images} -> {n_img} "
+                  "(the reference hq ops are batch-1; per-image driving)")
         tasks = list(TASKS_HQ)
-        run = lambda t: (run_hq_guided_task(t[1], t[2],
-                                            n_images=min(ns.images, 2))
+        run = lambda t: (run_hq_guided_task(t[1], t[2], n_images=n_img)
                          if t[0] == "hq_guided_sr"
-                         else run_hq_task(t[1], t[2], t[3],
-                                          n_images=min(ns.images, 2)))
+                         else run_hq_task(t[1], t[2], t[3], n_images=n_img))
         if CLF_PT.exists():
             tasks.append(("hq_guided_sr", "sr_averagepooling", 4, 0.0))
+        elif ns.emit_goldens:
+            raise SystemExit(
+                "refusing --emit-goldens without tests/fixtures/toy_clf32.pt: "
+                "the rewritten goldens would drop the hq_guided_sr row and "
+                "silently disarm test_golden_guided_trained's drift check. "
+                "Train it first (tools/train_toy_classifier_golden.py).")
         out_path = REPO / "tests/fixtures/toy_adm32_psnr.json"
 
     results = {}
