@@ -63,6 +63,9 @@ def parse_args(argv=None):
     p.add_argument("--path-y-imagenet", type=str, default="imagenet")
     p.add_argument("--mask_path", type=str, default=None)
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--t-sampling", type=int, default=None,
+                   help="override time_travel.T_sampling for every run "
+                        "(reduced-protocol validation)")
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--dry-run", action="store_true")
     return p.parse_args(argv)
@@ -96,6 +99,8 @@ def main(argv=None):
             argv_run.append("--add_noise")
         if deg in ("inpainting", "mask_color_sr") and ns.mask_path:
             argv_run += ["--mask_path", ns.mask_path]
+        if ns.t_sampling is not None:
+            argv_run += ["--t_sampling", str(ns.t_sampling)]
         if ckpt:
             argv_run += ["--ckpt", ckpt]
         elif ns.random_init:

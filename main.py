@@ -49,6 +49,9 @@ def parse_args(argv=None):
     p.add_argument("--random_init", action="store_true",
                    help="random weights (smoke/bench; no checkpoint available)")
     p.add_argument("--batch_size", type=int, default=None, help="override config batch size")
+    p.add_argument("--t_sampling", type=int, default=None,
+                   help="override time_travel.T_sampling (reduced-protocol "
+                        "runs, e.g. a fast first real-checkpoint validation)")
     p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--mask_path", type=str, default=None)
     p.add_argument("--manifest", type=str, default=None, help="imagenet manifest txt")
@@ -109,6 +112,8 @@ def main(argv=None):
     if not cfg_path.exists():
         cfg_path = REPO_ROOT / "configs" / ns.config
     config = load_config(cfg_path)
+    if ns.t_sampling is not None:
+        config.time_travel.T_sampling = ns.t_sampling
 
     args = RunArgs(
         config=str(cfg_path),

@@ -156,6 +156,35 @@ def test_hq_cli_bf16_resident_params(tmp_path):
     assert np.isfinite(out["final"]).all()
 
 
+def test_cli_t_sampling_override(tmp_path, monkeypatch):
+    """--t_sampling overrides time_travel.T_sampling (reduced-protocol
+    validation runs): the runner samples exactly that many steps."""
+    import main as cli
+    from ddnm_tpu.data.io import save_image
+
+    rng = np.random.default_rng(9)
+    src = tmp_path / "in"
+    save_image(rng.uniform(size=(64, 64, 3)).astype(np.float32),
+               src / "0.png")
+
+    seen = {}
+    from ddnm_tpu import runner as runner_mod
+
+    orig = runner_mod.Runner.__init__
+
+    def spy(self, args, config):
+        seen["t"] = config.time_travel.T_sampling
+        return orig(self, args, config)
+
+    monkeypatch.setattr(runner_mod.Runner, "__init__", spy)
+    cli.main([
+        "--config", "configs/smoke.yml", "--deg", "colorization",
+        "--simplified", "--random_init", "--path_y", str(src),
+        "-i", str(tmp_path / "out"), "--ni", "--t_sampling", "2",
+    ])
+    assert seen["t"] == 2
+
+
 def test_hq_cli_path_y_wins_over_conf_eval_dataset(tmp_path):
     """An explicit --path_y means single-image mode even when the conf
     declares a data.eval dataset (configs/hq/face256.yml does): the sweep

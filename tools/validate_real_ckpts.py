@@ -101,6 +101,9 @@ def _avg_psnr_from_outputs(out_dir: Path) -> float | None:
 
 
 def main(argv=None):
+    from ddnm_tpu.utils import apply_platform_env
+
+    apply_platform_env()  # honour JAX_PLATFORMS before any backend init
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt-celeba", type=str, default=None)
     ap.add_argument("--ckpt-imagenet", type=str, default=None)
@@ -111,6 +114,10 @@ def main(argv=None):
     ap.add_argument("--images", type=int, default=2,
                     help="images per task (the full protocol uses the whole "
                          "fixture set; keep small for a first validation)")
+    ap.add_argument("--t-sampling", type=int, default=None,
+                    help="override T_sampling on BOTH sides for a fast "
+                         "first validation (e.g. 10); omit for the full "
+                         "100-step protocol")
     ap.add_argument("--exp", type=str, default="exp")
     ap.add_argument("--workdir", type=str, default="/tmp/validate_real")
     ap.add_argument("--out", type=str, default="BASELINE_real.md")
@@ -156,6 +163,8 @@ def main(argv=None):
     eval_args += ["--datasets", ",".join(datasets)]
     if ns.tasks:
         eval_args += ["--tasks", ns.tasks]
+    if ns.t_sampling is not None:
+        eval_args += ["--t-sampling", str(ns.t_sampling)]
     ours = evaluation.main(eval_args)
     for name, stats in ours.items():
         report["tasks"].setdefault(name, {})["ours_psnr"] = (
@@ -190,7 +199,10 @@ def main(argv=None):
             keys = [t.strip() for t in ns.tasks.split(",")]
             sel = [r for r in sel if any(k in r[0] for k in keys)]
         for name, config, deg, scale, sigma_y, simplified, add_noise in sel:
-            cfg_path = write_config(exp, config, {"data.num_workers": 0})
+            overrides = {"data.num_workers": 0}
+            if ns.t_sampling is not None:
+                overrides["time_travel.T_sampling"] = ns.t_sampling
+            cfg_path = write_config(exp, config, overrides)
             path_y = "celeba_hq" if name.startswith("celeba") else "imagenet"
             out_dir = run_reference_main(
                 exp, cfg_path, deg=deg, deg_scale=scale, sigma_y=sigma_y,
