@@ -52,7 +52,13 @@ from ddnm_tpu.sampling.posterior import PosteriorTables, sample_posterior
 
 logger = logging.getLogger("ddnm_tpu")
 
-__all__ = ["Tile", "tile_grid", "build_hq_operators", "mask_shift_sample"]
+__all__ = [
+    "Tile",
+    "tile_grid",
+    "build_hq_operators",
+    "mask_shift_sample",
+    "batched_tile_sample",
+]
 
 TILE = 256
 STRIDE = 128
@@ -161,6 +167,125 @@ def build_hq_operators(
     else:
         raise NotImplementedError(f"hq degradation {deg} not supported")
     return op, a_temp
+
+
+def batched_tile_sample(
+    model_fn,
+    gts: np.ndarray,
+    deg: str,
+    tables: PosteriorTables,
+    keys: list,
+    *,
+    scale: int = 4,
+    resize_y: bool = False,
+    masks: Optional[list] = None,
+    guidance_fn=None,
+    params=None,
+    noise_fn=None,
+    encoder_cache: int = 1,
+    encode_fn=None,
+    decode_fn=None,
+) -> dict:
+    """Batch B single-tile (256x256) restorations into ONE sampler call.
+
+    The hq dataset sweep (face256-style inpainting,
+    hq_demo/conf_mgt/conf_base.py:60-106) restores many independent 256x256
+    canvases — each a single Mask-Shift tile, which the per-image path runs
+    at sampler batch 1, squarely on the TPU's (8, 128) sublane-padding
+    cliff (docs/PERFORMANCE.md: the ADM-552M posterior step costs 34.5 ms
+    at batch 1 vs 15.8 ms/image at batch 8). This routine batches B images
+    into one posterior-sampler call instead.
+
+    Bit-identical per image to B separate `mask_shift_sample` calls on
+    256x256 canvases: `keys[i]` (the per-image run key, e.g.
+    `fold_in(key, idx)`) is split exactly like mask_shift_sample's per-tile
+    split, each image's init noise comes from its own k_init, and the
+    sampler draws per-example noise from the stacked k_samp key batch
+    (sampling/rng.py) — so grouping changes throughput only, never values
+    (tested in tests/test_posterior_tiling.py).
+
+    `masks[i]`: per-image (H, W[, 1]) keep-mask for the mask tasks; rides
+    into the sampler as the runtime operator context (op_ctx), so every
+    image in the batch can have a different mask under one executable.
+
+    Raises ValueError when the task/geometry is not single-tile (canvas
+    larger than 256, e.g. via `resize_y`): callers should fall back to
+    `mask_shift_sample` per image.
+    """
+    gts = jnp.asarray(gts, jnp.float32)
+    if gts.ndim == 3:
+        gts = gts[None]
+    n = int(gts.shape[0])
+    if len(keys) != n:
+        raise ValueError(f"need one key per image: {len(keys)} keys, {n} images")
+    if TILE % scale != 0:
+        raise ValueError("SR scale must divide 256")
+    if resize_y:
+        gts = mean_upsample(gts, scale)
+    if tuple(gts.shape[1:3]) != (TILE, TILE):
+        raise ValueError(
+            f"batched_tile_sample needs single-tile {TILE}x{TILE} canvases, "
+            f"got {tuple(gts.shape[1:3])} — use mask_shift_sample per image"
+        )
+    if encoder_cache > 1 and (encode_fn is None or decode_fn is None):
+        raise ValueError("encoder_cache > 1 requires encode_fn and decode_fn")
+
+    needs_mask = deg in ("inpainting", "mask_color_sr")
+    if needs_mask:
+        if masks is None or len(masks) != n:
+            raise ValueError(f"{deg} needs one mask per image")
+        ctx_b = jnp.stack([as_mask(m) for m in masks])  # (B, H, W, 1)
+        op, _ = build_hq_operators(
+            deg, scale=scale, gt_shape=(TILE, TILE), mask=masks[0]
+        )
+        # per-image measurement through the context form (the baked A/Ap
+        # closures hold image 0's mask; the ctx form is the batched truth)
+        y = op.A_ctx(gts, ctx_b)
+        apy = op.Ap_ctx(y, ctx_b)
+    else:
+        ctx_b = None
+        op, a_temp = build_hq_operators(deg, scale=scale, gt_shape=(TILE, TILE))
+        y = a_temp(gts)
+        apy = op.Ap(y)
+
+    # per-image RNG: EXACTLY mask_shift_sample's per-tile derivation
+    # (key, k_init, k_samp = split(key, 3)), so image i's streams match its
+    # sequential single-canvas run bit-for-bit
+    inits, samp_keys = [], []
+    for k in keys:
+        _, k_init, k_samp = jax.random.split(k, 3)
+        inits.append(
+            jax.random.normal(k_init, (1, TILE, TILE, 3), dtype=jnp.float32)
+        )
+        samp_keys.append(k_samp)
+    x_init_b = jnp.concatenate(inits)
+    keys_b = jnp.stack(samp_keys)
+
+    # zero paste (single tiles have no solved neighbours) — passed
+    # explicitly so the executable matches mask_shift_sample's step
+    paste_mask = jnp.zeros((n, TILE, TILE, 1), jnp.float32)
+    paste_content = jnp.zeros_like(gts)
+    noise_kw = {"noise_fn": noise_fn} if noise_fn is not None else {}
+    if encoder_cache > 1:
+        from ddnm_tpu.sampling.accel import sample_posterior_encoder_prop
+
+        _, x0_b = sample_posterior_encoder_prop(
+            encode_fn, decode_fn, x_init_b, apy, op, tables, keys_b,
+            interval=encoder_cache, paste_mask=paste_mask,
+            paste_content=paste_content, guidance_fn=guidance_fn,
+            params=params, op_ctx=ctx_b, **noise_kw,
+        )
+    else:
+        _, x0_b = sample_posterior(
+            model_fn, x_init_b, apy, op, tables, keys_b,
+            paste_mask=paste_mask, paste_content=paste_content,
+            guidance_fn=guidance_fn, params=params, op_ctx=ctx_b, **noise_kw,
+        )
+    return {
+        "final": np.asarray(x0_b),
+        "apy": np.asarray(apy),
+        "y": np.asarray(y),
+    }
 
 
 def mask_shift_sample(

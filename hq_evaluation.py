@@ -54,6 +54,9 @@ def main(argv=None):
                         "(default: the conf's data.eval entry)")
     p.add_argument("--face_masks", type=str, default=None)
     p.add_argument("--max_len", type=int, default=None)
+    p.add_argument("--sweep_batch", type=int, default=1,
+                   help="batch this many face-sweep images per sampler call "
+                        "(hq_main --sweep_batch; single-tile canvases only)")
     ns = p.parse_args(argv)
 
     import hq_main as hq
@@ -74,6 +77,8 @@ def main(argv=None):
                          "--mask_path_dir", ns.face_masks]
         if ns.max_len is not None:
             argv_run += ["--max_len", str(ns.max_len)]
+        if ns.sweep_batch > 1:
+            argv_run += ["--sweep_batch", str(ns.sweep_batch)]
         if ns.ckpt:
             argv_run += ["--ckpt", ns.ckpt]
         elif ns.random_init:

@@ -49,6 +49,11 @@ def parse_args(argv=None):
                         "filename")
     p.add_argument("--max_len", type=int, default=None,
                    help="cap the number of gt/mask pairs in sweep mode")
+    p.add_argument("--sweep_batch", type=int, default=1,
+                   help="batch this many sweep images into one sampler call "
+                        "(single-tile 256px canvases only; bit-identical "
+                        "per image to the sequential sweep — see "
+                        "ddnm_tpu/tiling.py batched_tile_sample)")
     p.add_argument("--seed", type=int, default=1234)
     # TPU-native extras
     p.add_argument("--ckpt", type=str, default=None)
@@ -340,24 +345,59 @@ def main(argv=None):
         }
         for p in tree.values():
             p.mkdir(parents=True, exist_ok=True)
-        psnrs = []
-        for idx, item in enumerate(pairs):
-            name = item["GT_name"]
-            gt = item["GT"][None]
-            mask = item["gt_keep_mask"][..., 0]  # (H, W): as_mask convention
-            run_key = jax.random.fold_in(key, idx)
-            out = run_one(gt, mask, run_key, out_dir / "tiles" / Path(name).stem,
-                          base_salt + (name,))
-            final01 = to01(out["final"][0])
-            gt01 = to01(gt[0])
+        def write_outputs(idx, name, gt, mask, final, apy):
+            final01 = to01(final)
+            gt01 = to01(gt)
             save_image(final01, tree["srs"] / name)
-            save_image(to01(out["apy"][0]), tree["lrs"] / name)  # gt_masked
+            save_image(to01(apy), tree["lrs"] / name)  # gt_masked
             save_image(gt01, tree["gts"] / name)
             save_image(mask, tree["gt_keep_masks"] / name)
             mse = float(np.mean((final01 - gt01) ** 2))
-            psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
-            psnrs.append(psnr)
-            logger.info("[%d/%d] %s PSNR %.2f", idx + 1, len(pairs), name, psnr)
+            p = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+            psnrs.append(p)
+            logger.info("[%d/%d] %s PSNR %.2f", idx + 1, len(pairs), name, p)
+
+        sweep_batch = max(1, int(ns.sweep_batch))
+        pair_size = int(eval_ds.get("image_size") or size)
+        if sweep_batch > 1 and (ns.resize_y or pair_size != 256
+                                or mesh is not None or ns.resume):
+            logger.warning(
+                "--sweep_batch needs single-tile 256px canvases, no "
+                "--dp/--sp mesh and no --resume — falling back to the "
+                "per-image sweep")
+            sweep_batch = 1
+
+        psnrs = []
+        if sweep_batch > 1:
+            from ddnm_tpu.tiling import batched_tile_sample
+
+            items = list(pairs)
+            for c0 in range(0, len(items), sweep_batch):
+                chunk = items[c0 : c0 + sweep_batch]
+                gts = np.stack([it["GT"] for it in chunk])
+                masks = [it["gt_keep_mask"][..., 0] for it in chunk]
+                run_keys = [jax.random.fold_in(key, c0 + i)
+                            for i in range(len(chunk))]
+                out = batched_tile_sample(
+                    model_fn, gts, ns.deg, tables, run_keys,
+                    scale=ns.scale, masks=masks, guidance_fn=guidance_fn,
+                    params=run_params, encoder_cache=ns.encoder_cache,
+                    encode_fn=encode_fn, decode_fn=decode_fn,
+                )
+                for i, it in enumerate(chunk):
+                    write_outputs(c0 + i, it["GT_name"], it["GT"], masks[i],
+                                  out["final"][i], out["apy"][i])
+        else:
+            for idx, item in enumerate(pairs):
+                name = item["GT_name"]
+                gt = item["GT"][None]
+                mask = item["gt_keep_mask"][..., 0]  # (H, W): as_mask convention
+                run_key = jax.random.fold_in(key, idx)
+                out = run_one(gt, mask, run_key,
+                              out_dir / "tiles" / Path(name).stem,
+                              base_salt + (name,))
+                write_outputs(idx, name, gt[0], mask,
+                              out["final"][0], out["apy"][0])
         logger.info("sweep done: %d pairs, avg PSNR %.2f",
                     len(psnrs), float(np.mean(psnrs)))
         return {"psnr": psnrs, "tree": tree}

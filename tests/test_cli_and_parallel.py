@@ -253,6 +253,41 @@ def test_hq_cli_dataset_sweep(tmp_path):
     assert np.abs(lrs[120:140, 120:140]).max() <= 140.0  # hole ~ mid-gray/dark
 
 
+def test_hq_cli_sweep_batch_matches_sequential(tmp_path):
+    """--sweep_batch batches single-tile sweep images into one sampler call
+    (tiling.batched_tile_sample); the written srs outputs must be identical
+    to the sequential per-image sweep (per-image RNG streams)."""
+    import hq_main as hq
+    from ddnm_tpu.data.io import save_image
+
+    rng = np.random.default_rng(13)
+    gt_dir, mask_dir = tmp_path / "gts", tmp_path / "masks"
+    for name in ("a.png", "b.png", "c.png"):
+        save_image(rng.uniform(size=(256, 256, 3)).astype(np.float32),
+                   gt_dir / name)
+        m = np.ones((256, 256), np.float32)
+        m[96:160, 96:160] = 0.0
+        save_image(m, mask_dir / name)
+
+    common = [
+        "--config", "configs/hq/smoke.yml", "--deg", "inpainting",
+        "--gt_path", str(gt_dir), "--mask_path_dir", str(mask_dir),
+        "--random_init",
+    ]
+    out_seq = hq.main(common + ["-i", str(tmp_path / "seq")])
+    out_bat = hq.main(common + ["-i", str(tmp_path / "bat"),
+                                "--sweep_batch", "2"])  # 2 + remainder 1
+    np.testing.assert_allclose(out_bat["psnr"], out_seq["psnr"], atol=0.01)
+    from PIL import Image
+
+    for name in ("a.png", "b.png", "c.png"):
+        seq_png = np.asarray(Image.open(tmp_path / "seq" / "srs" / name))
+        bat_png = np.asarray(Image.open(tmp_path / "bat" / "srs" / name))
+        # identical 8-bit outputs modulo at most off-by-one quantisation of
+        # fp32 fusion-order differences between the two batch shapes
+        assert np.abs(seq_png.astype(int) - bat_png.astype(int)).max() <= 1
+
+
 def test_hq_cli_encoder_cache_smoke(tmp_path):
     """hq_main with --encoder_cache 2: posterior encoder-propagation accel
     through the Mask-Shift pipeline (sampling/accel.py)."""

@@ -1051,6 +1051,71 @@ def test_mask_shift_canvas_mask_multitile(deg):
     np.testing.assert_allclose(out["final"], canvas, atol=2e-5)
 
 
+@pytest.mark.parametrize("deg", ["inpainting", "sr_averagepooling"])
+def test_batched_tile_sample_matches_per_image(deg):
+    """--sweep_batch path (tiling.batched_tile_sample): B single-tile
+    canvases batched into ONE sampler call match B separate
+    mask_shift_sample runs per image — under STOCHASTIC noise, because
+    every image keeps its own k_init/k_samp streams (sampling/rng.py key
+    batches), and with per-image masks riding as op_ctx for the mask
+    tasks."""
+    from ddnm_tpu.tiling import batched_tile_sample
+
+    rng = np.random.default_rng(11)
+    n = 3
+    gts = rng.uniform(-1, 1, (n, 256, 256, 3)).astype(np.float32)
+    masks = []
+    for i in range(n):
+        m = np.ones((256, 256), np.float32)
+        m[32 * i : 32 * i + 64, 64:128] = 0.0  # a different hole per image
+        masks.append(m)
+    tables = build_posterior_tables(
+        betas=sch.named_beta_schedule("linear", 100, use_scale=True),
+        timestep_respacing="4", sigma_y=0.0,
+        schedule_jump_params=dict(t_T=4, n_sample=1, jump_length=2,
+                                  jump_n_sample=2),
+    )
+    toy = _toy_model_jax()
+    key = jax.random.PRNGKey(5)
+    keys = [jax.random.fold_in(key, i) for i in range(n)]
+
+    kw = dict(scale=4)
+    if deg == "inpainting":
+        kw["masks"] = masks
+    batched = batched_tile_sample(toy, gts, deg, tables, keys, **kw)
+    assert batched["final"].shape == (n, 256, 256, 3)
+
+    for i in range(n):
+        kw1 = dict(scale=4)
+        if deg == "inpainting":
+            kw1["mask"] = masks[i]
+        single = mask_shift_sample(
+            toy, gts[i][None], deg, tables, keys[i], **kw1
+        )
+        np.testing.assert_allclose(
+            batched["final"][i], single["final"][0], atol=2e-6
+        )
+        np.testing.assert_allclose(
+            batched["apy"][i], single["apy"][0], atol=1e-6
+        )
+
+
+def test_batched_tile_sample_rejects_multitile():
+    """Non-single-tile geometry must raise (callers fall back per image)."""
+    from ddnm_tpu.tiling import batched_tile_sample
+
+    tables = build_posterior_tables(
+        betas=sch.named_beta_schedule("linear", 100, use_scale=True),
+        timestep_respacing="2", sigma_y=0.0,
+        schedule_jump_params=dict(t_T=2, n_sample=1, jump_length=1,
+                                  jump_n_sample=1),
+    )
+    gt = np.zeros((1, 384, 384, 3), np.float32)
+    with pytest.raises(ValueError, match="single-tile"):
+        batched_tile_sample(_toy_model_jax(), gt, "sr_averagepooling",
+                            tables, [jax.random.PRNGKey(0)])
+
+
 def test_mask_shape_mismatch_raises():
     with pytest.raises(ValueError, match="mask shape"):
         from ddnm_tpu.tiling import build_hq_operators

@@ -9,6 +9,9 @@ Measures images/sec/chip for:
     (~380 model calls — the hq_demo per-tile workload)
   - hq_tile_enc3: same tile with encoder-propagation at interval 3
     (sampling/accel.py, opt-in approximate accel)
+  - hq_sweep_b8: 8 single-tile sweep images batched into one sampler call
+    (tiling.batched_tile_sample, the hq_main --sweep_batch path) — compare
+    its img/s against hq_tile's to see the sweep-batching win
 
 Prints one JSON line per workload. All on the DDPM UNet (114M, bf16 torso)
 except hq_tile which uses a learn-sigma variant head.
@@ -32,7 +35,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description="extended DDNM benchmarks")
     ap.add_argument("--workloads", type=str, default=None,
                     help="comma-separated filter: simplified_sr4, svd_deblur, "
-                         "svd_cs_wh, hq_tile, hq_tile_enc3")
+                         "svd_cs_wh, hq_tile, hq_tile_enc3, hq_sweep_b8")
     ns = ap.parse_args(argv)
     want = set(ns.workloads.split(",")) if ns.workloads else None
 
@@ -110,7 +113,8 @@ def main(argv=None):
         eps = model.apply(p, xx, tt)
         return jnp.concatenate([eps, jnp.zeros_like(eps)], axis=-1)
 
-    if not (wanted("hq_tile") or wanted("hq_tile_enc3")):
+    if not (wanted("hq_tile") or wanted("hq_tile_enc3")
+            or wanted("hq_sweep_b8")):
         for k, v in results.items():
             print(json.dumps({"metric": k, "value": round(float(v), 4), "unit": "img/s"}))
         return
@@ -150,6 +154,27 @@ def main(argv=None):
             ),
             n_runs=3, items_per_run=1,
         )
+
+    if wanted("hq_sweep_b8"):
+        import numpy as np
+
+        from ddnm_tpu.tiling import batched_tile_sample
+
+        masks = []
+        for i in range(BATCH):
+            m = np.ones((RES, RES), np.float32)
+            m[(16 * i) : (16 * i) + 96, 80:176] = 0.0
+            masks.append(m)
+
+        def sweep(k):
+            out = batched_tile_sample(
+                model6_fn, x, "inpainting", tables,
+                [jax.random.fold_in(k, i) for i in range(BATCH)],
+                masks=masks, params=params,
+            )
+            return (out["final"],)
+
+        results["hq_sweep_b8"] = timeit(sweep, n_runs=3, items_per_run=BATCH)
 
     for k, v in results.items():
         unit = "img/s" if k != "hq_tile_model_calls" else "calls"
