@@ -181,6 +181,7 @@ def batched_tile_sample(
     masks: Optional[list] = None,
     guidance_fn=None,
     params=None,
+    mesh=None,
     noise_fn=None,
     encoder_cache: int = 1,
     encode_fn=None,
@@ -207,6 +208,11 @@ def batched_tile_sample(
     `masks[i]`: per-image (H, W[, 1]) keep-mask for the mask tasks; rides
     into the sampler as the runtime operator context (op_ctx), so every
     image in the batch can have a different mask under one executable.
+
+    `mesh`: optional jax.sharding.Mesh — the image batch shards over the
+    data axis (params must already be replicated by the caller), scaling
+    the sweep linearly across chips; a 2-D ("data", "spatial") mesh
+    additionally shards each image's rows (parallel/spatial.py).
 
     Raises ValueError when the task/geometry is not single-tile (canvas
     larger than 256, e.g. via `resize_y`): callers should fall back to
@@ -265,6 +271,14 @@ def batched_tile_sample(
     # explicitly so the executable matches mask_shift_sample's step
     paste_mask = jnp.zeros((n, TILE, TILE, 1), jnp.float32)
     paste_content = jnp.zeros_like(gts)
+    if mesh is not None:
+        from ddnm_tpu.parallel import shard_tiles
+
+        x_init_b, apy, paste_mask, paste_content = shard_tiles(
+            mesh, (x_init_b, apy, paste_mask, paste_content)
+        )
+        if ctx_b is not None:
+            ctx_b = shard_tiles(mesh, ctx_b)
     noise_kw = {"noise_fn": noise_fn} if noise_fn is not None else {}
     if encoder_cache > 1:
         from ddnm_tpu.sampling.accel import sample_posterior_encoder_prop

@@ -359,12 +359,10 @@ def main(argv=None):
 
         sweep_batch = max(1, int(ns.sweep_batch))
         pair_size = int(eval_ds.get("image_size") or size)
-        if sweep_batch > 1 and (ns.resize_y or pair_size != 256
-                                or mesh is not None or ns.resume):
+        if sweep_batch > 1 and (ns.resize_y or pair_size != 256 or ns.resume):
             logger.warning(
-                "--sweep_batch needs single-tile 256px canvases, no "
-                "--dp/--sp mesh and no --resume — falling back to the "
-                "per-image sweep")
+                "--sweep_batch needs single-tile 256px canvases and no "
+                "--resume — falling back to the per-image sweep")
             sweep_batch = 1
 
         psnrs = []
@@ -381,7 +379,8 @@ def main(argv=None):
                 out = batched_tile_sample(
                     model_fn, gts, ns.deg, tables, run_keys,
                     scale=ns.scale, masks=masks, guidance_fn=guidance_fn,
-                    params=run_params, encoder_cache=ns.encoder_cache,
+                    params=run_params, mesh=mesh,
+                    encoder_cache=ns.encoder_cache,
                     encode_fn=encode_fn, decode_fn=decode_fn,
                 )
                 for i, it in enumerate(chunk):

@@ -1100,6 +1100,37 @@ def test_batched_tile_sample_matches_per_image(deg):
         )
 
 
+def test_batched_tile_sample_sharded_matches_unsharded():
+    """--sweep_batch over a device mesh: batch over "data", rows over
+    "spatial" — same outputs as the unsharded batched sweep."""
+    from ddnm_tpu.parallel import make_mesh_2d, replicate
+    from ddnm_tpu.tiling import batched_tile_sample
+
+    rng = np.random.default_rng(12)
+    n = 4
+    gts = rng.uniform(-1, 1, (n, 256, 256, 3)).astype(np.float32)
+    masks = []
+    for i in range(n):
+        m = np.ones((256, 256), np.float32)
+        m[64:192, 16 * i : 16 * i + 64] = 0.0
+        masks.append(m)
+    tables = build_posterior_tables(
+        betas=sch.named_beta_schedule("linear", 100, use_scale=True),
+        timestep_respacing="3", sigma_y=0.0,
+        schedule_jump_params=dict(t_T=3, n_sample=1, jump_length=1,
+                                  jump_n_sample=1),
+    )
+    toy = _toy_model_jax()
+    keys = [jax.random.fold_in(jax.random.PRNGKey(9), i) for i in range(n)]
+
+    plain = batched_tile_sample(toy, gts, "inpainting", tables, keys,
+                                masks=masks)
+    mesh = make_mesh_2d(2, 2)
+    sharded = batched_tile_sample(toy, gts, "inpainting", tables, keys,
+                                  masks=masks, mesh=mesh)
+    np.testing.assert_allclose(sharded["final"], plain["final"], atol=2e-5)
+
+
 def test_batched_tile_sample_rejects_multitile():
     """Non-single-tile geometry must raise (callers fall back per image)."""
     from ddnm_tpu.tiling import batched_tile_sample
