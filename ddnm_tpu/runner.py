@@ -47,6 +47,13 @@ __all__ = ["RunArgs", "Runner"]
 GUIDED_CLASS = 951
 
 
+def _add_noise_per_image(keys, y, sigma: float, noise_type: str):
+    """add_noise with one key per batch element (runner per-image streams)."""
+    if sigma <= 0.0:
+        return y
+    return jax.vmap(lambda k, yi: add_noise(k, yi, sigma, noise_type))(keys, y)
+
+
 @dataclasses.dataclass
 class RunArgs:
     """CLI-facing arguments (superset of the reference's main.py:19-90)."""
@@ -357,14 +364,31 @@ class Runner:
                 idx_so_far += valid
                 continue
             x_orig = data_transform(jnp.asarray(imgs), rescaled=cfg.data.rescaled)
-            key, k_init, k_noise, k_samp = jax.random.split(key, 4)
+            # Per-image RNG streams keyed by GLOBAL dataset index: every
+            # image's init/measurement-noise/sampling draws depend only on
+            # (seed, index), so outputs are invariant to --batch_size,
+            # --resume history, host count and mesh shape. This matches the
+            # reference's semantics more closely than a per-batch stream:
+            # the reference runs batch 1 (diffusion.py:308-309), i.e. an
+            # independent randn stream per image. Samplers consume the
+            # stacked k_samp as a per-example key batch (sampling/rng.py).
+            img_keys = jnp.stack([
+                jax.random.fold_in(key, idx_so_far + i)
+                for i in range(len(imgs))
+            ])
+            ks = jax.vmap(lambda k: jax.random.split(k, 3))(img_keys)
+            k_init, k_noise, k_samp = ks[:, 0], ks[:, 1], ks[:, 2]
+            x_init = jax.vmap(
+                lambda k: jax.random.normal(k, (size, size, 3))
+            )(k_init)
 
             if args.simplified:
                 y = operator.A(x_orig)
                 if args.add_noise:
-                    y = add_noise(k_noise, y, sigma_y, args.noise_type)
+                    y = _add_noise_per_image(
+                        k_noise, y, sigma_y, args.noise_type
+                    )
                 apy = operator.Ap(y)
-                x_init = jax.random.normal(k_init, (len(imgs), size, size, 3))
                 if mesh is not None:
                     x_init, y = shard_batch(mesh, (x_init, y))
                 if args.encoder_cache > 1:
@@ -383,9 +407,10 @@ class Runner:
                 x_vec = jnp.transpose(x_orig, (0, 3, 1, 2)).reshape(len(imgs), -1)
                 y = operator.A(x_vec)
                 if args.add_noise:
-                    y = add_noise(k_noise, y, sigma_y, args.noise_type)
+                    y = _add_noise_per_image(
+                        k_noise, y, sigma_y, args.noise_type
+                    )
                 apy = self._apy_visualisation(operator, y, len(imgs))
-                x_init = jax.random.normal(k_init, (len(imgs), size, size, 3))
                 if mesh is not None:
                     x_init, y = shard_batch(mesh, (x_init, y))
                 x, _ = sample_svd(

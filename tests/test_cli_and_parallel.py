@@ -344,6 +344,59 @@ def test_cli_resume_skips_existing(tmp_path):
 
 
 @pytest.mark.skipif(not FIXTURES.exists(), reason="reference fixtures unavailable")
+def test_cli_batch_size_invariance(tmp_path):
+    """Per-image RNG streams (global-index fold_in keys in the runner):
+    outputs are identical whatever --batch_size groups the images into —
+    each image's init noise and sampling stream depend only on
+    (seed, dataset index)."""
+    import main as cli
+    from PIL import Image
+
+    common = [
+        "--config", "configs/smoke.yml",
+        "--path_y", str(FIXTURES),
+        "--deg", "sr_averagepooling", "--deg_scale", "4",
+        "--simplified", "--random_init", "--ni",
+        "--max_images", "4",
+    ]
+    cli.main(common + ["-i", str(tmp_path / "b2"), "--batch_size", "2"])
+    cli.main(common + ["-i", str(tmp_path / "b4"), "--batch_size", "4"])
+    for i in range(4):
+        a = np.asarray(Image.open(tmp_path / "b2" / f"{i}_0.png"), int)
+        b = np.asarray(Image.open(tmp_path / "b4" / f"{i}_0.png"), int)
+        # same streams; <=1 count of 8-bit quantisation on fp32
+        # fusion-order differences between the two batch shapes
+        assert np.abs(a - b).max() <= 1, f"image {i} differs across batch size"
+
+
+@pytest.mark.skipif(not FIXTURES.exists(), reason="reference fixtures unavailable")
+def test_cli_resume_completes_missing_identically(tmp_path):
+    """--resume after a partial run produces the SAME outputs for the
+    remaining images as the uninterrupted run (per-image keys are
+    history-independent)."""
+    import main as cli
+    from PIL import Image
+
+    common = [
+        "--config", "configs/smoke.yml",
+        "--path_y", str(FIXTURES),
+        "--deg", "sr_averagepooling", "--deg_scale", "4",
+        "--simplified", "--random_init", "--ni",
+        "--max_images", "4", "--batch_size", "2",
+    ]
+    cli.main(common + ["-i", str(tmp_path / "full")])
+    # partial run: only the first batch done, then "interrupted"
+    cli.main(common[:-4] + ["--max_images", "2", "--batch_size", "2",
+                            "-i", str(tmp_path / "part")])
+    s = cli.main(common + ["-i", str(tmp_path / "part"), "--resume"])
+    assert s["num_samples"] == 2  # only images 2..3 were sampled
+    for i in range(4):
+        a = np.asarray(Image.open(tmp_path / "full" / f"{i}_0.png"), int)
+        b = np.asarray(Image.open(tmp_path / "part" / f"{i}_0.png"), int)
+        assert np.abs(a - b).max() <= 1, f"image {i} differs after resume"
+
+
+@pytest.mark.skipif(not FIXTURES.exists(), reason="reference fixtures unavailable")
 def test_cli_encoder_cache_smoke(tmp_path):
     import main as cli
 
