@@ -345,6 +345,8 @@ def main(argv=None):
         }
         for p in tree.values():
             p.mkdir(parents=True, exist_ok=True)
+        from ddnm_tpu.data.metrics import ssim as _ssim
+
         def write_outputs(idx, name, gt, mask, final, apy):
             final01 = to01(final)
             gt01 = to01(gt)
@@ -354,8 +356,11 @@ def main(argv=None):
             save_image(mask, tree["gt_keep_masks"] / name)
             mse = float(np.mean((final01 - gt01) ** 2))
             p = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+            s = float(_ssim(final01[None], gt01[None])[0])
             psnrs.append(p)
-            logger.info("[%d/%d] %s PSNR %.2f", idx + 1, len(pairs), name, p)
+            ssims.append(s)
+            logger.info("[%d/%d] %s PSNR %.2f SSIM %.3f",
+                        idx + 1, len(pairs), name, p, s)
 
         sweep_batch = max(1, int(ns.sweep_batch))
         pair_size = int(eval_ds.get("image_size") or size)
@@ -365,7 +370,7 @@ def main(argv=None):
                 "--resume — falling back to the per-image sweep")
             sweep_batch = 1
 
-        psnrs = []
+        psnrs, ssims = [], []
         if sweep_batch > 1:
             from ddnm_tpu.tiling import batched_tile_sample
 
@@ -397,9 +402,9 @@ def main(argv=None):
                               base_salt + (name,))
                 write_outputs(idx, name, gt[0], mask,
                               out["final"][0], out["apy"][0])
-        logger.info("sweep done: %d pairs, avg PSNR %.2f",
-                    len(psnrs), float(np.mean(psnrs)))
-        return {"psnr": psnrs, "tree": tree}
+        logger.info("sweep done: %d pairs, avg PSNR %.2f, avg SSIM %.3f",
+                    len(psnrs), float(np.mean(psnrs)), float(np.mean(ssims)))
+        return {"psnr": psnrs, "ssim": ssims, "tree": tree}
 
     # --- single-image mode ----------------------------------------------
     if ns.path_y is None:
