@@ -1,0 +1,395 @@
+"""Online micro-batching inference server for DDNM restoration.
+
+The reference has no serving story — its entry points are batch evaluation
+jobs (main.py, hq_demo/main.py). Production TPU serving wants the opposite
+shape: a resident process with ONE compiled executable per (task, batch)
+signature, incoming requests coalesced into fixed-size batches (static
+shapes — the serving binary never retraces), padding lanes masked out, and
+per-request deterministic RNG so a request's output does not depend on
+which batch it happened to ride in.
+
+Two pieces:
+
+  - `RestorationService` — the device side. Owns model params, the DDNM
+    schedule, a preconfigured set of degradation operators, and a fixed
+    serving batch size. `restore()` pads any <= max_batch group up to the
+    compiled size and derives every request's RNG stream by folding its
+    sequence number into a base key, so outputs are bit-identical whether
+    a request runs alone or coalesced (same property the batch runner
+    uses, ddnm_tpu/sampling/rng.py).
+
+  - `RestorationServer` — a stdlib ThreadingHTTPServer front.
+    Handler threads decode PNGs and enqueue; ONE worker thread drains the
+    queue (micro-batching with a max-wait deadline) and drives the device
+    — the single-TPU-process discipline the backend requires.
+    `POST /restore?deg=<task>[&input=degraded|gt]` with a PNG body returns
+    the restored PNG; `GET /healthz` returns JSON stats.
+
+Requests carry the *degraded observation* y by default (what a restoration
+service actually receives); `input=gt` instead applies the task's A to the
+uploaded image first — the reference CLI's evaluation semantics
+(guided_diffusion/diffusion.py:306).
+
+This is the online complement of `ddnm_tpu.serving` (offline `jax.export`
+artifacts): the exported step artifact and this service run the same
+sampler; deployments that cannot ship Python use the artifact, deployments
+that can get micro-batching here.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Mapping, Optional, Sequence
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ddnm_tpu.data.transforms import data_transform, inverse_data_transform
+from ddnm_tpu.operators.functional import FunctionalOperator
+from ddnm_tpu.sampling import DDNMSchedule, sample_simplified
+
+__all__ = ["RestorationService", "RestorationServer", "ServiceStats"]
+
+_MAX_BODY = 32 << 20  # 32 MB request cap
+
+
+@dataclass
+class ServiceStats:
+    requests: int = 0
+    batches: int = 0
+    batched_requests: int = 0  # requests that rode a >1-request batch
+    errors: int = 0
+
+    def as_dict(self) -> dict:
+        d = dict(self.__dict__)
+        d["mean_batch"] = self.requests / self.batches if self.batches else 0.0
+        return d
+
+
+class RestorationService:
+    """Device-side restoration: fixed-shape, padded, per-request RNG.
+
+    model_fn(params, x, t) -> epsilon, NHWC; `operators` maps task strings
+    to `FunctionalOperator`s (all at this service's `image_size`). Each
+    distinct task compiles one executable at batch `max_batch` on first
+    use (warm them at startup via `warmup()`).
+    """
+
+    def __init__(
+        self,
+        model_fn: Callable,
+        params,
+        sched: DDNMSchedule,
+        operators: Mapping[str, FunctionalOperator],
+        *,
+        image_size: int,
+        max_batch: int = 8,
+        eta: float = 0.85,
+        sigma_y: float = 0.0,
+        base_seed: int = 1234,
+    ):
+        self._model_fn = model_fn
+        self._params = params
+        self._sched = sched
+        self._operators = dict(operators)
+        self.image_size = int(image_size)
+        self.max_batch = int(max_batch)
+        self._eta = float(eta)
+        self._sigma_y = float(sigma_y)
+        self._base_key = jax.random.PRNGKey(base_seed)
+        # Expected y shape per task (shape inference only — no device work).
+        img = jax.ShapeDtypeStruct(
+            (1, self.image_size, self.image_size, 3), jnp.float32
+        )
+        self._y_shapes = {
+            name: jax.eval_shape(op.A, img).shape[1:]
+            for name, op in self._operators.items()
+        }
+
+    @property
+    def tasks(self) -> tuple:
+        return tuple(sorted(self._operators))
+
+    def y_shape(self, deg: str) -> tuple:
+        """(h, w, c) the degraded observation must have for task `deg`."""
+        return self._y_shapes[deg]
+
+    def restore(
+        self,
+        images: np.ndarray,
+        deg: str,
+        seqs: Sequence[int],
+        *,
+        input_kind: str = "degraded",
+    ) -> np.ndarray:
+        """Restore a group of <= max_batch requests for one task.
+
+        images: (B, h, w, c) float32 in [0, 1] — the degraded observations
+        (input_kind="degraded", default) or ground-truth images to degrade
+        first (input_kind="gt"). seqs: one monotone sequence number per
+        request (the RNG identity). Returns (B, H, W, 3) float32 in [0, 1].
+        """
+        op = self._operators.get(deg)
+        if op is None:
+            raise KeyError(f"unknown task {deg!r}; serving {self.tasks}")
+        b = int(images.shape[0])
+        if not 1 <= b <= self.max_batch:
+            raise ValueError(f"group size {b} not in [1, {self.max_batch}]")
+        if len(seqs) != b:
+            raise ValueError("one sequence number per image required")
+
+        x_in = jnp.asarray(images, jnp.float32)
+        if input_kind == "gt":
+            expected = (self.image_size, self.image_size, 3)
+            if x_in.shape[1:] != expected:
+                raise ValueError(
+                    f"gt input must be {expected}, got {tuple(x_in.shape[1:])}"
+                )
+            y = op.A(data_transform(x_in))
+        elif input_kind == "degraded":
+            if x_in.shape[1:] != self._y_shapes[deg]:
+                raise ValueError(
+                    f"degraded input for {deg!r} must be "
+                    f"{self._y_shapes[deg]}, got {tuple(x_in.shape[1:])}"
+                )
+            y = data_transform(x_in)
+        else:
+            raise ValueError(f"input_kind must be 'degraded' or 'gt', got {input_kind!r}")
+
+        # Pad to the compiled batch size. Pad lanes replicate lane 0 and get
+        # dummy RNG identities; per-image key streams keep real lanes
+        # bit-identical across any grouping (sampling/rng.py).
+        pad = self.max_batch - b
+        if pad:
+            y = jnp.concatenate([y, jnp.repeat(y[:1], pad, axis=0)], axis=0)
+        seq_arr = jnp.asarray(list(seqs) + [0] * pad, jnp.uint32)
+        keys = jax.vmap(lambda s: jax.random.fold_in(self._base_key, s))(seq_arr)
+        init_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
+        noise_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
+        hw = (self.image_size, self.image_size, 3)
+        x_init = jax.vmap(lambda k: jax.random.normal(k, hw, jnp.float32))(init_keys)
+
+        x, _ = sample_simplified(
+            self._model_fn, x_init, y, op, self._sched, noise_keys,
+            eta=self._eta, sigma_y=self._sigma_y, params=self._params,
+        )
+        out = inverse_data_transform(x[:b])
+        return np.asarray(jax.device_get(out), np.float32)
+
+    def warmup(self) -> None:
+        """Compile every task's executable before taking traffic."""
+        zero = np.zeros((1, self.image_size, self.image_size, 3), np.float32)
+        for deg in self.tasks:
+            self.restore(zero, deg, [0], input_kind="gt")
+
+
+@dataclass
+class _Request:
+    image: np.ndarray
+    deg: str
+    input_kind: str
+    seq: int
+    event: threading.Event = field(default_factory=threading.Event)
+    result: Optional[np.ndarray] = None
+    error: Optional[str] = None
+    batch_size: int = 1
+
+
+class RestorationServer:
+    """HTTP front: micro-batching queue over a RestorationService."""
+
+    def __init__(
+        self,
+        service: RestorationService,
+        *,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_wait_ms: float = 20.0,
+        queue_size: int = 64,
+    ):
+        self.service = service
+        self.stats = ServiceStats()
+        self._queue: queue.Queue[_Request] = queue.Queue(maxsize=queue_size)
+        self._held: Optional[_Request] = None  # task-mismatched leftover
+        self._max_wait = max_wait_ms / 1000.0
+        self._seq_lock = threading.Lock()
+        self._seq = 0
+        self._running = False
+        handler = _make_handler(self)
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self._httpd.daemon_threads = True
+        self._worker: Optional[threading.Thread] = None
+        self._server_thread: Optional[threading.Thread] = None
+
+    @property
+    def address(self) -> tuple:
+        return self._httpd.server_address
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def start(self) -> None:
+        self._running = True
+        self._worker = threading.Thread(target=self._worker_loop, daemon=True)
+        self._worker.start()
+        self._server_thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._server_thread.start()
+
+    def stop(self) -> None:
+        self._running = False
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._worker is not None:
+            self._worker.join(timeout=10)
+
+    # -- request path -------------------------------------------------------
+
+    def submit(self, image: np.ndarray, deg: str, input_kind: str) -> _Request:
+        with self._seq_lock:
+            seq = self._seq
+            self._seq += 1
+        req = _Request(image=image, deg=deg, input_kind=input_kind, seq=seq)
+        self._queue.put_nowait(req)  # raises queue.Full -> 503 upstream
+        return req
+
+    def _collect(self, first: _Request) -> list:
+        """Coalesce up to max_batch same-(task, input_kind) requests,
+        waiting at most max_wait for stragglers. A mismatched request is
+        held for the next group rather than reordered."""
+        group = [first]
+        deadline = time.monotonic() + self._max_wait
+        while len(group) < self.service.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt.deg == first.deg and nxt.input_kind == first.input_kind:
+                group.append(nxt)
+            else:
+                self._held = nxt
+                break
+        return group
+
+    def _worker_loop(self) -> None:
+        while self._running:
+            if self._held is not None:
+                first, self._held = self._held, None
+            else:
+                try:
+                    first = self._queue.get(timeout=0.1)
+                except queue.Empty:
+                    continue
+            group = self._collect(first)
+            try:
+                images = np.stack([r.image for r in group])
+                out = self.service.restore(
+                    images, first.deg, [r.seq for r in group],
+                    input_kind=first.input_kind,
+                )
+                for i, r in enumerate(group):
+                    r.result = out[i]
+                    r.batch_size = len(group)
+            except Exception as exc:  # propagate per-request
+                for r in group:
+                    r.error = f"{type(exc).__name__}: {exc}"
+                self.stats.errors += len(group)
+            finally:
+                self.stats.batches += 1
+                self.stats.requests += len(group)
+                if len(group) > 1:
+                    self.stats.batched_requests += len(group)
+                for r in group:
+                    r.event.set()
+
+
+def _make_handler(server: RestorationServer):
+    from PIL import Image
+
+    class Handler(BaseHTTPRequestHandler):
+        # quiet by default; the service is the log surface
+        def log_message(self, fmt, *args):
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str, extra=()):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            for k, v in extra:
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, code: int, obj: dict):
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                self._send_json(200, {
+                    "status": "ok",
+                    "tasks": list(server.service.tasks),
+                    "image_size": server.service.image_size,
+                    "max_batch": server.service.max_batch,
+                    **server.stats.as_dict(),
+                })
+            else:
+                self._send_json(404, {"error": f"no route {path}"})
+
+        def do_POST(self):
+            parsed = urlparse(self.path)
+            if parsed.path != "/restore":
+                self._send_json(404, {"error": f"no route {parsed.path}"})
+                return
+            q = parse_qs(parsed.query)
+            deg = q.get("deg", [""])[0]
+            input_kind = q.get("input", ["degraded"])[0]
+            if deg not in server.service.tasks:
+                self._send_json(
+                    400, {"error": f"unknown deg {deg!r}",
+                          "tasks": list(server.service.tasks)})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                if not 0 < length <= _MAX_BODY:
+                    self._send_json(413, {"error": "bad content length"})
+                    return
+                raw = self.rfile.read(length)
+                img = Image.open(io.BytesIO(raw)).convert("RGB")
+                arr = np.asarray(img, np.float32) / 255.0
+            except Exception as exc:
+                self._send_json(400, {"error": f"bad image: {exc}"})
+                return
+            try:
+                req = server.submit(arr, deg, input_kind)
+            except queue.Full:
+                self._send_json(503, {"error": "queue full"})
+                return
+            if not req.event.wait(timeout=600):
+                self._send_json(504, {"error": "restoration timed out"})
+                return
+            if req.error is not None:
+                self._send_json(400, {"error": req.error})
+                return
+            out = np.clip(req.result * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(out).save(buf, format="PNG")
+            self._send(
+                200, buf.getvalue(), "image/png",
+                extra=[("X-Seq", str(req.seq)),
+                       ("X-Batch-Size", str(req.batch_size))],
+            )
+
+    return Handler

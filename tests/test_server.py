@@ -1,0 +1,192 @@
+"""Online serving: micro-batching HTTP server (ddnm_tpu/server.py).
+
+The key serving invariant is batch-composition independence: a request's
+output must be bit-identical whether it runs alone, padded, or coalesced
+with strangers — guaranteed by per-request RNG streams (sampling/rng.py)
+plus fixed compiled batch shapes. The reference has no serving surface to
+compare against; these are self-consistency and protocol tests.
+"""
+
+from __future__ import annotations
+
+import io
+import threading
+import urllib.request
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ddnm_tpu import schedules
+from ddnm_tpu.models.unet_ddpm import DDPMUNet
+from ddnm_tpu.operators import build_functional_operator
+from ddnm_tpu.sampling import build_schedule
+from ddnm_tpu.server import RestorationServer, RestorationService
+
+RES = 32
+
+
+@pytest.fixture(scope="module")
+def service():
+    model = DDPMUNet(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                     attn_resolutions=(16,), resolution=RES)
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((1, RES, RES, 3))
+    params = model.init(rng, x0, jnp.zeros((1,)))
+    betas = schedules.get_beta_schedule(
+        "linear", beta_start=1e-4, beta_end=0.02, num_diffusion_timesteps=100
+    )
+    sched = build_schedule(betas=betas, t_sampling=3)
+    ops = {
+        "sr_averagepooling": build_functional_operator(
+            "sr_averagepooling", image_size=RES, deg_scale=4),
+        "colorization": build_functional_operator(
+            "colorization", image_size=RES),
+    }
+    return RestorationService(
+        lambda p, x, t: model.apply(p, x, t), params, sched, ops,
+        image_size=RES, max_batch=4,
+    )
+
+
+def _gt_images(n, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(0.2, 0.8, size=(n, RES, RES, 3)).astype(np.float32)
+
+
+def test_batch_composition_invariance(service):
+    """Alone vs coalesced vs padded: same seq -> bitwise-same output."""
+    gts = _gt_images(3)
+    together = service.restore(gts, "sr_averagepooling", [10, 11, 12],
+                               input_kind="gt")
+    alone = service.restore(gts[1:2], "sr_averagepooling", [11],
+                            input_kind="gt")
+    np.testing.assert_array_equal(together[1], alone[0])
+    # different seq -> different stream
+    other = service.restore(gts[1:2], "sr_averagepooling", [99],
+                            input_kind="gt")
+    assert not np.array_equal(other[0], alone[0])
+
+
+def test_degraded_equals_gt_path(service):
+    """Sending A(gt) as the degraded observation reproduces the gt path
+    (for tasks whose A commutes with the [0,1]<->[-1,1] affine map)."""
+    gts = _gt_images(2, seed=9)
+    via_gt = service.restore(gts, "sr_averagepooling", [3, 4], input_kind="gt")
+    y01 = gts.reshape(2, RES // 4, 4, RES // 4, 4, 3).mean(axis=(2, 4))
+    via_y = service.restore(y01.astype(np.float32), "sr_averagepooling",
+                            [3, 4], input_kind="degraded")
+    np.testing.assert_allclose(via_y, via_gt, atol=1e-6)
+
+
+def test_restore_validates(service):
+    gts = _gt_images(1)
+    with pytest.raises(KeyError):
+        service.restore(gts, "deblur_gauss", [0], input_kind="gt")
+    with pytest.raises(ValueError):
+        service.restore(gts, "sr_averagepooling", [0],
+                        input_kind="degraded")  # wrong y shape
+    with pytest.raises(ValueError):
+        service.restore(np.repeat(gts, 5, axis=0), "sr_averagepooling",
+                        list(range(5)), input_kind="gt")  # > max_batch
+    assert service.y_shape("sr_averagepooling") == (RES // 4, RES // 4, 3)
+    assert service.y_shape("colorization") == (RES, RES, 3)
+
+
+def _png_bytes(img01):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    arr = np.clip(img01 * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _post(url, body):
+    req = urllib.request.Request(
+        url, data=body, headers={"Content-Type": "image/png"})
+    try:
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            return resp.status, resp.read(), dict(resp.headers)
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), dict(e.headers)
+
+
+def test_http_roundtrip_and_health(service):
+    server = RestorationServer(service, max_wait_ms=200.0)
+    server.start()
+    host, port = server.address
+    base = f"http://{host}:{port}"
+    try:
+        gts = _gt_images(2, seed=3)
+        bodies = [_png_bytes(g) for g in gts]
+        results = {}
+
+        def call(i):
+            results[i] = _post(f"{base}/restore?deg=sr_averagepooling&input=gt",
+                               bodies[i])
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        from PIL import Image
+
+        for i in range(2):
+            status, body, headers = results[i]
+            assert status == 200, body
+            out = Image.open(io.BytesIO(body))
+            assert out.size == (RES, RES)
+            assert "X-Batch-Size" in headers
+        # health + stats
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as resp:
+            health = resp.read()
+        import json
+
+        h = json.loads(health)
+        assert h["status"] == "ok"
+        assert h["requests"] == 2 and h["batches"] >= 1
+        assert set(h["tasks"]) == {"sr_averagepooling", "colorization"}
+        # bad task -> 400
+        status, body, _ = _post(f"{base}/restore?deg=nope", bodies[0])
+        assert status == 400
+        # degraded-mode shape mismatch -> per-request error, not a crash
+        status, body, _ = _post(
+            f"{base}/restore?deg=sr_averagepooling", bodies[0])
+        assert status == 400 and b"degraded input" in body
+    finally:
+        server.stop()
+
+
+def test_serve_cli_build_service(tmp_path):
+    """serve.py assembles a service from main.py-style config flags."""
+    import serve
+
+    ns = serve.parse_args([
+        "--config", "configs/smoke.yml", "--random_init",
+        "--degs", "sr_averagepooling,denoising", "--max_batch", "2",
+        "--t_sampling", "2",
+    ])
+    svc = serve.build_service(ns)
+    assert svc.tasks == ("denoising", "sr_averagepooling")
+    assert svc.image_size == 64 and svc.max_batch == 2
+    imgs = np.random.default_rng(0).uniform(
+        0.2, 0.8, size=(2, 64, 64, 3)).astype(np.float32)
+    out = svc.restore(imgs, "denoising", [0, 1], input_kind="gt")
+    assert out.shape == (2, 64, 64, 3)
+
+
+def test_collect_coalesces_same_task(service):
+    """The batcher groups same-task requests and holds a mismatch back."""
+    server = RestorationServer(service, max_wait_ms=50.0)
+    # do NOT start the worker: drive _collect directly for determinism
+    reqs = [server.submit(_gt_images(1)[0], "sr_averagepooling", "gt")
+            for _ in range(3)]
+    other = server.submit(_gt_images(1)[0], "colorization", "gt")
+    first = server._queue.get()
+    group = server._collect(first)
+    assert [r.seq for r in group] == [reqs[0].seq, reqs[1].seq, reqs[2].seq]
+    assert server._held is other
+    server._httpd.server_close()
