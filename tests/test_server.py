@@ -160,6 +160,35 @@ def test_http_roundtrip_and_health(service):
         server.stop()
 
 
+def test_http_concurrent_load(service):
+    """16 concurrent clients on a max_batch-4 service: all served, batched."""
+    server = RestorationServer(service, max_wait_ms=100.0, queue_size=32)
+    server.start()
+    host, port = server.address
+    url = f"http://{host}:{port}/restore?deg=sr_averagepooling&input=gt"
+    try:
+        gts = _gt_images(16, seed=21)
+        bodies = [_png_bytes(g) for g in gts]
+        results = {}
+
+        def call(i):
+            results[i] = _post(url, bodies[i])
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(results[i][0] == 200 for i in range(16))
+        assert server.stats.requests == 16 and server.stats.errors == 0
+        # with 16 simultaneous clients and a 100 ms window, coalescing
+        # must actually happen (max_batch=4 -> at least a few multi-batches)
+        assert server.stats.batches < 16
+        assert server.stats.batched_requests > 0
+    finally:
+        server.stop()
+
+
 def test_serve_cli_build_service(tmp_path):
     """serve.py assembles a service from main.py-style config flags."""
     import serve

@@ -1,0 +1,95 @@
+"""Online-serving throughput on the real chip (flagship workload).
+
+Measures the end-to-end HTTP serving path of serve.py on the bench.py
+flagship workload (CelebA-class DDPM UNet bf16, 256px, 100-step simplified
+DDNM+ 4x SR): N concurrent clients each POST a 64px degraded PNG and wait
+for the restored 256px PNG. Reports wall img/s and the realized batch
+statistics, to compare with bench.py's offline batch number (the serving
+path adds PNG codec + HTTP + coalescing overhead; the sampler executable
+is the same).
+
+Run on an idle TPU (one process at a time):
+  python tools/experiments/serve_load_tpu.py [n_requests] [max_wait_ms]
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import sys
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[2]
+sys.path.insert(0, str(REPO))
+
+
+def main(n_requests: int = 64, max_wait_ms: float = 300.0):
+    from PIL import Image
+
+    import serve
+    from ddnm_tpu.server import RestorationServer
+    from ddnm_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    ns = serve.parse_args([
+        "--config", str(REPO / "configs/celeba_hq.yml"), "--random_init",
+        "--dtype", "bfloat16", "--degs", "sr_averagepooling",
+        "--max_batch", "8", "--max_wait_ms", str(max_wait_ms),
+    ])
+    service = serve.build_service(ns)
+    print("warming up ...", flush=True)
+    t0 = time.time()
+    service.warmup()
+    print(f"warmup {time.time() - t0:.1f}s", flush=True)
+
+    server = RestorationServer(service, max_wait_ms=max_wait_ms)
+    server.start()
+    host, port = server.address
+    url = f"http://{host}:{port}/restore?deg=sr_averagepooling"
+
+    rng = np.random.default_rng(0)
+    bodies = []
+    for _ in range(n_requests):
+        y = (rng.uniform(0.1, 0.9, (64, 64, 3)) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(y).save(buf, format="PNG")
+        bodies.append(buf.getvalue())
+
+    import urllib.request
+
+    status = [None] * n_requests
+
+    def post(i):
+        req = urllib.request.Request(
+            url, data=bodies[i], headers={"Content-Type": "image/png"})
+        with urllib.request.urlopen(req, timeout=1200) as r:
+            r.read()
+            status[i] = r.status
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(n_requests)]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.time() - t0
+    server.stop()
+    ok = sum(1 for s in status if s == 200)
+    print(json.dumps({
+        "requests": n_requests,
+        "ok": ok,
+        "wall_s": round(wall, 2),
+        "img_per_sec": round(n_requests / wall, 3),
+        "batches": server.stats.batches,
+        "mean_batch": round(server.stats.requests / max(server.stats.batches, 1), 2),
+    }))
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    w = float(sys.argv[2]) if len(sys.argv) > 2 else 300.0
+    main(n, w)
