@@ -82,6 +82,11 @@ class RestorationService:
     to `FunctionalOperator`s (all at this service's `image_size`). Each
     distinct task compiles one executable at batch `max_batch` on first
     use (warm them at startup via `warmup()`).
+
+    `mesh` (a 1-D jax.sharding.Mesh from `parallel.make_mesh`) serves the
+    batch sharded across chips: params replicate, the request batch splits
+    over the data axis — multi-chip serving with zero hot-loop collectives
+    (DDNM is batch-elementwise, so sharded outputs are bitwise-identical).
     """
 
     def __init__(
@@ -96,8 +101,19 @@ class RestorationService:
         eta: float = 0.85,
         sigma_y: float = 0.0,
         base_seed: int = 1234,
+        mesh=None,
     ):
         self._model_fn = model_fn
+        self._mesh = mesh
+        if mesh is not None:
+            from ddnm_tpu.parallel import replicate
+
+            if max_batch % mesh.size != 0:
+                raise ValueError(
+                    f"max_batch {max_batch} must divide over the "
+                    f"{mesh.size}-device mesh"
+                )
+            params = replicate(mesh, params)
         self._params = params
         self._sched = sched
         self._operators = dict(operators)
@@ -178,6 +194,12 @@ class RestorationService:
         hw = (self.image_size, self.image_size, 3)
         x_init = jax.vmap(lambda k: jax.random.normal(k, hw, jnp.float32))(init_keys)
 
+        if self._mesh is not None:
+            from ddnm_tpu.parallel import shard_batch
+
+            x_init, y, noise_keys = shard_batch(
+                self._mesh, (x_init, y, noise_keys)
+            )
         x, _ = sample_simplified(
             self._model_fn, x_init, y, op, self._sched, noise_keys,
             eta=self._eta, sigma_y=self._sigma_y, params=self._params,

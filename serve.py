@@ -49,6 +49,9 @@ def parse_args(argv=None):
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--t_sampling", type=int, default=None)
+    p.add_argument("--dp", type=int, default=1,
+                   help="shard each served batch over this many chips "
+                        "(1-D data mesh; max_batch must divide by it)")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max_batch", type=int, default=8)
@@ -93,10 +96,15 @@ def build_service(ns):
             deg, image_size=size, deg_scale=ns.deg_scale,
             mask=mask if needs_mask else None,
         )
+    mesh = None
+    if getattr(ns, "dp", 1) > 1:
+        from ddnm_tpu.parallel import make_mesh
+
+        mesh = make_mesh(ns.dp)
     return RestorationService(
         model_fn, run_params, runner.sched, operators,
         image_size=size, max_batch=ns.max_batch, eta=ns.eta,
-        sigma_y=ns.sigma_y, base_seed=ns.seed,
+        sigma_y=ns.sigma_y, base_seed=ns.seed, mesh=mesh,
     )
 
 

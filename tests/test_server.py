@@ -160,6 +160,37 @@ def test_http_roundtrip_and_health(service):
         server.stop()
 
 
+def test_mesh_sharded_service_matches(service):
+    """A mesh-sharded service returns bitwise-identical restorations."""
+    from ddnm_tpu.parallel import make_mesh
+
+    assert len(jax.devices()) >= 8
+    model = DDPMUNet(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                     attn_resolutions=(16,), resolution=RES)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.zeros((1, RES, RES, 3)), jnp.zeros((1,)))
+    betas = schedules.get_beta_schedule(
+        "linear", beta_start=1e-4, beta_end=0.02, num_diffusion_timesteps=100
+    )
+    sched = build_schedule(betas=betas, t_sampling=3)
+    ops = {"sr_averagepooling": build_functional_operator(
+        "sr_averagepooling", image_size=RES, deg_scale=4)}
+    mk = lambda mesh: RestorationService(
+        lambda p, x, t: model.apply(p, x, t), params, sched, ops,
+        image_size=RES, max_batch=8, mesh=mesh)
+    plain, sharded = mk(None), mk(make_mesh(8))
+    gts = _gt_images(5, seed=13)
+    seqs = [20, 21, 22, 23, 24]
+    np.testing.assert_array_equal(
+        sharded.restore(gts, "sr_averagepooling", seqs, input_kind="gt"),
+        plain.restore(gts, "sr_averagepooling", seqs, input_kind="gt"),
+    )
+    with pytest.raises(ValueError):
+        mk_bad = RestorationService(
+            lambda p, x, t: model.apply(p, x, t), params, sched, ops,
+            image_size=RES, max_batch=6, mesh=make_mesh(8))
+
+
 def test_http_concurrent_load(service):
     """16 concurrent clients on a max_batch-4 service: all served, batched."""
     server = RestorationServer(service, max_wait_ms=100.0, queue_size=32)
