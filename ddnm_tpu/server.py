@@ -273,6 +273,17 @@ class RestorationServer:
         self._httpd.server_close()
         if self._worker is not None:
             self._worker.join(timeout=10)
+        # fail anything still queued so waiting handlers return immediately
+        pending = [] if self._held is None else [self._held]
+        self._held = None
+        while True:
+            try:
+                pending.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        for r in pending:
+            r.error = "server shutting down"
+            r.event.set()
 
     # -- request path -------------------------------------------------------
 
