@@ -85,6 +85,10 @@ class RunArgs:
     resume: bool = False  # skip images whose output PNG already exists
     loop: str = "auto"  # sampler loop driver: auto | scan | host
     encoder_cache: int = 1  # >1: approximate encoder-propagation accel
+    # key-step placement for --encoder_cache: "uniform" (every k-th call)
+    # or "end_dense" (same budget, exact tail — measured to hold exact
+    # quality at much deeper budgets, see docs/PERFORMANCE.md)
+    encoder_cache_policy: str = "uniform"
 
 
 class Runner:
@@ -178,6 +182,22 @@ class Runner:
         if cparams is not None:
             run_params["classifier"] = cparams
         return model_fn, guidance_fn, run_params
+
+    def _encoder_key_steps(self):
+        """key_steps for --encoder_cache_policy (None = uniform interval)."""
+        policy = self.args.encoder_cache_policy
+        if policy in (None, "uniform"):
+            return None
+        if policy != "end_dense":
+            raise ValueError(
+                f"encoder_cache_policy must be 'uniform' or 'end_dense', "
+                f"got {policy!r}"
+            )
+        from ddnm_tpu.sampling.accel import key_steps_end_dense
+
+        n_calls = int(np.sum(~np.asarray(self.sched.is_travel, bool)))
+        n_keys = -(-n_calls // self.args.encoder_cache)
+        return key_steps_end_dense(n_calls, n_keys)
 
     def _split_fns(self):
         """(encode_fn, decode_fn) for --encoder_cache, built once per run
@@ -395,7 +415,9 @@ class Runner:
                     x, _ = sample_simplified_encoder_prop(
                         *self._split_fns(), x_init, y, operator,
                         self.sched, k_samp, eta=args.eta, sigma_y=sigma_y,
-                        interval=args.encoder_cache, params=self._params,
+                        interval=args.encoder_cache,
+                        key_steps=self._encoder_key_steps(),
+                        params=self._params,
                     )
                 else:
                     x, _ = sample_simplified(

@@ -20,6 +20,19 @@ interval 3 (2.41 -> 2.69 img/s). Modest because this UNet is decoder-heavy
 channels, so the skipped encoder is only ~1/3 of FLOPs); the technique
 pays more on encoder-heavy text-to-image UNets, which is the paper's
 setting.
+
+Key-step placement: by default the cache refreshes every `interval`-th
+model call (uniform — the obvious baseline). `key_steps` instead pins the
+full forwards to explicit model-call indices; `measure_feature_drift` +
+`select_key_steps` calibrate that set from the ACTUAL encoder-feature
+drift of one exact trajectory (the paper selects key timesteps from
+observed feature dynamics, Sec. 3.2) — refreshes then concentrate where
+the features genuinely move. A schedule-only proxy (refresh by |Δᾱ|
+drift) was tried and measured CATASTROPHICALLY bad on the trained-toy
+harness (-49 dB: ᾱ barely moves at the high-noise end of the trajectory
+exactly where x_t moves most), which is why calibration uses measured
+drift, not the noise schedule. Results in docs/PERFORMANCE.md;
+tools/experiments/encoder_cache_policies.py reproduces.
 """
 
 from __future__ import annotations
@@ -43,7 +56,123 @@ __all__ = [
     "sample_posterior_encoder_prop",
     "ddpm_split_fns",
     "adm_split_fns",
+    "measure_feature_drift",
+    "select_key_steps",
+    "key_steps_end_dense",
 ]
+
+
+def key_steps_end_dense(n_calls: int, n_keys: int, exact_tail=None) -> list:
+    """End-weighted key schedule: run the LAST `exact_tail` model calls
+    exact (full forwards) and spread the remaining budget uniformly over
+    the head. Default exact_tail = n_keys // 2.
+
+    Rationale (measured, tools/experiments/encoder_cache_policies.py): on
+    a trained DDPM the cached-encoder error is benign at the high-noise
+    start of the trajectory but fatal near the end where the image forms —
+    the binding constraints are an exact tail and a bounded head gap, not
+    uniform spacing and not encoder-feature drift. On the trained-toy
+    harness this schedule holds EXACT-sampler PSNR at 25/100 full
+    forwards, where uniform k=2 (50/100) already loses 3 dB and k=3 loses
+    20 dB. Validate per checkpoint; the cliff below the critical budget is
+    sharp."""
+    if not 1 <= n_keys <= n_calls:
+        raise ValueError(f"n_keys must be in [1, {n_calls}], got {n_keys}")
+    if exact_tail is None:
+        exact_tail = n_keys // 2
+    exact_tail = int(min(exact_tail, n_keys - 1, n_calls - 1))
+    tail = list(range(n_calls - exact_tail, n_calls))
+    head_budget = n_keys - exact_tail
+    head = np.linspace(0, n_calls - exact_tail - 1, head_budget).astype(int)
+    return sorted(set([0]) | set(int(i) for i in head) | set(tail))
+
+
+def _make_key_pred(interval: int, key_steps):
+    """`is_key(segment_call, global_call) -> bool`.
+
+    Default: uniform — every `interval`-th call since the segment start (a
+    segment restarts after each time-travel jump). With `key_steps`, a set
+    of GLOBAL model-call indices pins the full forwards instead (jump
+    invalidation still forces a full step at each segment start).
+    interval == 1 is always-full (the exactness contract)."""
+    if key_steps is not None:
+        keys = frozenset(int(k) for k in key_steps)
+        return lambda seg_call, glob_call: glob_call in keys
+    if interval == 1:
+        return lambda seg_call, glob_call: True
+    return lambda seg_call, glob_call: seg_call % interval == 0
+
+
+def measure_feature_drift(encode_fn, decode_fn, x_init, y, operator, sched,
+                          key, *, eta: float = 0.85, sigma_y: float = 0.0,
+                          noise_fn=_default_noise, params=None) -> np.ndarray:
+    """Per-model-call encoder-feature drift of one EXACT trajectory.
+
+    Runs the full sampler (every step a full forward) and returns
+    drift[i] = mean relative change of the encoder bottleneck between
+    model call i-1 and i (drift[0] = 0). This is the paper's observable:
+    where drift is small, caching is safe. Calibrate once per
+    (checkpoint, task, schedule) on a representative batch, then pass
+    `select_key_steps(drift, n_keys)` to the sampler."""
+    abar = np.asarray(sched.alpha_bar)
+    x, x0_pred = x_init, jnp.zeros_like(x_init)
+    prev = None
+    drifts = []
+    for t_i, t_j, travel in zip(sched.t_cur, sched.t_next, sched.is_travel):
+        at = float(abar[int(t_i) + 1])
+        at_next = float(abar[int(t_j) + 1])
+        if bool(travel):
+            x, key = _travel(noise_fn, x0_pred, key, at_next)
+            continue
+        x, x0_pred, cache, key = _key_step(
+            encode_fn, decode_fn, operator, eta, sigma_y, noise_fn,
+            params, x, y, key, float(t_i), at, at_next,
+        )
+        h = np.asarray(cache[0], np.float32).ravel()
+        if prev is None:
+            drifts.append(0.0)
+        else:
+            denom = float(np.linalg.norm(prev)) or 1.0
+            drifts.append(float(np.linalg.norm(h - prev)) / denom)
+        prev = h
+    return np.asarray(drifts, np.float64)
+
+
+def select_key_steps(drift: np.ndarray, n_keys: int) -> list:
+    """Pick `n_keys` global model-call indices for `key_steps` from a
+    measured drift profile: walk the trajectory accumulating drift and
+    start a new cache window whenever the accumulated drift exceeds an
+    equal-budget threshold (bisected so the number of windows is exactly
+    `n_keys`). Step 0 is always a key step."""
+    drift = np.asarray(drift, np.float64)
+    n = len(drift)
+    if not 1 <= n_keys <= n:
+        raise ValueError(f"n_keys must be in [1, {n}], got {n_keys}")
+
+    def windows(thr):
+        keys, acc = [0], 0.0
+        for i in range(1, n):
+            acc += drift[i]
+            if acc > thr:
+                keys.append(i)
+                acc = 0.0
+        return keys
+
+    lo, hi = 0.0, float(drift.sum()) + 1.0
+    for _ in range(80):
+        mid = (lo + hi) / 2
+        if len(windows(mid)) > n_keys:
+            lo = mid
+        else:
+            hi = mid
+    keys = windows(hi)
+    # bisection can land under budget on plateaus; fill with the largest
+    # remaining single-step drifts
+    if len(keys) < n_keys:
+        have = set(keys)
+        extra = [i for i in np.argsort(-drift) if i not in have]
+        keys = sorted(have | set(int(i) for i in extra[: n_keys - len(keys)]))
+    return [int(k) for k in keys]
 
 
 def _ddpm_encode(mdl, x, t):
@@ -147,6 +276,7 @@ def sample_simplified_encoder_prop(
     eta: float = 0.85,
     sigma_y: float = 0.0,
     interval: int = 3,
+    key_steps=None,
     noise_fn=_default_noise,
     params=None,
 ):
@@ -154,15 +284,19 @@ def sample_simplified_encoder_prop(
     every `interval` model calls. `encode_fn(params, x, t) -> cache`,
     `decode_fn(params, cache, x, t) -> eps` (a learn-sigma 2C head is
     sliced automatically) — build the pair with `ddpm_split_fns` /
-    `adm_split_fns`. Host-driven loop.
+    `adm_split_fns`. Host-driven loop. `key_steps` (optional) pins the
+    full forwards to explicit global model-call indices instead of the
+    uniform interval — calibrate with `measure_feature_drift` +
+    `select_key_steps` (see module docstring).
 
     interval=1 is exactly the standard host-loop sampler (tested)."""
     if interval < 1:
         raise ValueError(f"interval must be >= 1, got {interval}")
+    is_key = _make_key_pred(interval, key_steps)
     abar = np.asarray(sched.alpha_bar)
     x, x0_pred = x_init, jnp.zeros_like(x_init)
     cache = None
-    model_call = 0
+    seg_call = glob_call = 0
     for t_i, t_j, travel in zip(sched.t_cur, sched.t_next, sched.is_travel):
         at = float(abar[int(t_i) + 1])
         at_next = float(abar[int(t_j) + 1])
@@ -170,9 +304,9 @@ def sample_simplified_encoder_prop(
             x, key = _travel(noise_fn, x0_pred, key, at_next)
             # a time-travel jump breaks the adjacent-timestep premise:
             # invalidate the cache so a key (full) step follows every jump
-            cache, model_call = None, 0
+            cache, seg_call = None, 0
             continue
-        if cache is None or model_call % interval == 0:
+        if cache is None or is_key(seg_call, glob_call):
             x, x0_pred, cache, key = _key_step(
                 encode_fn, decode_fn, operator, eta, sigma_y, noise_fn,
                 params, x, y, key, float(t_i), at, at_next,
@@ -182,7 +316,8 @@ def sample_simplified_encoder_prop(
                 decode_fn, operator, eta, sigma_y, noise_fn, params, x, y,
                 cache, key, float(t_i), at, at_next,
             )
-        model_call += 1
+        seg_call += 1
+        glob_call += 1
     return x, x0_pred
 
 
@@ -257,6 +392,7 @@ def sample_posterior_encoder_prop(
     key,
     *,
     interval: int = 3,
+    key_steps=None,
     paste_mask=None,
     paste_content=None,
     guidance_fn=None,
@@ -270,10 +406,12 @@ def sample_posterior_encoder_prop(
     interval > 1). `encode_fn(params, x, t) -> cache`,
     `decode_fn(params, cache, x, t) -> (B,H,W,2C)`. RNG-key carry order
     matches sample_posterior's host driver, so interval=1 is bit-identical.
-    `op_ctx` as in sample_posterior.
+    `key_steps` pins the full forwards to explicit global model-call
+    indices (see module docstring). `op_ctx` as in sample_posterior.
     """
     if interval < 1:
         raise ValueError(f"interval must be >= 1, got {interval}")
+    is_key = _make_key_pred(interval, key_steps)
     has_paste = paste_mask is not None
     has_ctx = op_ctx is not None
     if not has_paste:
@@ -284,16 +422,16 @@ def sample_posterior_encoder_prop(
     tbl = tables
     x, x0_hat = x_init, jnp.zeros_like(x_init)
     cache = None
-    model_call = 0
+    seg_call = glob_call = 0
     for t, travel in zip(tbl.t_cur, tbl.is_travel):
         t = int(t)
         if bool(travel):
             x, key = _host_undo(noise_fn, x, key, _undo_beta(tbl, t))
             # invalidate across time-travel jumps (see simplified variant)
-            cache, model_call = None, 0
+            cache, seg_call = None, 0
             continue
         scalars = _host_scalars(tbl, t)
-        if cache is None or model_call % interval == 0:
+        if cache is None or is_key(seg_call, glob_call):
             x, x0_hat, cache, key = _p_key_step(
                 encode_fn, decode_fn, operator, guidance_fn, clip_denoised,
                 noise_fn, has_paste, has_ctx, params, x, apy, paste_mask,
@@ -305,5 +443,6 @@ def sample_posterior_encoder_prop(
                 has_paste, has_ctx, params, x, apy, paste_mask,
                 paste_content, op_ctx, cache, key, *scalars,
             )
-        model_call += 1
+        seg_call += 1
+        glob_call += 1
     return x, x0_hat

@@ -60,6 +60,11 @@ def parse_args(argv=None):
                    help="encoder-propagation interval (>1 = approximate "
                         "Faster-Diffusion acceleration; simplified mode, "
                         "both model families)")
+    p.add_argument("--encoder_cache_policy", type=str, default="uniform",
+                   choices=["uniform", "end_dense"],
+                   help="key-step placement for --encoder_cache: end_dense "
+                        "holds quality at much deeper budgets (measured; "
+                        "docs/PERFORMANCE.md)")
     p.add_argument("--loop", type=str, default="auto",
                    choices=["auto", "scan", "host"],
                    help="sampler loop driver (auto picks per backend)")
@@ -142,6 +147,7 @@ def main(argv=None):
         resume=ns.resume,
         loop=ns.loop,
         encoder_cache=ns.encoder_cache,
+        encoder_cache_policy=ns.encoder_cache_policy,
     )
     runner = Runner(args, config)
     try:

@@ -413,6 +413,24 @@ def test_cli_encoder_cache_smoke(tmp_path):
 
 
 @pytest.mark.skipif(not FIXTURES.exists(), reason="reference fixtures unavailable")
+def test_cli_encoder_cache_end_dense_smoke(tmp_path):
+    """--encoder_cache_policy end_dense drives the key_steps path through
+    the runner (placement measured in docs/PERFORMANCE.md)."""
+    import main as cli
+
+    stats = cli.main([
+        "--config", "configs/smoke.yml",
+        "--path_y", str(FIXTURES),
+        "--deg", "sr_averagepooling", "--deg_scale", "4",
+        "--simplified", "--random_init", "--ni",
+        "-i", str(tmp_path / "out"),
+        "--max_images", "1", "--batch_size", "1",
+        "--encoder_cache", "2", "--encoder_cache_policy", "end_dense",
+    ])
+    assert stats["num_samples"] == 1
+
+
+@pytest.mark.skipif(not FIXTURES.exists(), reason="reference fixtures unavailable")
 def test_cli_subset_range(tmp_path):
     """--subset_start/--subset_end slice the dataset and offset output
     indices (the reference's manual sharding/resume mechanism,

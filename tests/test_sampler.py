@@ -343,6 +343,73 @@ def test_encoder_prop_interval1_exact_and_interval3_close(tiny_model):
     assert np.isfinite(np.asarray(acc3)).all()
 
 
+def test_encoder_prop_key_steps_and_calibration(tiny_model):
+    """Explicit key_steps pin the full forwards; the drift-calibration
+    helpers produce a valid same-budget key set; all-steps key_steps is
+    exactly the exact sampler."""
+    from ddnm_tpu.sampling.accel import (
+        ddpm_split_fns,
+        measure_feature_drift,
+        sample_simplified_encoder_prop,
+        select_key_steps,
+    )
+
+    _, model_fn, model, params = tiny_model
+    enc_fn, dec_fn = ddpm_split_fns(model)
+    betas = _betas()
+    sched = build_schedule(betas=betas, t_sampling=T_SAMPLING)
+    op = build_functional_operator("sr_averagepooling", image_size=RES, deg_scale=4)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.uniform(-1, 1, (1, RES, RES, 3)), jnp.float32)
+    y = op.A(x0)
+    x_init = jnp.asarray(rng.standard_normal((1, RES, RES, 3)), jnp.float32)
+    key = jax.random.PRNGKey(5)
+
+    exact, _ = sample_simplified(
+        model_fn, x_init, y, op, sched, key, noise_fn=ZERO_NOISE, loop="host"
+    )
+    n_calls = int(np.sum(~np.asarray(sched.is_travel, bool)))
+
+    # all steps are keys -> exact
+    all_keys, _ = sample_simplified_encoder_prop(
+        enc_fn, dec_fn, x_init, y, op, sched, key, interval=5,
+        key_steps=range(n_calls), noise_fn=ZERO_NOISE, params=params,
+    )
+    np.testing.assert_allclose(np.asarray(all_keys), np.asarray(exact), atol=1e-5)
+
+    # measured drift profile: one value per model call, step 0 drift = 0
+    drift = measure_feature_drift(
+        enc_fn, dec_fn, x_init, y, op, sched, key,
+        noise_fn=ZERO_NOISE, params=params,
+    )
+    assert drift.shape == (n_calls,) and drift[0] == 0.0 and (drift >= 0).all()
+
+    # budget-respecting key selection
+    n_keys = -(-n_calls // 3)  # uniform-k3 budget
+    keys = select_key_steps(drift, n_keys)
+    assert keys[0] == 0 and len(keys) == n_keys
+    assert keys == sorted(set(keys)) and keys[-1] < n_calls
+
+    calibrated, _ = sample_simplified_encoder_prop(
+        enc_fn, dec_fn, x_init, y, op, sched, key, key_steps=keys,
+        noise_fn=ZERO_NOISE, params=params,
+    )
+    uniform, _ = sample_simplified_encoder_prop(
+        enc_fn, dec_fn, x_init, y, op, sched, key, interval=3,
+        noise_fn=ZERO_NOISE, params=params,
+    )
+    assert np.isfinite(np.asarray(calibrated)).all()
+    # calibrated should track the exact trajectory at least as well as
+    # uniform on the image it was calibrated on (weak sanity bound: not
+    # catastrophically worse)
+    err_cal = float(np.abs(np.asarray(calibrated) - np.asarray(exact)).mean())
+    err_uni = float(np.abs(np.asarray(uniform) - np.asarray(exact)).mean())
+    assert err_cal <= err_uni * 2 + 1e-6
+
+    with pytest.raises(ValueError, match="n_keys"):
+        select_key_steps(drift, 0)
+
+
 def test_encoder_prop_rejects_bad_interval():
     import pytest as _pytest
 
