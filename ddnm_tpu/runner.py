@@ -185,19 +185,12 @@ class Runner:
 
     def _encoder_key_steps(self):
         """key_steps for --encoder_cache_policy (None = uniform interval)."""
-        policy = self.args.encoder_cache_policy
-        if policy in (None, "uniform"):
-            return None
-        if policy != "end_dense":
-            raise ValueError(
-                f"encoder_cache_policy must be 'uniform' or 'end_dense', "
-                f"got {policy!r}"
-            )
-        from ddnm_tpu.sampling.accel import key_steps_end_dense
+        from ddnm_tpu.sampling.accel import key_steps_for_policy
 
         n_calls = int(np.sum(~np.asarray(self.sched.is_travel, bool)))
-        n_keys = -(-n_calls // self.args.encoder_cache)
-        return key_steps_end_dense(n_calls, n_keys)
+        return key_steps_for_policy(
+            n_calls, self.args.encoder_cache, self.args.encoder_cache_policy
+        )
 
     def _split_fns(self):
         """(encode_fn, decode_fn) for --encoder_cache, built once per run

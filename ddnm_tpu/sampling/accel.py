@@ -103,6 +103,19 @@ def _make_key_pred(interval: int, key_steps):
     return lambda seg_call, glob_call: seg_call % interval == 0
 
 
+def key_steps_for_policy(n_calls: int, interval: int, policy) -> list | None:
+    """CLI-facing dispatch: None (uniform predicate) or the end-dense set
+    at the uniform policy's budget (ceil(n_calls / interval))."""
+    if interval <= 1 or policy in (None, "uniform"):
+        return None
+    if policy != "end_dense":
+        raise ValueError(
+            f"encoder-cache policy must be 'uniform' or 'end_dense', "
+            f"got {policy!r}"
+        )
+    return key_steps_end_dense(n_calls, -(-n_calls // interval))
+
+
 def measure_feature_drift(encode_fn, decode_fn, x_init, y, operator, sched,
                           key, *, eta: float = 0.85, sigma_y: float = 0.0,
                           noise_fn=_default_noise, params=None) -> np.ndarray:

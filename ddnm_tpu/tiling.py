@@ -169,6 +169,11 @@ def build_hq_operators(
     return op, a_temp
 
 
+def _n_model_calls(tables: PosteriorTables) -> int:
+    """Model calls per trajectory (non-travel steps) — the key_steps domain."""
+    return int(np.sum(~np.asarray(tables.is_travel, bool)))
+
+
 def batched_tile_sample(
     model_fn,
     gts: np.ndarray,
@@ -184,6 +189,7 @@ def batched_tile_sample(
     mesh=None,
     noise_fn=None,
     encoder_cache: int = 1,
+    encoder_cache_policy: str = "uniform",
     encode_fn=None,
     decode_fn=None,
 ) -> dict:
@@ -281,11 +287,18 @@ def batched_tile_sample(
             ctx_b = shard_tiles(mesh, ctx_b)
     noise_kw = {"noise_fn": noise_fn} if noise_fn is not None else {}
     if encoder_cache > 1:
-        from ddnm_tpu.sampling.accel import sample_posterior_encoder_prop
+        from ddnm_tpu.sampling.accel import (
+            key_steps_for_policy,
+            sample_posterior_encoder_prop,
+        )
 
         _, x0_b = sample_posterior_encoder_prop(
             encode_fn, decode_fn, x_init_b, apy, op, tables, keys_b,
-            interval=encoder_cache, paste_mask=paste_mask,
+            interval=encoder_cache,
+            key_steps=key_steps_for_policy(
+                _n_model_calls(tables), encoder_cache, encoder_cache_policy
+            ),
+            paste_mask=paste_mask,
             paste_content=paste_content, guidance_fn=guidance_fn,
             params=params, op_ctx=ctx_b, **noise_kw,
         )
@@ -321,6 +334,7 @@ def mask_shift_sample(
     tile_init: Optional[str] = None,
     init_noise: Optional[np.ndarray] = None,
     encoder_cache: int = 1,
+    encoder_cache_policy: str = "uniform",
     encode_fn=None,
     decode_fn=None,
     checkpoint_dir=None,
@@ -588,12 +602,20 @@ def mask_shift_sample(
         # schedule-independent even with stochastic noise (sampling/rng.py)
         keys_b = jnp.stack([tile_keys[t.index][1] for t in padded])
         if encoder_cache > 1:
-            from ddnm_tpu.sampling.accel import sample_posterior_encoder_prop
+            from ddnm_tpu.sampling.accel import (
+                key_steps_for_policy,
+                sample_posterior_encoder_prop,
+            )
 
             x_b, x0_b = sample_posterior_encoder_prop(
                 encode_fn, decode_fn, x_init_b, apy_b, op, tables,
                 keys_b,
-                interval=encoder_cache, paste_mask=mask_b,
+                interval=encoder_cache,
+                key_steps=key_steps_for_policy(
+                    _n_model_calls(tables), encoder_cache,
+                    encoder_cache_policy,
+                ),
+                paste_mask=mask_b,
                 paste_content=content_b, guidance_fn=guidance_fn,
                 params=params, op_ctx=ctx_b, **noise_kw,
             )

@@ -72,6 +72,11 @@ def parse_args(argv=None):
                    help=">1: reuse UNet encoder features across this many "
                         "model calls (approximate Faster-Diffusion accel, "
                         "see ddnm_tpu/sampling/accel.py)")
+    p.add_argument("--encoder_cache_policy", type=str, default="uniform",
+                   choices=["uniform", "end_dense"],
+                   help="key-step placement for --encoder_cache: end_dense "
+                        "holds quality at much deeper budgets (measured; "
+                        "docs/PERFORMANCE.md)")
     p.add_argument("--sp", type=int, default=1,
                    help="spatial partitioning: shard each tile's rows over "
                         "this many chips (ddnm_tpu/parallel/spatial.py); "
@@ -297,7 +302,9 @@ def main(argv=None):
             guidance_fn=guidance_fn,
             params=run_params, parallel=ns.parallel_tiles, progress_fn=progress,
             tile_init="fresh" if (ns.parallel_tiles or ns.fresh_tile_init) else "carry",
-            encoder_cache=ns.encoder_cache, encode_fn=encode_fn, decode_fn=decode_fn,
+            encoder_cache=ns.encoder_cache,
+            encoder_cache_policy=ns.encoder_cache_policy,
+            encode_fn=encode_fn, decode_fn=decode_fn,
             mesh=mesh,
             checkpoint_dir=tiles_dir if ns.resume else None, resume=ns.resume,
             resume_salt=salt,
@@ -386,6 +393,7 @@ def main(argv=None):
                     scale=ns.scale, masks=masks, guidance_fn=guidance_fn,
                     params=run_params, mesh=mesh,
                     encoder_cache=ns.encoder_cache,
+                    encoder_cache_policy=ns.encoder_cache_policy,
                     encode_fn=encode_fn, decode_fn=decode_fn,
                 )
                 for i, it in enumerate(chunk):

@@ -309,6 +309,27 @@ def test_hq_cli_encoder_cache_smoke(tmp_path):
     assert np.isfinite(out["final"]).all()
 
 
+def test_hq_cli_encoder_cache_end_dense_smoke(tmp_path):
+    """hq_main --encoder_cache_policy end_dense drives key_steps through
+    the tiling layer (placement measured in docs/PERFORMANCE.md)."""
+    import hq_main as hq
+    from ddnm_tpu.data.io import save_image
+
+    rng = np.random.default_rng(1)
+    src = tmp_path / "in.png"
+    save_image(rng.uniform(size=(256, 256, 3)).astype(np.float32), src)
+    out = hq.main([
+        "--config", "configs/hq/smoke.yml",
+        "--deg", "colorization",
+        "--path_y", str(src),
+        "--random_init",
+        "--encoder_cache", "2", "--encoder_cache_policy", "end_dense",
+        "-i", str(tmp_path / "hq"),
+    ])
+    assert out["final"].shape[1:] == (256, 256, 3)
+    assert np.isfinite(out["final"]).all()
+
+
 @pytest.mark.skipif(not FIXTURES.exists(), reason="reference fixtures unavailable")
 def test_cli_poisson_noise_smoke(tmp_path):
     import main as cli

@@ -134,5 +134,85 @@ def main():
         print(json.dumps(r))
 
 
+def main_posterior():
+    """Same comparison on the hq/posterior pipeline with the trained toy
+    ADM fixture (tests/fixtures/toy_adm32.pt): 4x SR, respacing 25 +
+    jump 25/10x2 (the golden harness protocol, ~45 model calls)."""
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ddnm_tpu import schedules as sch
+    from ddnm_tpu.data.checkpoints import load_params
+    from ddnm_tpu.data.metrics import psnr
+    from ddnm_tpu.operators import build_functional_operator
+    from ddnm_tpu.sampling.accel import (
+        adm_split_fns,
+        key_steps_end_dense,
+        sample_posterior_encoder_prop,
+    )
+    from ddnm_tpu.sampling.posterior import (
+        build_posterior_tables,
+        sample_posterior,
+    )
+    from tests._golden import load_eval_images
+    from tests._golden_adm import JUMP, RES, RESPACING, T
+    from train_toy_adm_golden import build_model
+
+    model = build_model()
+    expected = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, RES, RES, 3)), jnp.zeros((1,)),
+    )
+    params = load_params(REPO / "tests/fixtures/toy_adm32.pt",
+                         cache=False, expected=expected)
+    enc_fn, dec_fn = adm_split_fns(model)
+    betas = sch.named_beta_schedule("linear", T, use_scale=True)
+    tables = build_posterior_tables(
+        betas=betas, timestep_respacing=RESPACING, sigma_y=0.0,
+        schedule_jump_params=JUMP,
+    )
+    op = build_functional_operator("sr_averagepooling", image_size=RES,
+                                  deg_scale=4)
+    gt = jnp.asarray(load_eval_images(8).transpose(0, 2, 3, 1))
+    apy = op.Ap(op.A(gt))
+    x_init = jax.random.normal(jax.random.PRNGKey(12), gt.shape)
+    key = jax.random.PRNGKey(11)
+
+    def score(x):
+        a = (np.asarray(x) + 1) / 2
+        b = (np.asarray(gt) + 1) / 2
+        return round(float(np.mean(
+            [psnr(np.clip(a[i], 0, 1), b[i]) for i in range(len(a))])), 2)
+
+    n_calls = int(np.sum(~np.asarray(tables.is_travel, bool)))
+    _, x0 = sample_posterior(
+        lambda p, x, t: model.apply(p, x, t), x_init, apy, op, tables, key,
+        params=params, loop="host",
+    )
+    print(json.dumps({"sampler": "exact", "psnr": score(x0),
+                      "full_fwds": n_calls}))
+    for interval in (2, 3, 5):
+        _, xu = sample_posterior_encoder_prop(
+            enc_fn, dec_fn, x_init, apy, op, tables, key,
+            interval=interval, params=params,
+        )
+        budget = -(-n_calls // interval)
+        _, xe = sample_posterior_encoder_prop(
+            enc_fn, dec_fn, x_init, apy, op, tables, key,
+            key_steps=key_steps_end_dense(n_calls, budget), params=params,
+        )
+        print(json.dumps({"k": interval, "uniform": score(xu),
+                          "end_dense": score(xe), "full_fwds": budget}))
+
+
 if __name__ == "__main__":
-    main()
+    if "--posterior" in sys.argv:
+        main_posterior()
+    else:
+        main()
