@@ -226,6 +226,13 @@ class _Request:
     batch_size: int = 1
 
 
+class _Server(ThreadingHTTPServer):
+    daemon_threads = True
+    # the stdlib default listen backlog (5) drops connections under a
+    # burst of simultaneous clients — size it to the worst batch burst
+    request_queue_size = 128
+
+
 class RestorationServer:
     """HTTP front: micro-batching queue over a RestorationService."""
 
@@ -247,8 +254,7 @@ class RestorationServer:
         self._seq = 0
         self._running = False
         handler = _make_handler(self)
-        self._httpd = ThreadingHTTPServer((host, port), handler)
-        self._httpd.daemon_threads = True
+        self._httpd = _Server((host, port), handler)
         self._worker: Optional[threading.Thread] = None
         self._server_thread: Optional[threading.Thread] = None
 
