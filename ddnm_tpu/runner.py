@@ -185,9 +185,9 @@ class Runner:
 
     def _encoder_key_steps(self):
         """key_steps for --encoder_cache_policy (None = uniform interval)."""
-        from ddnm_tpu.sampling.accel import key_steps_for_policy
+        from ddnm_tpu.sampling.accel import key_steps_for_policy, n_model_calls
 
-        n_calls = int(np.sum(~np.asarray(self.sched.is_travel, bool)))
+        n_calls = n_model_calls(self.sched.is_travel)
         return key_steps_for_policy(
             n_calls, self.args.encoder_cache, self.args.encoder_cache_policy
         )

@@ -59,7 +59,16 @@ __all__ = [
     "measure_feature_drift",
     "select_key_steps",
     "key_steps_end_dense",
+    "n_model_calls",
 ]
+
+
+def n_model_calls(is_travel) -> int:
+    """Model calls per trajectory (non-travel steps) — the key_steps domain.
+
+    Shared by the runner and the tiling engine so the domain definition
+    cannot drift between them."""
+    return int(np.sum(~np.asarray(is_travel, bool)))
 
 
 def key_steps_end_dense(n_calls: int, n_keys: int, exact_tail=None) -> list:
@@ -94,8 +103,15 @@ def _make_key_pred(interval: int, key_steps):
     segment restarts after each time-travel jump). With `key_steps`, a set
     of GLOBAL model-call indices pins the full forwards instead (jump
     invalidation still forces a full step at each segment start).
-    interval == 1 is always-full (the exactness contract)."""
+    interval == 1 is always-full (the exactness contract) — passing
+    key_steps alongside it is contradictory and raises rather than
+    silently dropping the exactness guarantee."""
     if key_steps is not None:
+        if interval == 1:
+            raise ValueError(
+                "interval=1 guarantees the exact sampler; passing key_steps "
+                "with it is contradictory (drop key_steps or use interval>1)"
+            )
         keys = frozenset(int(k) for k in key_steps)
         return lambda seg_call, glob_call: glob_call in keys
     if interval == 1:

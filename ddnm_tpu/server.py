@@ -68,6 +68,7 @@ class ServiceStats:
     batches: int = 0
     batched_requests: int = 0  # requests that rode a >1-request batch
     errors: int = 0
+    cancelled: int = 0  # timed-out requests skipped before device work
 
     def as_dict(self) -> dict:
         d = dict(self.__dict__)
@@ -221,8 +222,12 @@ class _Request:
     input_kind: str
     seq: int
     event: threading.Event = field(default_factory=threading.Event)
+    # set by the handler when its client stopped waiting; the worker skips
+    # cancelled requests instead of burning a device batch nobody reads
+    cancelled: threading.Event = field(default_factory=threading.Event)
     result: Optional[np.ndarray] = None
     error: Optional[str] = None
+    error_code: int = 500  # worker-side failures are server errors
     batch_size: int = 1
 
 
@@ -244,15 +249,18 @@ class RestorationServer:
         port: int = 0,
         max_wait_ms: float = 20.0,
         queue_size: int = 64,
+        request_timeout_s: float = 600.0,
     ):
         self.service = service
         self.stats = ServiceStats()
         self._queue: queue.Queue[_Request] = queue.Queue(maxsize=queue_size)
         self._held: Optional[_Request] = None  # task-mismatched leftover
         self._max_wait = max_wait_ms / 1000.0
+        self._request_timeout = float(request_timeout_s)
         self._seq_lock = threading.Lock()
         self._seq = 0
         self._running = False
+        self._stopped = False
         handler = _make_handler(self)
         self._httpd = _Server((host, port), handler)
         self._worker: Optional[threading.Thread] = None
@@ -274,12 +282,30 @@ class RestorationServer:
         self._server_thread.start()
 
     def stop(self) -> None:
+        """Stop accepting work, shut the HTTP front down, and fail anything
+        still pending so waiting handlers return promptly.
+
+        The worker drains the queue itself on exit (it owns `_held`, so no
+        other thread touches it while the worker may be alive). If the
+        worker is mid-device-call past the join timeout, the drain happens
+        when that call finishes; `submit` rejects from this point on, so no
+        request can slip in after the drain."""
+        self._stopped = True  # reject new submits before draining
         self._running = False
-        self._httpd.shutdown()
+        if self._server_thread is not None:
+            # shutdown() blocks on serve_forever's exit handshake, so it
+            # deadlocks if the serve loop was never started — skip it then
+            self._httpd.shutdown()
         self._httpd.server_close()
         if self._worker is not None:
-            self._worker.join(timeout=10)
-        # fail anything still queued so waiting handlers return immediately
+            self._worker.join(timeout=30)
+        if self._worker is None or not self._worker.is_alive():
+            # worker never ran or already exited: drain here instead
+            self._drain_pending()
+
+    def _drain_pending(self) -> None:
+        """Fail every un-serviced request. Called by the worker thread on
+        exit, or by stop() when no worker is alive — never concurrently."""
         pending = [] if self._held is None else [self._held]
         self._held = None
         while True:
@@ -289,11 +315,14 @@ class RestorationServer:
                 break
         for r in pending:
             r.error = "server shutting down"
+            r.error_code = 503
             r.event.set()
 
     # -- request path -------------------------------------------------------
 
     def submit(self, image: np.ndarray, deg: str, input_kind: str) -> _Request:
+        if self._stopped:
+            raise RuntimeError("server is shut down")
         with self._seq_lock:
             seq = self._seq
             self._seq += 1
@@ -331,27 +360,44 @@ class RestorationServer:
                     first = self._queue.get(timeout=0.1)
                 except queue.Empty:
                     continue
-            group = self._collect(first)
-            try:
-                images = np.stack([r.image for r in group])
-                out = self.service.restore(
-                    images, first.deg, [r.seq for r in group],
-                    input_kind=first.input_kind,
-                )
-                for i, r in enumerate(group):
-                    r.result = out[i]
-                    r.batch_size = len(group)
-            except Exception as exc:  # propagate per-request
-                for r in group:
-                    r.error = f"{type(exc).__name__}: {exc}"
-                self.stats.errors += len(group)
-            finally:
-                self.stats.batches += 1
-                self.stats.requests += len(group)
-                if len(group) > 1:
-                    self.stats.batched_requests += len(group)
-                for r in group:
-                    r.event.set()
+            self._serve_group(self._collect(first))
+        self._drain_pending()
+
+    def _serve_group(self, group: list) -> None:
+        """Run one coalesced group on the device and wake its handlers.
+
+        Requests whose clients already gave up (handler wait timed out and
+        set `cancelled`) are acknowledged without device work — otherwise
+        an overloaded queue keeps computing results nobody reads."""
+        live = [r for r in group if not r.cancelled.is_set()]
+        for r in group:
+            if r.cancelled.is_set():
+                r.error = "cancelled: client stopped waiting"
+                r.error_code = 504
+                r.event.set()
+        self.stats.cancelled += len(group) - len(live)
+        if not live:
+            return
+        try:
+            images = np.stack([r.image for r in live])
+            out = self.service.restore(
+                images, live[0].deg, [r.seq for r in live],
+                input_kind=live[0].input_kind,
+            )
+            for i, r in enumerate(live):
+                r.result = out[i]
+                r.batch_size = len(live)
+        except Exception as exc:  # propagate per-request as a server error
+            for r in live:
+                r.error = f"{type(exc).__name__}: {exc}"
+            self.stats.errors += len(live)
+        finally:
+            self.stats.batches += 1
+            self.stats.requests += len(live)
+            if len(live) > 1:
+                self.stats.batched_requests += len(live)
+            for r in live:
+                r.event.set()
 
 
 def _make_handler(server: RestorationServer):
@@ -400,6 +446,11 @@ def _make_handler(server: RestorationServer):
                     400, {"error": f"unknown deg {deg!r}",
                           "tasks": list(server.service.tasks)})
                 return
+            if input_kind not in ("degraded", "gt"):
+                self._send_json(
+                    400, {"error": f"input must be 'degraded' or 'gt', "
+                                   f"got {input_kind!r}"})
+                return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 if not 0 < length <= _MAX_BODY:
@@ -411,16 +462,30 @@ def _make_handler(server: RestorationServer):
             except Exception as exc:
                 self._send_json(400, {"error": f"bad image: {exc}"})
                 return
+            # Validate dimensions HERE so one malformed request cannot
+            # poison the coalesced batch it would have ridden in.
+            size = server.service.image_size
+            expected = ((size, size, 3) if input_kind == "gt"
+                        else server.service.y_shape(deg))
+            if arr.shape != expected:
+                self._send_json(
+                    400, {"error": f"{input_kind} input for {deg!r} must be "
+                                   f"{expected}, got {tuple(arr.shape)}"})
+                return
             try:
                 req = server.submit(arr, deg, input_kind)
             except queue.Full:
                 self._send_json(503, {"error": "queue full"})
                 return
-            if not req.event.wait(timeout=600):
+            except RuntimeError as exc:
+                self._send_json(503, {"error": str(exc)})
+                return
+            if not req.event.wait(timeout=server._request_timeout):
+                req.cancelled.set()  # worker skips it instead of computing
                 self._send_json(504, {"error": "restoration timed out"})
                 return
             if req.error is not None:
-                self._send_json(400, {"error": req.error})
+                self._send_json(req.error_code, {"error": req.error})
                 return
             out = np.clip(req.result * 255.0 + 0.5, 0, 255).astype(np.uint8)
             buf = io.BytesIO()

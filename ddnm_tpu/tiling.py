@@ -171,7 +171,9 @@ def build_hq_operators(
 
 def _n_model_calls(tables: PosteriorTables) -> int:
     """Model calls per trajectory (non-travel steps) — the key_steps domain."""
-    return int(np.sum(~np.asarray(tables.is_travel, bool)))
+    from ddnm_tpu.sampling.accel import n_model_calls
+
+    return n_model_calls(tables.is_travel)
 
 
 def batched_tile_sample(

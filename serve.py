@@ -56,6 +56,9 @@ def parse_args(argv=None):
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--max_wait_ms", type=float, default=20.0)
+    p.add_argument("--request_timeout_s", type=float, default=600.0,
+                   help="handler wait budget; timed-out requests are "
+                        "cancelled before device work")
     p.add_argument("--no_warmup", action="store_true")
     return p.parse_args(argv)
 
@@ -127,7 +130,8 @@ def main(argv=None):
         service.warmup()
         logging.info("warmup done in %.1fs", time.time() - t0)
     server = RestorationServer(
-        service, host=ns.host, port=ns.port, max_wait_ms=ns.max_wait_ms
+        service, host=ns.host, port=ns.port, max_wait_ms=ns.max_wait_ms,
+        request_timeout_s=ns.request_timeout_s,
     )
     server.start()
     logging.info("serving %s on http://%s:%d (max_batch=%d)",

@@ -426,6 +426,18 @@ def test_encoder_prop_rejects_bad_interval():
         sample_posterior_encoder_prop(
             None, None, None, None, None, None, None, interval=0
         )
+    # interval=1 promises the EXACT sampler; pairing it with key_steps
+    # would silently drop that guarantee — it must raise instead
+    with _pytest.raises(ValueError, match="contradictory"):
+        sample_simplified_encoder_prop(
+            None, None, None, None, None, None, None,
+            interval=1, key_steps=[0, 2],
+        )
+    with _pytest.raises(ValueError, match="contradictory"):
+        sample_posterior_encoder_prop(
+            None, None, None, None, None, None, None,
+            interval=1, key_steps=[0, 2],
+        )
 
 
 def test_encoder_prop_adm_simplified_interval1_exact():

@@ -23,6 +23,7 @@ from ddnm_tpu.models.unet_ddpm import DDPMUNet
 from ddnm_tpu.operators import build_functional_operator
 from ddnm_tpu.sampling import build_schedule
 from ddnm_tpu.server import RestorationServer, RestorationService
+from ddnm_tpu.server import _Request
 
 RES = 32
 
@@ -236,6 +237,82 @@ def test_serve_cli_build_service(tmp_path):
         0.2, 0.8, size=(2, 64, 64, 3)).astype(np.float32)
     out = svc.restore(imgs, "denoising", [0, 1], input_kind="gt")
     assert out.shape == (2, 64, 64, 3)
+
+
+def test_bad_request_cannot_poison_batch(service):
+    """A wrong-size degraded PNG is rejected at the handler (400) and never
+    reaches the batcher, so concurrent well-formed requests still get 200."""
+    server = RestorationServer(service, max_wait_ms=150.0)
+    server.start()
+    host, port = server.address
+    base = f"http://{host}:{port}"
+    try:
+        good_y = _gt_images(1, seed=5)[0, : RES // 4, : RES // 4]  # (8,8,3)
+        bad_y = _gt_images(1, seed=6)[0, : RES // 2, : RES // 2]  # (16,16,3)
+        results = {}
+
+        def call(name, body):
+            results[name] = _post(
+                f"{base}/restore?deg=sr_averagepooling", body)
+
+        threads = [
+            threading.Thread(target=call,
+                             args=(n, _png_bytes(b)))
+            for n, b in [("good", good_y), ("bad", bad_y)]
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert results["bad"][0] == 400
+        assert b"degraded input" in results["bad"][1]
+        assert results["good"][0] == 200, results["good"][1]
+        assert server.stats.errors == 0  # nothing reached the worker broken
+        # bad input_kind is also a handler-side 400
+        status, body, _ = _post(
+            f"{base}/restore?deg=sr_averagepooling&input=nope",
+            _png_bytes(good_y))
+        assert status == 400 and b"input must be" in body
+    finally:
+        server.stop()
+
+
+def test_submit_after_stop_rejected(service):
+    """stop() fails queued requests with 503 and rejects later submits."""
+    server = RestorationServer(service)
+    # not started: queue a request, then stop — it must be failed, and
+    # the drain must mark it as a server-side (5xx) condition
+    req = server.submit(_gt_images(1)[0], "sr_averagepooling", "gt")
+    server.stop()
+    assert req.event.is_set()
+    assert req.error == "server shutting down" and req.error_code == 503
+    with pytest.raises(RuntimeError):
+        server.submit(_gt_images(1)[0], "sr_averagepooling", "gt")
+
+
+def test_cancelled_requests_skip_device_work(service):
+    """Requests whose clients stopped waiting are acknowledged without a
+    device call; live lanes in the same group still get real results."""
+    server = RestorationServer(service)
+    gone = _Request(image=_gt_images(1)[0], deg="sr_averagepooling",
+                    input_kind="gt", seq=101)
+    gone.cancelled.set()
+    live = _Request(image=_gt_images(1)[0], deg="sr_averagepooling",
+                    input_kind="gt", seq=102)
+    server._serve_group([gone, live])
+    assert gone.event.is_set() and gone.result is None
+    assert gone.error_code == 504 and "cancelled" in gone.error
+    assert live.event.is_set() and live.error is None
+    assert live.result is not None and live.batch_size == 1
+    assert server.stats.cancelled == 1 and server.stats.requests == 1
+    # an all-cancelled group never touches the device or the batch stats
+    gone2 = _Request(image=_gt_images(1)[0], deg="sr_averagepooling",
+                     input_kind="gt", seq=103)
+    gone2.cancelled.set()
+    batches_before = server.stats.batches
+    server._serve_group([gone2])
+    assert gone2.event.is_set() and server.stats.batches == batches_before
+    server._httpd.server_close()
 
 
 def test_collect_coalesces_same_task(service):
