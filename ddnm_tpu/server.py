@@ -23,7 +23,18 @@ Two pieces:
     queue (micro-batching with a max-wait deadline) and drives the device
     — the single-TPU-process discipline the backend requires.
     `POST /restore?deg=<task>[&input=degraded|gt]` with a PNG body returns
-    the restored PNG; `GET /healthz` returns JSON stats.
+    the restored PNG; `GET /healthz` returns JSON stats (counters, realized
+    batch, queue depth, request-latency percentiles).
+
+The worker runs a ONE-DEEP dispatch/fetch pipeline: JAX dispatch is async
+(the sampler's host loop enqueues every step and returns a device array
+without syncing), so the worker dispatches batch N+1 *before* blocking on
+batch N's `device_get`. Collecting and dispatching the next group — the
+only host work between batches — then overlaps the device computing the
+current one, and the device never idles between groups under sustained
+load. Results are bit-identical to the unpipelined path (per-request RNG
+makes lanes independent of grouping; the pipeline only reorders host-side
+waiting).
 
 Requests carry the *degraded observation* y by default (what a restoration
 service actually receives); `input=gt` instead applies the task's A to the
@@ -43,6 +54,7 @@ import json
 import queue
 import threading
 import time
+from collections import deque
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, Mapping, Optional, Sequence
@@ -70,9 +82,24 @@ class ServiceStats:
     errors: int = 0
     cancelled: int = 0  # timed-out requests skipped before device work
 
+    def __post_init__(self):
+        # enqueue->completion wall times of the most recent requests
+        # (deque append/iteration are GIL-atomic enough for stats reads)
+        self._latencies = deque(maxlen=512)
+
+    def record_latency(self, seconds: float) -> None:
+        self._latencies.append(seconds)
+
     def as_dict(self) -> dict:
-        d = dict(self.__dict__)
+        d = {k: v for k, v in self.__dict__.items() if not k.startswith("_")}
         d["mean_batch"] = self.requests / self.batches if self.batches else 0.0
+        lat = sorted(self._latencies)
+        if lat:
+            pick = lambda q: lat[min(len(lat) - 1, int(q * len(lat)))]
+            d["latency_s"] = {"p50": round(pick(0.50), 4),
+                              "p95": round(pick(0.95), 4),
+                              "p99": round(pick(0.99), 4),
+                              "n": len(lat)}
         return d
 
 
@@ -154,6 +181,27 @@ class RestorationService:
         (input_kind="degraded", default) or ground-truth images to degrade
         first (input_kind="gt"). seqs: one monotone sequence number per
         request (the RNG identity). Returns (B, H, W, 3) float32 in [0, 1].
+
+        Blocking form of restore_async + fetch.
+        """
+        return self.fetch(
+            self.restore_async(images, deg, seqs, input_kind=input_kind)
+        )
+
+    def restore_async(
+        self,
+        images: np.ndarray,
+        deg: str,
+        seqs: Sequence[int],
+        *,
+        input_kind: str = "degraded",
+    ):
+        """Dispatch a group's full trajectory and return WITHOUT syncing.
+
+        Returns a device array (B, H, W, 3) whose computation is enqueued
+        but not necessarily finished — pass it to `fetch` to block and pull
+        the float32 host result. Lets a caller overlap the next group's
+        host work (collect/decode/dispatch) with this group's device time.
         """
         op = self._operators.get(deg)
         if op is None:
@@ -205,7 +253,11 @@ class RestorationService:
             self._model_fn, x_init, y, op, self._sched, noise_keys,
             eta=self._eta, sigma_y=self._sigma_y, params=self._params,
         )
-        out = inverse_data_transform(x[:b])
+        return inverse_data_transform(x[:b])
+
+    @staticmethod
+    def fetch(out) -> np.ndarray:
+        """Block on a restore_async result and return it as host float32."""
         return np.asarray(jax.device_get(out), np.float32)
 
     def warmup(self) -> None:
@@ -229,6 +281,7 @@ class _Request:
     error: Optional[str] = None
     error_code: int = 500  # worker-side failures are server errors
     batch_size: int = 1
+    t_enqueue: float = field(default_factory=time.monotonic)
 
 
 class _Server(ThreadingHTTPServer):
@@ -352,23 +405,55 @@ class RestorationServer:
         return group
 
     def _worker_loop(self) -> None:
+        """Drain the queue with a ONE-DEEP dispatch/fetch pipeline.
+
+        `in_flight` is a dispatched-but-unfetched group riding the device.
+        While it computes, the loop collects and dispatches the NEXT group
+        (host-only work — JAX dispatch is async), then blocks on the
+        in-flight fetch. Under sustained load the device therefore never
+        waits for host work between groups; when the queue is idle the
+        in-flight group is fetched immediately, so single requests see no
+        added latency."""
+        in_flight = None  # (live_requests, device_out) awaiting fetch
         while self._running:
+            first = None
             if self._held is not None:
                 first, self._held = self._held, None
             else:
                 try:
-                    first = self._queue.get(timeout=0.1)
+                    if in_flight is not None:
+                        first = self._queue.get_nowait()
+                    else:
+                        first = self._queue.get(timeout=0.1)
                 except queue.Empty:
-                    continue
-            self._serve_group(self._collect(first))
+                    pass
+            if first is None:
+                if in_flight is not None:
+                    self._finish_group(*in_flight)
+                    in_flight = None
+                continue
+            dispatched = self._dispatch_group(self._collect(first))
+            if in_flight is not None:
+                self._finish_group(*in_flight)
+            in_flight = dispatched
+        if in_flight is not None:
+            self._finish_group(*in_flight)
         self._drain_pending()
 
     def _serve_group(self, group: list) -> None:
-        """Run one coalesced group on the device and wake its handlers.
+        """Run one coalesced group synchronously (dispatch + fetch)."""
+        dispatched = self._dispatch_group(group)
+        if dispatched is not None:
+            self._finish_group(*dispatched)
+
+    def _dispatch_group(self, group: list):
+        """Enqueue one coalesced group's device work without syncing.
 
         Requests whose clients already gave up (handler wait timed out and
         set `cancelled`) are acknowledged without device work — otherwise
-        an overloaded queue keeps computing results nobody reads."""
+        an overloaded queue keeps computing results nobody reads. Returns
+        (live_requests, device_out) for `_finish_group`, or None if nothing
+        reached the device (all cancelled, or dispatch itself failed)."""
         live = [r for r in group if not r.cancelled.is_set()]
         for r in group:
             if r.cancelled.is_set():
@@ -377,27 +462,43 @@ class RestorationServer:
                 r.event.set()
         self.stats.cancelled += len(group) - len(live)
         if not live:
-            return
+            return None
         try:
             images = np.stack([r.image for r in live])
-            out = self.service.restore(
+            out = self.service.restore_async(
                 images, live[0].deg, [r.seq for r in live],
                 input_kind=live[0].input_kind,
             )
-            for i, r in enumerate(live):
-                r.result = out[i]
-                r.batch_size = len(live)
-        except Exception as exc:  # propagate per-request as a server error
+        except Exception as exc:  # trace/shape-time failure: fail the group
+            self._complete(live, None, exc)
+            return None
+        return live, out
+
+    def _finish_group(self, live: list, out) -> None:
+        """Block on a dispatched group's result and wake its handlers."""
+        try:
+            self._complete(live, self.service.fetch(out), None)
+        except Exception as exc:  # execution-time failure surfaces here
+            self._complete(live, None, exc)
+
+    def _complete(self, live: list, results, exc) -> None:
+        """Deliver results or a shared error to a group, once."""
+        now = time.monotonic()
+        if exc is not None:  # propagate per-request as a server error
             for r in live:
                 r.error = f"{type(exc).__name__}: {exc}"
             self.stats.errors += len(live)
-        finally:
-            self.stats.batches += 1
-            self.stats.requests += len(live)
-            if len(live) > 1:
-                self.stats.batched_requests += len(live)
-            for r in live:
-                r.event.set()
+        else:
+            for i, r in enumerate(live):
+                r.result = results[i]
+                r.batch_size = len(live)
+        self.stats.batches += 1
+        self.stats.requests += len(live)
+        if len(live) > 1:
+            self.stats.batched_requests += len(live)
+        for r in live:
+            self.stats.record_latency(now - r.t_enqueue)
+            r.event.set()
 
 
 def _make_handler(server: RestorationServer):
@@ -428,6 +529,7 @@ def _make_handler(server: RestorationServer):
                     "tasks": list(server.service.tasks),
                     "image_size": server.service.image_size,
                     "max_batch": server.service.max_batch,
+                    "queue_depth": server._queue.qsize(),
                     **server.stats.as_dict(),
                 })
             else:

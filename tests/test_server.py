@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import io
 import threading
+import time
 import urllib.request
 
 import numpy as np
@@ -313,6 +314,178 @@ def test_cancelled_requests_skip_device_work(service):
     server._serve_group([gone2])
     assert gone2.event.is_set() and server.stats.batches == batches_before
     server._httpd.server_close()
+
+
+def test_pipelined_worker_matches_direct_restore(service):
+    """Under sustained load the worker runs a one-deep dispatch/fetch
+    pipeline (groups N+1 dispatched before N is fetched). Every response
+    must still be bitwise what a direct, synchronous service.restore of
+    that request's seq produces — the pipeline may only reorder waiting."""
+    server = RestorationServer(service, max_wait_ms=30.0, queue_size=32)
+    server.start()
+    host, port = server.address
+    url = f"http://{host}:{port}/restore?deg=sr_averagepooling&input=gt"
+    try:
+        n = 12  # 3+ groups at max_batch 4 -> the pipeline actually engages
+        gts = _gt_images(n, seed=31)
+        results = {}
+
+        def call(i):
+            results[i] = _post(url, _png_bytes(gts[i]))
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        from PIL import Image
+
+        assert all(results[i][0] == 200 for i in range(n))
+        assert server.stats.requests == n and server.stats.errors == 0
+        assert server.stats.batches >= 3  # multiple groups flowed through
+        for i in range(n):
+            _, body, headers = results[i]
+            got = np.asarray(Image.open(io.BytesIO(body)))
+            seq = int(headers["X-Seq"])
+            # the PNG sent back is the uint8 quantization of the direct
+            # single-request restoration with the same RNG identity —
+            # fed the upload's OWN uint8 quantization of the gt image
+            sent = np.clip(gts[i] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            direct = service.restore(
+                (sent.astype(np.float32) / 255.0)[None],
+                "sr_averagepooling", [seq], input_kind="gt",
+            )[0]
+            want = np.clip(direct * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            np.testing.assert_array_equal(got, want)
+        # the HTTP uploads are identical bytes per-index, so outputs with
+        # different seqs must differ (per-request RNG streams are live)
+        assert server.stats.batched_requests > 0
+    finally:
+        server.stop()
+
+
+def test_healthz_reports_latency_and_depth(service):
+    server = RestorationServer(service, max_wait_ms=20.0)
+    server.start()
+    host, port = server.address
+    base = f"http://{host}:{port}"
+    try:
+        status, _, _ = _post(
+            f"{base}/restore?deg=sr_averagepooling&input=gt",
+            _png_bytes(_gt_images(1, seed=40)[0]))
+        assert status == 200
+        import json
+
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as resp:
+            h = json.loads(resp.read())
+        assert h["queue_depth"] == 0
+        lat = h["latency_s"]
+        assert lat["n"] == 1 and lat["p50"] > 0
+        assert lat["p50"] <= lat["p95"] <= lat["p99"]
+    finally:
+        server.stop()
+
+
+class _FakeService:
+    """Device-free stand-in with the RestorationService surface the server
+    touches — lets the soak test hammer the batcher/pipeline at full speed
+    and inject failures deterministically."""
+
+    def __init__(self, image_size=8, max_batch=4, fail_seqs=()):
+        self.image_size = image_size
+        self.max_batch = max_batch
+        self._fail = frozenset(fail_seqs)
+        self.tasks = ("a", "b")
+
+    def y_shape(self, deg):
+        return (self.image_size, self.image_size, 3)
+
+    def restore_async(self, images, deg, seqs, *, input_kind="degraded"):
+        if any(s in self._fail for s in seqs):
+            raise RuntimeError("injected dispatch failure")
+        # encode (seq, task) into the result so parity is checkable
+        tag = {"a": 1.0, "b": 2.0}[deg]
+        return images * 0 + np.asarray(seqs, np.float32)[:, None, None, None] + tag
+
+    @staticmethod
+    def fetch(out):
+        time.sleep(0.002)  # simulated device time
+        return np.asarray(out, np.float32)
+
+
+def test_server_soak_concurrent_submit_cancel_stop():
+    """400 mixed-task requests from 16 threads with random client
+    cancellations, then stop() under load: every request's event fires
+    exactly once with either its own tagged result, a cancellation, or the
+    shutdown error — and the stats ledger adds up."""
+    fake = _FakeService()
+    server = RestorationServer(fake, max_wait_ms=1.0, queue_size=512)
+    server.start()
+    rng = np.random.default_rng(0)
+    img = np.zeros((8, 8, 3), np.float32)
+    lock = threading.Lock()
+    submitted = []
+
+    def client(tid):
+        local_rng = np.random.default_rng(tid)
+        for _ in range(25):
+            deg = "a" if local_rng.random() < 0.5 else "b"
+            try:
+                req = server.submit(img, deg, "degraded")
+            except RuntimeError:
+                return  # raced with stop(): acceptable, not recorded
+            if local_rng.random() < 0.2:
+                req.cancelled.set()
+            with lock:
+                submitted.append((req, deg))
+
+    threads = [threading.Thread(target=client, args=(t,)) for t in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    server.stop()  # worker drains whatever is still queued
+
+    for req, deg in submitted:
+        assert req.event.wait(timeout=10), "request never completed"
+        if req.error is not None:
+            assert req.error_code in (503, 504), req.error
+        else:
+            tag = {"a": 1.0, "b": 2.0}[deg]
+            assert req.result[0, 0, 0] == req.seq + tag
+    served = sum(1 for r, _ in submitted if r.error is None)
+    shutdown = sum(1 for r, _ in submitted if r.error_code == 503)
+    cancelled_seen = sum(
+        1 for r, _ in submitted
+        if r.error is not None and r.error_code == 504)
+    assert served == server.stats.requests
+    assert cancelled_seen == server.stats.cancelled
+    assert served + shutdown + cancelled_seen == len(submitted)
+    assert server.stats.errors == 0
+
+
+def test_server_soak_dispatch_failures_are_isolated():
+    """Injected dispatch failures fail only their own group; the pipeline
+    keeps serving groups after an error."""
+    fake = _FakeService(fail_seqs={1})
+    server = RestorationServer(fake, max_wait_ms=1.0)
+    server.start()
+    img = np.zeros((8, 8, 3), np.float32)
+    try:
+        reqs = []
+        for _ in range(6):
+            reqs.append(server.submit(img, "a", "degraded"))
+            time.sleep(0.02)  # separate groups so seq 1 fails alone-ish
+        for r in reqs:
+            assert r.event.wait(timeout=10)
+        failed = [r for r in reqs if r.error is not None]
+        okay = [r for r in reqs if r.error is None]
+        assert any(r.seq == 1 for r in failed)
+        assert all("injected dispatch failure" in r.error for r in failed)
+        assert len(okay) >= 4 and all(r.result is not None for r in okay)
+        assert server.stats.errors == len(failed)
+    finally:
+        server.stop()
 
 
 def test_collect_coalesces_same_task(service):
