@@ -25,7 +25,12 @@ from ddnm_tpu.operators.functional import FunctionalOperator
 from ddnm_tpu.sampling.ddnm import _simplified_body
 from ddnm_tpu.sampling.posterior import _posterior_body
 
-__all__ = ["export_simplified_step", "export_posterior_step", "load_exported"]
+__all__ = [
+    "export_simplified_step",
+    "export_simplified_trajectory",
+    "export_posterior_step",
+    "load_exported",
+]
 
 
 def export_simplified_step(
@@ -68,6 +73,64 @@ def export_simplified_step(
     )
     exp = jax.export.export(
         jax.jit(step),
+        platforms=list(platforms) if platforms else None,
+    )(*args)
+    blob = exp.serialize()
+    if path is not None:
+        Path(path).write_bytes(blob)
+    return blob
+
+
+def export_simplified_trajectory(
+    model_fn: Callable,
+    params,
+    operator: FunctionalOperator,
+    sched,
+    *,
+    batch: int,
+    image_size: int,
+    y_shape: tuple,
+    eta: float = 0.85,
+    sigma_y: float = 0.0,
+    per_image_keys: bool = False,
+    platforms: tuple[str, ...] | None = None,
+    path: str | Path | None = None,
+) -> bytes:
+    """Serialize the WHOLE simplified-DDNM trajectory as one artifact.
+
+    Where `export_simplified_step` ships one step and leaves the (host-
+    side, data-independent) schedule to the serving process, this exports
+    the complete `lax.scan` over the jump schedule — signature
+    (params, x_init, y, key) -> (x_final, x0_pred) — with the schedule
+    tables baked in as constants (a few hundred floats). One call restores
+    a batch end-to-end: the deployment shape for directly-attached
+    production TPUs, where the serving runtime should do nothing but feed
+    requests (no Python schedule driving, no per-step dispatch).
+
+    `sched` is a DDNMSchedule (`sampling.build_schedule`). With
+    `per_image_keys=True` the key argument is a (batch, 2) raw-uint32 key
+    batch and every image gets its own noise stream (what the online
+    server uses — outputs independent of batch composition); otherwise a
+    single (2,) key is shared by the whole batch (the reference's
+    torch.randn_like semantics, diffusion.py:384).
+    """
+    from ddnm_tpu.sampling import sample_simplified
+
+    def traj(params, x_init, y, key):
+        return sample_simplified(
+            model_fn, x_init, y, operator, sched, key,
+            eta=eta, sigma_y=sigma_y, loop="scan", params=params,
+        )
+
+    key_shape = (batch, 2) if per_image_keys else (2,)
+    args = (
+        jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params),
+        jax.ShapeDtypeStruct((batch, image_size, image_size, 3), jnp.float32),
+        jax.ShapeDtypeStruct(y_shape, jnp.float32),
+        jax.ShapeDtypeStruct(key_shape, jnp.uint32),
+    )
+    exp = jax.export.export(
+        jax.jit(traj),
         platforms=list(platforms) if platforms else None,
     )(*args)
     blob = exp.serialize()

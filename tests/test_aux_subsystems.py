@@ -227,6 +227,61 @@ def test_serving_export_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(x0), np.asarray(ref_x0), atol=1e-5)
 
 
+def test_serving_export_trajectory_roundtrip(tmp_path):
+    """Export the WHOLE trajectory scan, reload, and match the live
+    scan-driver sampler bitwise — incl. a time-travel jump schedule and
+    per-image key batches (the online server's RNG discipline)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddnm_tpu import schedules
+    from ddnm_tpu.models.unet_ddpm import DDPMUNet
+    from ddnm_tpu.operators import build_functional_operator
+    from ddnm_tpu.sampling import build_schedule, sample_simplified
+    from ddnm_tpu.serving import export_simplified_trajectory, load_exported
+
+    size, batch = 32, 2
+    model = DDPMUNet(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                     attn_resolutions=(16,), resolution=size)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (batch, size, size, 3))
+    params = model.init(rng, x, jnp.zeros((batch,)))
+
+    def model_fn(p, xx, tt):
+        return model.apply(p, xx, tt)
+
+    op = build_functional_operator("sr_averagepooling", image_size=size, deg_scale=4)
+    y = op.A(x)
+    betas = schedules.get_beta_schedule(
+        "linear", beta_start=1e-4, beta_end=0.02, num_diffusion_timesteps=100
+    )
+    # a schedule WITH travel steps so the exported scan's lax.cond runs both
+    sched = build_schedule(betas=betas, t_sampling=5, travel_length=1,
+                           travel_repeat=2)
+    blob = export_simplified_trajectory(
+        model_fn, params, op, sched, batch=batch, image_size=size,
+        y_shape=tuple(y.shape), per_image_keys=True,
+        path=tmp_path / "traj.bin",
+    )
+    assert (tmp_path / "traj.bin").stat().st_size == len(blob) > 0
+
+    call = load_exported(tmp_path / "traj.bin")
+    keys = jnp.stack([
+        jax.random.key_data(jax.random.PRNGKey(7)),
+        jax.random.key_data(jax.random.PRNGKey(8)),
+    ]).astype(jnp.uint32)
+    x_out, x0_out = call(params, x, y, keys)
+    assert x_out.shape == x.shape
+    assert np.isfinite(np.asarray(x_out)).all()
+
+    ref_x, ref_x0 = sample_simplified(
+        model_fn, x, y, op, sched,
+        jnp.asarray(keys), loop="scan", params=params,
+    )
+    np.testing.assert_array_equal(np.asarray(x_out), np.asarray(ref_x))
+    np.testing.assert_array_equal(np.asarray(x0_out), np.asarray(ref_x0))
+
+
 def test_ssim_sanity():
     from ddnm_tpu.data.metrics import ssim
 
