@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import threading
 import time
 
 # Reference throughput anchors (VERDICT round-1 #2). Measured:
@@ -57,12 +59,43 @@ def main(argv=None):
                     help="spatial partitioning: shard image rows this many ways")
     ns = ap.parse_args(argv)
 
+    # Watchdog: the remote-compile tunnel can hang indefinitely at first
+    # device contact (observed: jax.devices() never returns when the
+    # backend is unreachable). Rather than hanging the caller, emit the
+    # one-line JSON with value 0 and an error marker, and exit non-zero.
+    watchdog_fired = threading.Event()
+
+    def _arm(seconds: float, stage: str) -> threading.Timer:
+        def boom():
+            watchdog_fired.set()
+            print(json.dumps({
+                "metric": "images_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "img/s (256px, 100-step DDNM 4x SR)",
+                "vs_baseline": 0.0,
+                "error": f"device backend unresponsive for {seconds:.0f}s "
+                         f"during {stage} (remote-compile tunnel down?)",
+            }), flush=True)
+            os._exit(1)
+
+        t = threading.Timer(seconds, boom)
+        t.daemon = True
+        t.start()
+        return t
+
     import jax
     import jax.numpy as jnp
 
     from ddnm_tpu.utils import enable_compilation_cache, jit_init
 
     enable_compilation_cache()
+
+    wd = _arm(300.0, "first device contact")
+    jax.devices()  # force backend/tunnel initialisation under the watchdog
+    wd.cancel()
+    # compiles can legitimately take minutes cold through the tunnel; only
+    # a hard hang should trip this
+    wd = _arm(1800.0, "compile/warmup")
 
     from ddnm_tpu import schedules
     from ddnm_tpu.models.unet_ddpm import DDPMUNet
@@ -129,6 +162,7 @@ def main(argv=None):
     )
     jax.device_get(out)
     mark("warmup done")
+    wd.cancel()  # timed runs below are bounded by real compute
 
     # timed runs: time each run separately and take the median, so a
     # transient stall of the shared chip / remote-compile tunnel (observed:
