@@ -167,7 +167,11 @@ def build_functional_operator(
             raise ValueError("inpainting requires a mask")
         m = as_mask(mask)
         masked = lambda z: z * m
-        return FunctionalOperator(deg, masked, masked)
+        # ctx forms let samplers take a RUNTIME (B,H,W,1) mask — per-tile
+        # slices in Mask-Shift tiling, per-request masks in serving — with
+        # one compiled executable (ctx == m reproduces the static forms)
+        mask_ctx = lambda z, c: z * c
+        return FunctionalOperator(deg, masked, masked, mask_ctx, mask_ctx)
 
     if deg == "sr_color":
         # hq_demo composition: gray(pool(x)) with reversed A+
@@ -191,6 +195,12 @@ def build_functional_operator(
         def Ap(z):
             return gray2color(mean_upsample(z, scale)) * m
 
-        return FunctionalOperator(deg, A, Ap)
+        def A_ctx(z, c):
+            return avg_pool(color2gray(z * c), scale)
+
+        def Ap_ctx(z, c):
+            return gray2color(mean_upsample(z, scale)) * c
+
+        return FunctionalOperator(deg, A, Ap, A_ctx, Ap_ctx)
 
     raise NotImplementedError(f"simplified degradation {deg} not supported")

@@ -152,7 +152,8 @@ def _call_model(model_fn, params, x, t_f):
     return model_fn(x, t_f) if params is None else model_fn(params, x, t_f)
 
 
-def _simplified_update(operator, eta, sigma_y, x, y, et, at, at_next, noise):
+def _simplified_update(operator, eta, sigma_y, x, y, et, at, at_next, noise,
+                       op_ctx=None):
     """The pure DDNM+ update given the model's eps prediction
     (Eq.12 / Eq.19 / Eq.17 / gamma-gated DDIM, diffusion.py:365-384)."""
     et = et[..., :3] if et.shape[-1] == 6 else et
@@ -168,17 +169,22 @@ def _simplified_update(operator, eta, sigma_y, x, y, et, at, at_next, noise):
         jnp.sqrt(jnp.maximum(sigma_t**2 - (at_next * sigma_y) ** 2, 0.0)),
         0.0,
     )
-    # Eq. 17
-    x0_t_hat = x0_t - lambda_t * operator.Ap(operator.A(x0_t) - y)
+    # Eq. 17 (op_ctx: runtime operator context, e.g. a per-image mask)
+    proj = (operator.Ap_ctx(operator.A_ctx(x0_t, op_ctx) - y, op_ctx)
+            if op_ctx is not None
+            else operator.Ap(operator.A(x0_t) - y))
+    x0_t_hat = x0_t - lambda_t * proj
     c1 = jnp.sqrt(1.0 - at_next) * eta
     c2 = jnp.sqrt(1.0 - at_next) * (1.0 - eta**2) ** 0.5
     x_next = jnp.sqrt(at_next) * x0_t_hat + gamma_t * (c1 * noise + c2 * et)
     return x_next, x0_t
 
 
-def _simplified_body(model_fn, operator, eta, sigma_y, params, x, y, t_f, at, at_next, noise):
+def _simplified_body(model_fn, operator, eta, sigma_y, params, x, y, t_f, at,
+                     at_next, noise, op_ctx=None):
     et = _call_model(model_fn, params, x, t_f)
-    return _simplified_update(operator, eta, sigma_y, x, y, et, at, at_next, noise)
+    return _simplified_update(operator, eta, sigma_y, x, y, et, at, at_next,
+                              noise, op_ctx)
 
 
 def _nhwc_to_vec(x: Array) -> Array:
@@ -193,7 +199,8 @@ def _vec_to_nhwc(v: Array, shape: tuple) -> Array:
 
 
 def _svd_body(
-    model_fn, operator, eta, sigma_y, guidance_fn, params, x, y_spec, t_f, at, at_next, noise
+    model_fn, operator, eta, sigma_y, guidance_fn, params, x, y_spec, t_f,
+    at, at_next, noise, op_ctx=None,
 ):
     """`y_spec` is the per-image constant A_pinv(y)
     (operator.prepare_measurement(y)), hoisted out of the loop by sample_svd;
@@ -241,7 +248,8 @@ def _svd_body(
     jax.jit,
     static_argnames=("body", "noise_fn"),
 )
-def _run_scan(body, noise_fn, params, x_init, y, sched: DDNMSchedule, key):
+def _run_scan(body, noise_fn, params, x_init, y, sched: DDNMSchedule, key,
+              op_ctx=None):
     """Whole-trajectory scan; travel/normal via lax.cond on the static flag."""
     alpha_bar = jnp.asarray(sched.alpha_bar)
     n = x_init.shape[0]
@@ -256,7 +264,7 @@ def _run_scan(body, noise_fn, params, x_init, y, sched: DDNMSchedule, key):
 
         def normal(_):
             t_f = jnp.full((n,), t_i, dtype=jnp.float32)
-            return body(params, x, y, t_f, at, at_next, noise)
+            return body(params, x, y, t_f, at, at_next, noise, op_ctx)
 
         def travel_back(_):
             return _travel_step(x0_pred, at_next, noise), x0_pred
@@ -271,12 +279,13 @@ def _run_scan(body, noise_fn, params, x_init, y, sched: DDNMSchedule, key):
 
 
 @partial(jax.jit, static_argnames=("body", "noise_fn"))
-def _host_step(body, noise_fn, params, x, y, key, t_i, at, at_next):
+def _host_step(body, noise_fn, params, x, y, key, t_i, at, at_next,
+               op_ctx=None):
     n = x.shape[0]
     key, k_noise = split_key(key)
     noise = draw_noise(noise_fn, k_noise, x.shape)
     t_f = jnp.full((n,), t_i, dtype=jnp.float32)
-    x_next, x0_t = body(params, x, y, t_f, at, at_next, noise)
+    x_next, x0_t = body(params, x, y, t_f, at, at_next, noise, op_ctx)
     return x_next, x0_t, key
 
 
@@ -287,7 +296,8 @@ def _host_travel(noise_fn, x0_pred, key, at_next):
     return _travel_step(x0_pred, at_next, noise), key
 
 
-def _run_host(body, noise_fn, params, x_init, y, sched: DDNMSchedule, key):
+def _run_host(body, noise_fn, params, x_init, y, sched: DDNMSchedule, key,
+              op_ctx=None):
     """Host-driven loop: one async jitted dispatch per step.
 
     The schedule is static numpy, so the travel branch is a *Python* branch
@@ -303,15 +313,16 @@ def _run_host(body, noise_fn, params, x_init, y, sched: DDNMSchedule, key):
             x, key = _host_travel(noise_fn, x0_pred, key, at_next)
         else:
             x, x0_pred, key = _host_step(
-                body, noise_fn, params, x, y, key, float(t_i), at, at_next
+                body, noise_fn, params, x, y, key, float(t_i), at, at_next,
+                op_ctx,
             )
     return x, x0_pred
 
 
-def _drive(loop, body, noise_fn, params, x_init, y, sched, key):
+def _drive(loop, body, noise_fn, params, x_init, y, sched, key, op_ctx=None):
     if _resolve_loop(loop) == "scan":
-        return _run_scan(body, noise_fn, params, x_init, y, sched, key)
-    return _run_host(body, noise_fn, params, x_init, y, sched, key)
+        return _run_scan(body, noise_fn, params, x_init, y, sched, key, op_ctx)
+    return _run_host(body, noise_fn, params, x_init, y, sched, key, op_ctx)
 
 
 # ----------------------------------------------------------------- public API
@@ -330,6 +341,7 @@ def sample_simplified(
     noise_fn: NoiseFn = _default_noise,
     loop: str = "auto",
     params=None,
+    op_ctx=None,
 ) -> tuple[Array, Array]:
     """Simplified DDNM+ over NHWC images. Returns (x_final, x0_pred_final).
 
@@ -339,9 +351,20 @@ def sample_simplified(
     `params`: optional pytree passed to model_fn as its first argument
     (model_fn(params, x, t)); REQUIRED for large models on remote-compile
     backends so weights travel as jit arguments, not HLO constants.
+
+    `op_ctx`: runtime operator context for context-parameterised operators
+    (FunctionalOperator.A_ctx), e.g. a (B, H, W, 1) per-image mask batch —
+    every step projects through A_ctx/Ap_ctx with this tensor instead of
+    the operator's baked static forms. One compiled executable serves any
+    mask; with ctx == the static mask the trajectories are identical.
     """
+    if op_ctx is not None and not operator.has_ctx:
+        raise ValueError(
+            f"operator {operator.name!r} has no A_ctx/Ap_ctx forms; "
+            "op_ctx requires a context-parameterised operator"
+        )
     body = _Body(_simplified_body, (model_fn, operator, eta, sigma_y))
-    return _drive(loop, body, noise_fn, params, x_init, y, sched, key)
+    return _drive(loop, body, noise_fn, params, x_init, y, sched, key, op_ctx)
 
 
 def sample_svd(

@@ -41,6 +41,14 @@ service actually receives); `input=gt` instead applies the task's A to the
 uploaded image first — the reference CLI's evaluation semantics
 (guided_diffusion/diffusion.py:306).
 
+Per-request masks: for context-parameterised tasks (inpainting,
+mask_color_sr — FunctionalOperator.A_ctx) a request may upload an RGBA PNG
+whose alpha channel is the keep-mask. The mask rides the sampler as a
+runtime `op_ctx` tensor, so ONE compiled executable serves every mask and
+requests with different masks still coalesce into one batch. RGB uploads
+keep using the task's configured static mask. Masked and maskless requests
+never share a batch (their executables differ).
+
 This is the online complement of `ddnm_tpu.serving` (offline `jax.export`
 artifacts): the exported step artifact and this service run the same
 sampler; deployments that cannot ship Python use the artifact, deployments
@@ -158,10 +166,41 @@ class RestorationService:
             name: jax.eval_shape(op.A, img).shape[1:]
             for name, op in self._operators.items()
         }
+        # Which ctx tasks accept a *degraded* masked upload: only those whose
+        # A_ctx is the pure keep-mask projection (then the masked upload
+        # times its own mask IS A(x) exactly — A is idempotent). Checked
+        # numerically on a tiny probe, not guessed from the task name.
+        self._ctx_mask_projection = {}
+        for name, op in self._operators.items():
+            if not op.has_ctx or self._y_shapes[name] != (
+                self.image_size, self.image_size, 3
+            ):
+                self._ctx_mask_projection[name] = False
+                continue
+            probe = jnp.asarray(
+                np.random.default_rng(0).uniform(-1, 1, (1, 8, 8, 3)),
+                jnp.float32)
+            pmask = jnp.asarray(
+                (np.random.default_rng(1).random((1, 8, 8, 1)) > 0.5),
+                jnp.float32)
+            self._ctx_mask_projection[name] = bool(
+                np.allclose(np.asarray(op.A_ctx(probe, pmask)),
+                            np.asarray(probe * pmask))
+            )
 
     @property
     def tasks(self) -> tuple:
         return tuple(sorted(self._operators))
+
+    @property
+    def ctx_tasks(self) -> tuple:
+        """Tasks that accept a per-request mask (RGBA upload)."""
+        return tuple(sorted(n for n, op in self._operators.items()
+                            if op.has_ctx))
+
+    def ctx_degraded_ok(self, deg: str) -> bool:
+        """True if `deg` accepts a *degraded* RGBA upload (pure mask op)."""
+        return self._ctx_mask_projection.get(deg, False)
 
     def y_shape(self, deg: str) -> tuple:
         """(h, w, c) the degraded observation must have for task `deg`."""
@@ -174,18 +213,22 @@ class RestorationService:
         seqs: Sequence[int],
         *,
         input_kind: str = "degraded",
+        ctxs: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """Restore a group of <= max_batch requests for one task.
 
         images: (B, h, w, c) float32 in [0, 1] — the degraded observations
         (input_kind="degraded", default) or ground-truth images to degrade
         first (input_kind="gt"). seqs: one monotone sequence number per
-        request (the RNG identity). Returns (B, H, W, 3) float32 in [0, 1].
+        request (the RNG identity). `ctxs`: optional (B, H, W, 1) per-image
+        keep-masks for ctx-capable tasks. Returns (B, H, W, 3) float32 in
+        [0, 1].
 
         Blocking form of restore_async + fetch.
         """
         return self.fetch(
-            self.restore_async(images, deg, seqs, input_kind=input_kind)
+            self.restore_async(images, deg, seqs, input_kind=input_kind,
+                               ctxs=ctxs)
         )
 
     def restore_async(
@@ -195,6 +238,7 @@ class RestorationService:
         seqs: Sequence[int],
         *,
         input_kind: str = "degraded",
+        ctxs: Optional[np.ndarray] = None,
     ):
         """Dispatch a group's full trajectory and return WITHOUT syncing.
 
@@ -212,6 +256,17 @@ class RestorationService:
         if len(seqs) != b:
             raise ValueError("one sequence number per image required")
 
+        ctx = None
+        if ctxs is not None:
+            if not op.has_ctx:
+                raise ValueError(
+                    f"{deg!r} takes no per-request masks (no A_ctx forms)")
+            ctx = jnp.asarray(ctxs, jnp.float32)
+            expected_ctx = (b, self.image_size, self.image_size, 1)
+            if ctx.shape != expected_ctx:
+                raise ValueError(
+                    f"ctxs must be {expected_ctx}, got {tuple(ctx.shape)}")
+
         x_in = jnp.asarray(images, jnp.float32)
         if input_kind == "gt":
             expected = (self.image_size, self.image_size, 3)
@@ -219,14 +274,29 @@ class RestorationService:
                 raise ValueError(
                     f"gt input must be {expected}, got {tuple(x_in.shape[1:])}"
                 )
-            y = op.A(data_transform(x_in))
+            xg = data_transform(x_in)
+            y = op.A_ctx(xg, ctx) if ctx is not None else op.A(xg)
         elif input_kind == "degraded":
-            if x_in.shape[1:] != self._y_shapes[deg]:
-                raise ValueError(
-                    f"degraded input for {deg!r} must be "
-                    f"{self._y_shapes[deg]}, got {tuple(x_in.shape[1:])}"
-                )
-            y = data_transform(x_in)
+            if ctx is not None:
+                # masked upload: valid only for pure keep-mask projections,
+                # where (masked image) * mask == A(x) exactly (A idempotent)
+                if not self.ctx_degraded_ok(deg):
+                    raise ValueError(
+                        f"{deg!r} cannot take a degraded masked upload; "
+                        "send input=gt with the RGBA mask instead")
+                expected = (self.image_size, self.image_size, 3)
+                if x_in.shape[1:] != expected:
+                    raise ValueError(
+                        f"masked degraded input must be {expected}, "
+                        f"got {tuple(x_in.shape[1:])}")
+                y = data_transform(x_in) * ctx
+            else:
+                if x_in.shape[1:] != self._y_shapes[deg]:
+                    raise ValueError(
+                        f"degraded input for {deg!r} must be "
+                        f"{self._y_shapes[deg]}, got {tuple(x_in.shape[1:])}"
+                    )
+                y = data_transform(x_in)
         else:
             raise ValueError(f"input_kind must be 'degraded' or 'gt', got {input_kind!r}")
 
@@ -236,6 +306,9 @@ class RestorationService:
         pad = self.max_batch - b
         if pad:
             y = jnp.concatenate([y, jnp.repeat(y[:1], pad, axis=0)], axis=0)
+            if ctx is not None:
+                ctx = jnp.concatenate(
+                    [ctx, jnp.repeat(ctx[:1], pad, axis=0)], axis=0)
         seq_arr = jnp.asarray(list(seqs) + [0] * pad, jnp.uint32)
         keys = jax.vmap(lambda s: jax.random.fold_in(self._base_key, s))(seq_arr)
         init_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
@@ -249,9 +322,12 @@ class RestorationService:
             x_init, y, noise_keys = shard_batch(
                 self._mesh, (x_init, y, noise_keys)
             )
+            if ctx is not None:
+                (ctx,) = shard_batch(self._mesh, (ctx,))
         x, _ = sample_simplified(
             self._model_fn, x_init, y, op, self._sched, noise_keys,
             eta=self._eta, sigma_y=self._sigma_y, params=self._params,
+            op_ctx=ctx,
         )
         return inverse_data_transform(x[:b])
 
@@ -261,10 +337,15 @@ class RestorationService:
         return np.asarray(jax.device_get(out), np.float32)
 
     def warmup(self) -> None:
-        """Compile every task's executable before taking traffic."""
+        """Compile every task's executable before taking traffic —
+        including the per-request-mask (ctx) variant of ctx-capable tasks,
+        which is a distinct executable."""
         zero = np.zeros((1, self.image_size, self.image_size, 3), np.float32)
+        ones = np.ones((1, self.image_size, self.image_size, 1), np.float32)
         for deg in self.tasks:
             self.restore(zero, deg, [0], input_kind="gt")
+        for deg in self.ctx_tasks:
+            self.restore(zero, deg, [0], input_kind="gt", ctxs=ones)
 
 
 @dataclass
@@ -273,6 +354,7 @@ class _Request:
     deg: str
     input_kind: str
     seq: int
+    ctx: Optional[np.ndarray] = None  # per-request keep-mask (H, W, 1)
     event: threading.Event = field(default_factory=threading.Event)
     # set by the handler when its client stopped waiting; the worker skips
     # cancelled requests instead of burning a device batch nobody reads
@@ -373,20 +455,25 @@ class RestorationServer:
 
     # -- request path -------------------------------------------------------
 
-    def submit(self, image: np.ndarray, deg: str, input_kind: str) -> _Request:
+    def submit(self, image: np.ndarray, deg: str, input_kind: str,
+               ctx: Optional[np.ndarray] = None) -> _Request:
         if self._stopped:
             raise RuntimeError("server is shut down")
         with self._seq_lock:
             seq = self._seq
             self._seq += 1
-        req = _Request(image=image, deg=deg, input_kind=input_kind, seq=seq)
+        req = _Request(image=image, deg=deg, input_kind=input_kind, seq=seq,
+                       ctx=ctx)
         self._queue.put_nowait(req)  # raises queue.Full -> 503 upstream
         return req
 
     def _collect(self, first: _Request) -> list:
-        """Coalesce up to max_batch same-(task, input_kind) requests,
-        waiting at most max_wait for stragglers. A mismatched request is
-        held for the next group rather than reordered."""
+        """Coalesce up to max_batch same-(task, input_kind, maskedness)
+        requests, waiting at most max_wait for stragglers. A mismatched
+        request is held for the next group rather than reordered. Masked
+        and maskless requests never share a group (their executables
+        differ); different masks DO share one (the mask is a runtime
+        tensor)."""
         group = [first]
         deadline = time.monotonic() + self._max_wait
         while len(group) < self.service.max_batch:
@@ -397,7 +484,8 @@ class RestorationServer:
                 nxt = self._queue.get(timeout=remaining)
             except queue.Empty:
                 break
-            if nxt.deg == first.deg and nxt.input_kind == first.input_kind:
+            if (nxt.deg == first.deg and nxt.input_kind == first.input_kind
+                    and (nxt.ctx is None) == (first.ctx is None)):
                 group.append(nxt)
             else:
                 self._held = nxt
@@ -465,9 +553,11 @@ class RestorationServer:
             return None
         try:
             images = np.stack([r.image for r in live])
+            ctxs = (np.stack([r.ctx for r in live])
+                    if live[0].ctx is not None else None)
             out = self.service.restore_async(
                 images, live[0].deg, [r.seq for r in live],
-                input_kind=live[0].input_kind,
+                input_kind=live[0].input_kind, ctxs=ctxs,
             )
         except Exception as exc:  # trace/shape-time failure: fail the group
             self._complete(live, None, exc)
@@ -527,6 +617,7 @@ def _make_handler(server: RestorationServer):
                 self._send_json(200, {
                     "status": "ok",
                     "tasks": list(server.service.tasks),
+                    "ctx_tasks": list(server.service.ctx_tasks),
                     "image_size": server.service.image_size,
                     "max_batch": server.service.max_batch,
                     "queue_depth": server._queue.qsize(),
@@ -559,23 +650,47 @@ def _make_handler(server: RestorationServer):
                     self._send_json(413, {"error": "bad content length"})
                     return
                 raw = self.rfile.read(length)
-                img = Image.open(io.BytesIO(raw)).convert("RGB")
-                arr = np.asarray(img, np.float32) / 255.0
+                img = Image.open(io.BytesIO(raw))
+                ctx = None
+                if "A" in img.getbands():
+                    # RGBA upload: alpha is the per-request keep-mask
+                    rgba = np.asarray(img.convert("RGBA"), np.float32)
+                    arr = rgba[..., :3] / 255.0
+                    ctx = (rgba[..., 3:] > 127.0).astype(np.float32)
+                else:
+                    arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
             except Exception as exc:
                 self._send_json(400, {"error": f"bad image: {exc}"})
                 return
             # Validate dimensions HERE so one malformed request cannot
             # poison the coalesced batch it would have ridden in.
             size = server.service.image_size
-            expected = ((size, size, 3) if input_kind == "gt"
-                        else server.service.y_shape(deg))
+            if ctx is not None:
+                if deg not in server.service.ctx_tasks:
+                    self._send_json(
+                        400, {"error": f"{deg!r} takes no per-request mask "
+                                       "(RGBA upload); tasks with mask "
+                                       "support: "
+                                       f"{list(server.service.ctx_tasks)}"})
+                    return
+                if (input_kind == "degraded"
+                        and not server.service.ctx_degraded_ok(deg)):
+                    self._send_json(
+                        400, {"error": f"{deg!r} cannot take a degraded "
+                                       "masked upload; send input=gt with "
+                                       "the RGBA mask instead"})
+                    return
+                expected = (size, size, 3)  # masked uploads are gt-sized
+            else:
+                expected = ((size, size, 3) if input_kind == "gt"
+                            else server.service.y_shape(deg))
             if arr.shape != expected:
                 self._send_json(
                     400, {"error": f"{input_kind} input for {deg!r} must be "
                                    f"{expected}, got {tuple(arr.shape)}"})
                 return
             try:
-                req = server.submit(arr, deg, input_kind)
+                req = server.submit(arr, deg, input_kind, ctx=ctx)
             except queue.Full:
                 self._send_json(503, {"error": "queue full"})
                 return

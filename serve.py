@@ -88,6 +88,8 @@ def build_service(ns):
     runner = Runner(args, config)
     model_fn, _, run_params = runner.build_model(jax.random.PRNGKey(ns.seed))
 
+    import numpy as np
+
     size = config.data.image_size
     mask = load_mask(ns.mask_path) if ns.mask_path else None
     operators = {}
@@ -95,9 +97,14 @@ def build_service(ns):
         if deg not in SIMPLIFIED_DEGS:
             raise SystemExit(f"unknown task {deg!r}; choose from {SIMPLIFIED_DEGS}")
         needs_mask = deg in ("inpainting", "mask_color_sr", "diy")
+        op_mask = mask
+        if needs_mask and op_mask is None:
+            # no --mask_path: static mask defaults to all-keep; clients
+            # supply per-request masks via RGBA uploads (server docstring)
+            op_mask = np.ones((size, size, 1), np.float32)
         operators[deg] = build_functional_operator(
             deg, image_size=size, deg_scale=ns.deg_scale,
-            mask=mask if needs_mask else None,
+            mask=op_mask if needs_mask else None,
         )
     mesh = None
     if getattr(ns, "dp", 1) > 1:

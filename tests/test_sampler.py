@@ -410,6 +410,73 @@ def test_encoder_prop_key_steps_and_calibration(tiny_model):
         select_key_steps(drift, 0)
 
 
+@pytest.mark.parametrize("loop", ["scan", "host"])
+@pytest.mark.parametrize("deg", ["inpainting", "mask_color_sr"])
+def test_simplified_op_ctx_matches_static_mask(tiny_model, loop, deg):
+    """Per-image runtime masks (op_ctx) through ONE executable must match
+    per-image runs with the mask baked statically into the operator —
+    per-image keys make the noise streams grouping-independent, so the
+    match is bitwise."""
+    _, _, model, params = tiny_model
+    model_fn = lambda p, x, t: model.apply(p, x, t)
+    sched = build_schedule(betas=_betas(), t_sampling=T_SAMPLING,
+                           travel_length=1, travel_repeat=2)
+    rng = np.random.default_rng(5)
+    masks = (rng.random((2, RES, RES, 1)) > 0.4).astype(np.float32)
+    gts = jnp.asarray(rng.uniform(-1, 1, (2, RES, RES, 3)), jnp.float32)
+    keys = jnp.stack([
+        jax.random.key_data(jax.random.PRNGKey(11)),
+        jax.random.key_data(jax.random.PRNGKey(12)),
+    ]).astype(jnp.uint32)
+    x_init = jax.vmap(
+        lambda k: jax.random.normal(jax.random.wrap_key_data(
+            k, impl="threefry2x32"), (RES, RES, 3), jnp.float32)
+    )(keys)
+
+    # one ctx-capable operator; its static mask is irrelevant to ctx runs
+    op = build_functional_operator(
+        deg, image_size=RES, mask=np.ones((RES, RES, 1), np.float32),
+        deg_scale=4)
+    assert op.has_ctx
+    ctx = jnp.asarray(masks)
+
+    # (1) ctx math == static math, bitwise, at the same batch shape: a
+    # batch-1 ctx run reproduces the static-mask operator's run exactly
+    for i in range(2):
+        op_i = build_functional_operator(
+            deg, image_size=RES, mask=masks[i], deg_scale=4)
+        x_st, _ = sample_simplified(
+            model_fn, x_init[i : i + 1], op_i.A(gts[i : i + 1]), op_i, sched,
+            keys[i : i + 1], loop=loop, params=params,
+        )
+        x_c1, _ = sample_simplified(
+            model_fn, x_init[i : i + 1], op.A_ctx(gts[i : i + 1], ctx[i : i + 1]),
+            op, sched, keys[i : i + 1], loop=loop, params=params,
+            op_ctx=ctx[i : i + 1],
+        )
+        np.testing.assert_array_equal(np.asarray(x_c1), np.asarray(x_st))
+
+    # (2) lanes are independent inside one batched ctx executable: lane 0
+    # is bitwise-unchanged when lane 1's mask changes, lane 1 is not
+    ctx_b = jnp.asarray(np.stack([masks[0], masks[0]]))
+    x_a, _ = sample_simplified(
+        model_fn, x_init, op.A_ctx(gts, ctx), op, sched, keys,
+        loop=loop, params=params, op_ctx=ctx)
+    x_b, _ = sample_simplified(
+        model_fn, x_init, op.A_ctx(gts, ctx_b), op, sched, keys,
+        loop=loop, params=params, op_ctx=ctx_b)
+    np.testing.assert_array_equal(np.asarray(x_a[0]), np.asarray(x_b[0]))
+    assert not np.array_equal(np.asarray(x_a[1]), np.asarray(x_b[1]))
+
+    # (3) ctx on an operator without ctx forms is an error
+    with pytest.raises(ValueError, match="A_ctx"):
+        sample_simplified(
+            model_fn, x_init, op.A_ctx(gts, ctx), build_functional_operator(
+                "sr_averagepooling", image_size=RES, deg_scale=4),
+            sched, keys, params=params, op_ctx=ctx,
+        )
+
+
 def test_encoder_prop_rejects_bad_interval():
     import pytest as _pytest
 

@@ -386,6 +386,168 @@ def test_healthz_reports_latency_and_depth(service):
         server.stop()
 
 
+@pytest.fixture(scope="module")
+def mask_service():
+    """Service with the ctx-capable inpainting task (all-keep static mask)."""
+    model = DDPMUNet(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                     attn_resolutions=(16,), resolution=RES)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.zeros((1, RES, RES, 3)), jnp.zeros((1,)))
+    betas = schedules.get_beta_schedule(
+        "linear", beta_start=1e-4, beta_end=0.02, num_diffusion_timesteps=100
+    )
+    sched = build_schedule(betas=betas, t_sampling=3)
+    ops = {
+        "inpainting": build_functional_operator(
+            "inpainting", image_size=RES,
+            mask=np.ones((RES, RES, 1), np.float32)),
+        "mask_color_sr": build_functional_operator(
+            "mask_color_sr", image_size=RES, deg_scale=4,
+            mask=np.ones((RES, RES, 1), np.float32)),
+    }
+    return RestorationService(
+        lambda p, x, t: model.apply(p, x, t), params, sched, ops,
+        image_size=RES, max_batch=4,
+    )
+
+
+def _masks(n, seed=17):
+    rng = np.random.default_rng(seed)
+    return (rng.random((n, RES, RES, 1)) > 0.4).astype(np.float32)
+
+
+def test_service_per_request_masks(mask_service):
+    """Different per-request masks ride ONE executable; lanes stay
+    independent (lane 0 bitwise-unchanged when lane 1's mask changes),
+    and a masked degraded upload equals the gt path for the pure mask op."""
+    svc = mask_service
+    assert svc.ctx_tasks == ("inpainting", "mask_color_sr")
+    assert svc.ctx_degraded_ok("inpainting")
+    assert not svc.ctx_degraded_ok("mask_color_sr")  # y is pooled gray
+
+    gts = _gt_images(2, seed=11)
+    m = _masks(2)
+    out_ab = svc.restore(gts, "inpainting", [5, 6], input_kind="gt", ctxs=m)
+    m_aa = np.stack([m[0], m[0]])
+    out_aa = svc.restore(gts, "inpainting", [5, 6], input_kind="gt", ctxs=m_aa)
+    np.testing.assert_array_equal(out_ab[0], out_aa[0])
+    assert not np.array_equal(out_ab[1], out_aa[1])
+
+    # masked degraded upload == gt upload for the pure mask projection:
+    # y = T(gt * mask_in_01_space)... the degraded client sends gt pixels
+    # with invalid ones arbitrary; A(x) zeroes them in [-1,1] space
+    via_gt = svc.restore(gts, "inpainting", [7, 8], input_kind="gt", ctxs=m)
+    # what a client actually has: the gt with masked-out pixels destroyed
+    destroyed = gts * m + (1 - m) * 0.5  # arbitrary filler in holes
+    via_deg = svc.restore(destroyed.astype(np.float32), "inpainting", [7, 8],
+                          input_kind="degraded", ctxs=m)
+    np.testing.assert_allclose(via_deg, via_gt, atol=1e-6)
+
+    # ctx validation
+    with pytest.raises(ValueError, match="ctxs must be"):
+        svc.restore(gts, "inpainting", [0, 1], input_kind="gt",
+                    ctxs=m[:, :16])  # wrong spatial shape
+    with pytest.raises(ValueError, match="degraded masked"):
+        svc.restore(gts, "mask_color_sr", [0, 1], input_kind="degraded",
+                    ctxs=m)
+
+
+def _rgba_png_bytes(img01, mask01):
+    from PIL import Image
+
+    rgb = np.clip(img01 * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    alpha = (mask01[..., 0] * 255).astype(np.uint8)
+    rgba = np.concatenate([rgb, alpha[..., None]], axis=-1)
+    buf = io.BytesIO()
+    Image.fromarray(rgba, mode="RGBA").save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_http_rgba_mask_roundtrip(mask_service):
+    """RGBA uploads carry per-request masks; different-mask requests
+    coalesce into one batch and each result matches the direct service
+    call with that request's seq + mask."""
+    server = RestorationServer(mask_service, max_wait_ms=150.0)
+    server.start()
+    host, port = server.address
+    base = f"http://{host}:{port}"
+    try:
+        gts = _gt_images(2, seed=23)
+        m = _masks(2, seed=29)
+        sent = np.clip(gts * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        results = {}
+
+        def call(i):
+            results[i] = _post(f"{base}/restore?deg=inpainting&input=gt",
+                               _rgba_png_bytes(gts[i], m[i]))
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in (0, 1)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        from PIL import Image
+
+        assert all(results[i][0] == 200 for i in (0, 1)), results
+        assert server.stats.batched_requests == 2  # they coalesced
+        for i in (0, 1):
+            _, body, headers = results[i]
+            got = np.asarray(Image.open(io.BytesIO(body)))
+            seq = int(headers["X-Seq"])
+            direct = mask_service.restore(
+                (sent[i].astype(np.float32) / 255.0)[None],
+                "inpainting", [seq], input_kind="gt", ctxs=m[i : i + 1],
+            )[0]
+            want = np.clip(direct * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            np.testing.assert_array_equal(got, want)
+        # health reports ctx tasks
+        import json
+        import urllib.request as _rq
+
+        with _rq.urlopen(f"{base}/healthz", timeout=30) as resp:
+            h = json.loads(resp.read())
+        assert h["ctx_tasks"] == ["inpainting", "mask_color_sr"]
+        # RGBA on a non-ctx task -> 400 (spin up none; this service has
+        # only ctx tasks, so check the degraded-reject path instead)
+        status, body, _ = _post(
+            f"{base}/restore?deg=mask_color_sr",
+            _rgba_png_bytes(gts[0], m[0]))
+        assert status == 400 and b"degraded masked" in body
+    finally:
+        server.stop()
+
+
+def test_rgba_on_non_ctx_task_rejected(service):
+    """An RGBA upload against a task without A_ctx forms is a handler 400."""
+    server = RestorationServer(service)
+    server.start()
+    host, port = server.address
+    try:
+        gt = _gt_images(1, seed=3)[0]
+        mask = _masks(1, seed=4)[0]
+        status, body, _ = _post(
+            f"http://{host}:{port}/restore?deg=sr_averagepooling&input=gt",
+            _rgba_png_bytes(gt, mask))
+        assert status == 400 and b"per-request mask" in body
+    finally:
+        server.stop()
+
+
+def test_collect_never_mixes_masked_and_maskless(mask_service):
+    """Masked and maskless requests target different executables and must
+    not share a group."""
+    server = RestorationServer(mask_service, max_wait_ms=50.0)
+    gt = _gt_images(1)[0]
+    m = _masks(1)[0]
+    server.submit(gt, "inpainting", "gt", ctx=m)
+    server.submit(gt, "inpainting", "gt")  # maskless
+    first = server._queue.get()
+    group = server._collect(first)
+    assert len(group) == 1 and group[0].ctx is not None
+    assert server._held is not None and server._held.ctx is None
+    server._httpd.server_close()
+
+
 class _FakeService:
     """Device-free stand-in with the RestorationService surface the server
     touches — lets the soak test hammer the batcher/pipeline at full speed
@@ -400,7 +562,8 @@ class _FakeService:
     def y_shape(self, deg):
         return (self.image_size, self.image_size, 3)
 
-    def restore_async(self, images, deg, seqs, *, input_kind="degraded"):
+    def restore_async(self, images, deg, seqs, *, input_kind="degraded",
+                      ctxs=None):
         if any(s in self._fail for s in seqs):
             raise RuntimeError("injected dispatch failure")
         # encode (seq, task) into the result so parity is checkable
