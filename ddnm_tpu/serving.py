@@ -29,6 +29,7 @@ __all__ = [
     "export_simplified_step",
     "export_simplified_trajectory",
     "export_posterior_step",
+    "export_posterior_trajectory",
     "load_exported",
 ]
 
@@ -200,6 +201,85 @@ def export_posterior_step(
     ) + (scalar,) * 8
     exp = jax.export.export(
         jax.jit(step),
+        platforms=list(platforms) if platforms else None,
+    )(*args)
+    blob = exp.serialize()
+    if path is not None:
+        Path(path).write_bytes(blob)
+    return blob
+
+
+def export_posterior_trajectory(
+    model_fn: Callable,
+    params,
+    operator: FunctionalOperator,
+    tables,
+    *,
+    batch: int,
+    image_size: int,
+    clip_denoised: bool = True,
+    with_paste: bool = False,
+    with_ctx: bool = False,
+    per_image_keys: bool = False,
+    platforms: tuple[str, ...] | None = None,
+    path: str | Path | None = None,
+) -> bytes:
+    """Serialize the WHOLE posterior (hq) jump-schedule loop as one artifact.
+
+    The Mask-Shift inner loop — respaced posterior DDNM with time-travel —
+    as a single exported scan with the `build_posterior_tables` tables
+    baked in. Signature (params, x_init, apy[, paste_mask, paste_content]
+    [, op_ctx], key) -> (x_final, x0_hat): exactly `sample_posterior
+    (loop="scan")`, so a deployment runs one call per tile/batch.
+
+    `with_paste` adds the Mask-Shift overlap-consistency inputs
+    (tile-shaped paste mask + content); `with_ctx` adds the runtime
+    operator-context tensor (e.g. per-tile/per-request keep-masks); both
+    are traced inputs, so one artifact serves every tile position and
+    mask. Classifier guidance closes over Python callables and is not
+    exportable — bake it into `model_fn` if needed.
+    """
+    if with_ctx and not operator.has_ctx:
+        raise ValueError("with_ctx=True needs an operator with A_ctx/Ap_ctx")
+
+    from ddnm_tpu.sampling.posterior import sample_posterior
+
+    if with_paste and with_ctx:
+        def traj(params, x_init, apy, paste_mask, paste_content, op_ctx, key):
+            return sample_posterior(
+                model_fn, x_init, apy, operator, tables, key,
+                paste_mask=paste_mask, paste_content=paste_content,
+                op_ctx=op_ctx, clip_denoised=clip_denoised, loop="scan",
+                params=params)
+    elif with_paste:
+        def traj(params, x_init, apy, paste_mask, paste_content, key):
+            return sample_posterior(
+                model_fn, x_init, apy, operator, tables, key,
+                paste_mask=paste_mask, paste_content=paste_content,
+                clip_denoised=clip_denoised, loop="scan", params=params)
+    elif with_ctx:
+        def traj(params, x_init, apy, op_ctx, key):
+            return sample_posterior(
+                model_fn, x_init, apy, operator, tables, key, op_ctx=op_ctx,
+                clip_denoised=clip_denoised, loop="scan", params=params)
+    else:
+        def traj(params, x_init, apy, key):
+            return sample_posterior(
+                model_fn, x_init, apy, operator, tables, key,
+                clip_denoised=clip_denoised, loop="scan", params=params)
+
+    img = jax.ShapeDtypeStruct((batch, image_size, image_size, 3), jnp.float32)
+    paste = (img, img) if with_paste else ()
+    ctx = (jax.ShapeDtypeStruct((batch, image_size, image_size, 1),
+                                jnp.float32),) if with_ctx else ()
+    key_shape = (batch, 2) if per_image_keys else (2,)
+    args = (
+        jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params),
+        img,
+        img,
+    ) + paste + ctx + (jax.ShapeDtypeStruct(key_shape, jnp.uint32),)
+    exp = jax.export.export(
+        jax.jit(traj),
         platforms=list(platforms) if platforms else None,
     )(*args)
     blob = exp.serialize()

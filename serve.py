@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import logging
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -143,12 +144,20 @@ def main(argv=None):
     server.start()
     logging.info("serving %s on http://%s:%d (max_batch=%d)",
                  service.tasks, *server.address, service.max_batch)
+
+    # graceful drain on SIGTERM (the supervisor's stop signal): pending
+    # requests get explicit 503s instead of connection resets
+    import signal
+
+    stop_requested = threading.Event()
+    signal.signal(signal.SIGTERM, lambda *_: stop_requested.set())
     try:
-        while True:
-            time.sleep(3600)
+        while not stop_requested.wait(timeout=3600):
+            pass
     except KeyboardInterrupt:
-        logging.info("shutting down")
-        server.stop()
+        pass
+    logging.info("shutting down")
+    server.stop()
 
 
 if __name__ == "__main__":

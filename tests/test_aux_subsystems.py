@@ -344,6 +344,82 @@ def test_serving_export_posterior_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(x0), np.asarray(ref_x0), atol=1e-5)
 
 
+def test_serving_export_posterior_trajectory_roundtrip(tmp_path):
+    """Export the WHOLE posterior jump-schedule loop (paste + ctx + travel)
+    and match the live scan-driver sampler bitwise."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddnm_tpu import schedules
+    from ddnm_tpu.models.unet_ddpm import DDPMUNet
+    from ddnm_tpu.operators import build_functional_operator
+    from ddnm_tpu.sampling.posterior import (
+        build_posterior_tables, sample_posterior)
+    from ddnm_tpu.serving import export_posterior_trajectory, load_exported
+
+    size, batch = 32, 2
+    model = DDPMUNet(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                     attn_resolutions=(16,), resolution=size)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (batch, size, size, 3))
+    params = model.init(rng, x, jnp.zeros((batch,)))
+
+    def model_fn(p, xx, tt):
+        eps = model.apply(p, xx, tt)
+        return jnp.concatenate([eps, jnp.zeros_like(eps)], axis=-1)
+
+    op = build_functional_operator(
+        "inpainting", image_size=size,
+        mask=np.ones((size, size, 1), np.float32))
+    betas = schedules.get_beta_schedule(
+        "linear", beta_start=1e-4, beta_end=0.02,
+        num_diffusion_timesteps=100)
+    tables = build_posterior_tables(
+        betas=betas, timestep_respacing="10",
+        schedule_jump_params=dict(t_T=10, n_sample=1, jump_length=3,
+                                  jump_n_sample=2))
+    rng2 = np.random.default_rng(3)
+    ctx = jnp.asarray((rng2.random((batch, size, size, 1)) > 0.4), jnp.float32)
+    gts = jnp.asarray(rng2.uniform(-1, 1, (batch, size, size, 3)), jnp.float32)
+    apy = op.Ap_ctx(op.A_ctx(gts, ctx), ctx)
+    paste_mask = jnp.asarray(
+        (rng2.random((batch, size, size, 3)) > 0.5), jnp.float32)
+    paste_content = jnp.asarray(
+        rng2.uniform(-1, 1, (batch, size, size, 3)), jnp.float32)
+
+    blob = export_posterior_trajectory(
+        model_fn, params, op, tables, batch=batch, image_size=size,
+        with_paste=True, with_ctx=True, per_image_keys=True,
+        path=tmp_path / "ptraj.bin",
+    )
+    assert (tmp_path / "ptraj.bin").stat().st_size == len(blob) > 0
+
+    call = load_exported(tmp_path / "ptraj.bin")
+    keys = jnp.stack([
+        jax.random.key_data(jax.random.PRNGKey(7)),
+        jax.random.key_data(jax.random.PRNGKey(8)),
+    ]).astype(jnp.uint32)
+    x_out, x0_out = call(params, x, apy, paste_mask, paste_content, ctx, keys)
+    assert x_out.shape == x.shape
+    assert np.isfinite(np.asarray(x_out)).all()
+
+    ref_x, ref_x0 = sample_posterior(
+        model_fn, x, apy, op, tables, jnp.asarray(keys),
+        paste_mask=paste_mask, paste_content=paste_content, op_ctx=ctx,
+        loop="scan", params=params,
+    )
+    np.testing.assert_array_equal(np.asarray(x_out), np.asarray(ref_x))
+    np.testing.assert_array_equal(np.asarray(x0_out), np.asarray(ref_x0))
+
+    # ctx export on a ctx-less operator is an error
+    plain = build_functional_operator(
+        "sr_averagepooling", image_size=size, deg_scale=4)
+    with pytest.raises(ValueError, match="A_ctx"):
+        export_posterior_trajectory(
+            model_fn, params, plain, tables, batch=batch, image_size=size,
+            with_ctx=True)
+
+
 def test_aggregate_reports(tmp_path):
     """Cross-host report merge: sample-weighted PSNR, max-wall throughput."""
     import json

@@ -651,6 +651,44 @@ def test_server_soak_dispatch_failures_are_isolated():
         server.stop()
 
 
+def test_serve_cli_sigterm_drains(tmp_path):
+    """serve.py exits cleanly on SIGTERM (graceful drain path)."""
+    import json
+    import os
+    import signal
+    import subprocess
+    import sys
+    import urllib.request
+
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    proc = subprocess.Popen(
+        [sys.executable, "serve.py", "--config", "configs/smoke.yml",
+         "--random_init", "--degs", "denoising", "--t_sampling", "2",
+         "--port", "0", "--no_warmup", "--port", "8733"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        deadline = time.monotonic() + 180
+        up = False
+        while time.monotonic() < deadline:
+            if proc.poll() is not None:
+                raise AssertionError(f"server died: {proc.stdout.read()}")
+            try:
+                with urllib.request.urlopen(
+                        "http://127.0.0.1:8733/healthz", timeout=2) as r:
+                    assert json.load(r)["status"] == "ok"
+                    up = True
+                    break
+            except (OSError, ValueError):
+                time.sleep(0.5)
+        assert up, "server never came up"
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=60) == 0
+        assert "shutting down" in proc.stdout.read()
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
 def test_collect_coalesces_same_task(service):
     """The batcher groups same-task requests and holds a mismatch back."""
     server = RestorationServer(service, max_wait_ms=50.0)
