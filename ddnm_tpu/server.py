@@ -75,7 +75,7 @@ import jax.numpy as jnp
 
 from ddnm_tpu.data.transforms import data_transform, inverse_data_transform
 from ddnm_tpu.operators.functional import FunctionalOperator
-from ddnm_tpu.sampling import DDNMSchedule, sample_simplified
+from ddnm_tpu.sampling import DDNMSchedule, sample_simplified, sample_svd
 
 __all__ = ["RestorationService", "RestorationServer", "ServiceStats"]
 
@@ -111,13 +111,32 @@ class ServiceStats:
         return d
 
 
+# SVD-mode tasks that never accept a *degraded* PNG upload: their
+# measurement vector is not an image (compressed/scattered coefficients),
+# even when its length happens to factor like one.
+_SVD_GT_ONLY = frozenset({"cs_walshhadamard", "cs_blockbased", "inpainting"})
+
+
+def _nhwc_to_vec(x):
+    """NHWC -> channel-major flat (the SVD operator layout, runner.py:422)."""
+    b = x.shape[0]
+    return jnp.transpose(x, (0, 3, 1, 2)).reshape(b, -1)
+
+
 class RestorationService:
     """Device-side restoration: fixed-shape, padded, per-request RNG.
 
     model_fn(params, x, t) -> epsilon, NHWC; `operators` maps task strings
-    to `FunctionalOperator`s (all at this service's `image_size`). Each
-    distinct task compiles one executable at batch `max_batch` on first
-    use (warm them at startup via `warmup()`).
+    to `FunctionalOperator`s OR SVD operators (`operators.svd_ops`), all at
+    this service's `image_size` — one service can serve both sampler
+    families. Each distinct task compiles one executable at batch
+    `max_batch` on first use (warm them at startup via `warmup()`).
+
+    SVD tasks take `input=gt` always; `input=degraded` additionally works
+    where the measurement is an image in the operator's channel-major
+    layout (deblur family: full-size blurred RGB; sr_*: the low-res RGB;
+    colorization: the grayscale) — inferred from the measurement length,
+    with the non-image tasks (_SVD_GT_ONLY) explicitly excluded.
 
     `mesh` (a 1-D jax.sharding.Mesh from `parallel.make_mesh`) serves the
     batch sharded across chips: params replicate, the request batch splits
@@ -158,23 +177,38 @@ class RestorationService:
         self._eta = float(eta)
         self._sigma_y = float(sigma_y)
         self._base_key = jax.random.PRNGKey(base_seed)
-        # Expected y shape per task (shape inference only — no device work).
-        img = jax.ShapeDtypeStruct(
-            (1, self.image_size, self.image_size, 3), jnp.float32
-        )
-        self._y_shapes = {
-            name: jax.eval_shape(op.A, img).shape[1:]
-            for name, op in self._operators.items()
-        }
+        # Per-task mode + expected degraded-upload shape (shape inference
+        # only — no device work). SVD measurements are channel-major flat
+        # vectors; where the vector is an image we expose its (h, w, c)
+        # so HTTP clients can upload the degraded PNG directly.
+        size = self.image_size
+        img = jax.ShapeDtypeStruct((1, size, size, 3), jnp.float32)
+        vec = jax.ShapeDtypeStruct((1, size * size * 3), jnp.float32)
+        self._is_svd = {}
+        self._y_shapes = {}  # deg -> (h, w, c) accepted as degraded upload
+        for name, op in self._operators.items():
+            if isinstance(op, FunctionalOperator):
+                self._is_svd[name] = False
+                self._y_shapes[name] = jax.eval_shape(op.A, img).shape[1:]
+                continue
+            self._is_svd[name] = True
+            m = int(jax.eval_shape(op.A, vec).shape[1])
+            shape = None
+            if name not in _SVD_GT_ONLY:
+                if m == size * size:
+                    shape = (size, size, 1)  # grayscale measurement
+                elif m % 3 == 0 and round((m // 3) ** 0.5) ** 2 == m // 3:
+                    s = round((m // 3) ** 0.5)
+                    shape = (s, s, 3)
+            self._y_shapes[name] = shape  # None -> gt uploads only
         # Which ctx tasks accept a *degraded* masked upload: only those whose
         # A_ctx is the pure keep-mask projection (then the masked upload
         # times its own mask IS A(x) exactly — A is idempotent). Checked
         # numerically on a tiny probe, not guessed from the task name.
         self._ctx_mask_projection = {}
         for name, op in self._operators.items():
-            if not op.has_ctx or self._y_shapes[name] != (
-                self.image_size, self.image_size, 3
-            ):
+            if (self._is_svd[name] or not op.has_ctx
+                    or self._y_shapes[name] != (size, size, 3)):
                 self._ctx_mask_projection[name] = False
                 continue
             probe = jnp.asarray(
@@ -195,16 +229,21 @@ class RestorationService:
     @property
     def ctx_tasks(self) -> tuple:
         """Tasks that accept a per-request mask (RGBA upload)."""
-        return tuple(sorted(n for n, op in self._operators.items()
-                            if op.has_ctx))
+        return tuple(sorted(
+            n for n, op in self._operators.items()
+            if not self._is_svd[n] and op.has_ctx))
 
     def ctx_degraded_ok(self, deg: str) -> bool:
         """True if `deg` accepts a *degraded* RGBA upload (pure mask op)."""
         return self._ctx_mask_projection.get(deg, False)
 
-    def y_shape(self, deg: str) -> tuple:
-        """(h, w, c) the degraded observation must have for task `deg`."""
+    def y_shape(self, deg: str):
+        """(h, w, c) a degraded upload must have for `deg`, or None when
+        the task only accepts `input=gt` (non-image SVD measurements)."""
         return self._y_shapes[deg]
+
+    def is_svd(self, deg: str) -> bool:
+        return self._is_svd[deg]
 
     def restore(
         self,
@@ -256,9 +295,10 @@ class RestorationService:
         if len(seqs) != b:
             raise ValueError("one sequence number per image required")
 
+        is_svd = self._is_svd[deg]
         ctx = None
         if ctxs is not None:
-            if not op.has_ctx:
+            if is_svd or not op.has_ctx:
                 raise ValueError(
                     f"{deg!r} takes no per-request masks (no A_ctx forms)")
             ctx = jnp.asarray(ctxs, jnp.float32)
@@ -275,9 +315,27 @@ class RestorationService:
                     f"gt input must be {expected}, got {tuple(x_in.shape[1:])}"
                 )
             xg = data_transform(x_in)
-            y = op.A_ctx(xg, ctx) if ctx is not None else op.A(xg)
+            if is_svd:
+                y = op.A(_nhwc_to_vec(xg))
+            else:
+                y = op.A_ctx(xg, ctx) if ctx is not None else op.A(xg)
         elif input_kind == "degraded":
-            if ctx is not None:
+            if is_svd:
+                spec = self._y_shapes[deg]
+                if spec is None:
+                    raise ValueError(
+                        f"{deg!r}'s measurement is not an image; send "
+                        "input=gt")
+                if x_in.shape[1:] != spec:
+                    raise ValueError(
+                        f"degraded input for {deg!r} must be {spec}, "
+                        f"got {tuple(x_in.shape[1:])}")
+                yt = data_transform(x_in)
+                # channel-major flat, the SVD operator layout; grayscale
+                # measurements are already single-plane
+                y = (yt.reshape(b, -1) if spec[-1] == 1
+                     else _nhwc_to_vec(yt))
+            elif ctx is not None:
                 # masked upload: valid only for pure keep-mask projections,
                 # where (masked image) * mask == A(x) exactly (A idempotent)
                 if not self.ctx_degraded_ok(deg):
@@ -324,11 +382,17 @@ class RestorationService:
             )
             if ctx is not None:
                 (ctx,) = shard_batch(self._mesh, (ctx,))
-        x, _ = sample_simplified(
-            self._model_fn, x_init, y, op, self._sched, noise_keys,
-            eta=self._eta, sigma_y=self._sigma_y, params=self._params,
-            op_ctx=ctx,
-        )
+        if is_svd:
+            x, _ = sample_svd(
+                self._model_fn, x_init, y, op, self._sched, noise_keys,
+                eta=self._eta, sigma_y=self._sigma_y, params=self._params,
+            )
+        else:
+            x, _ = sample_simplified(
+                self._model_fn, x_init, y, op, self._sched, noise_keys,
+                eta=self._eta, sigma_y=self._sigma_y, params=self._params,
+                op_ctx=ctx,
+            )
         return inverse_data_transform(x[:b])
 
     @staticmethod
@@ -614,10 +678,16 @@ def _make_handler(server: RestorationServer):
         def do_GET(self):
             path = urlparse(self.path).path
             if path == "/healthz":
+                svc = server.service
                 self._send_json(200, {
                     "status": "ok",
-                    "tasks": list(server.service.tasks),
-                    "ctx_tasks": list(server.service.ctx_tasks),
+                    "tasks": list(svc.tasks),
+                    "ctx_tasks": list(svc.ctx_tasks),
+                    "svd_tasks": [t for t in svc.tasks if svc.is_svd(t)],
+                    "degraded_upload": {
+                        t: (list(svc.y_shape(t))
+                            if svc.y_shape(t) is not None else None)
+                        for t in svc.tasks},
                     "image_size": server.service.image_size,
                     "max_batch": server.service.max_batch,
                     "queue_depth": server._queue.qsize(),
@@ -651,21 +721,14 @@ def _make_handler(server: RestorationServer):
                     return
                 raw = self.rfile.read(length)
                 img = Image.open(io.BytesIO(raw))
-                ctx = None
-                if "A" in img.getbands():
-                    # RGBA upload: alpha is the per-request keep-mask
-                    rgba = np.asarray(img.convert("RGBA"), np.float32)
-                    arr = rgba[..., :3] / 255.0
-                    ctx = (rgba[..., 3:] > 127.0).astype(np.float32)
-                else:
-                    arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
+                has_alpha = "A" in img.getbands()
             except Exception as exc:
                 self._send_json(400, {"error": f"bad image: {exc}"})
                 return
-            # Validate dimensions HERE so one malformed request cannot
+            # Validate kind/shape HERE so one malformed request cannot
             # poison the coalesced batch it would have ridden in.
             size = server.service.image_size
-            if ctx is not None:
+            if has_alpha:
                 if deg not in server.service.ctx_tasks:
                     self._send_json(
                         400, {"error": f"{deg!r} takes no per-request mask "
@@ -681,9 +744,30 @@ def _make_handler(server: RestorationServer):
                                        "the RGBA mask instead"})
                     return
                 expected = (size, size, 3)  # masked uploads are gt-sized
+            elif input_kind == "gt":
+                expected = (size, size, 3)
             else:
-                expected = ((size, size, 3) if input_kind == "gt"
-                            else server.service.y_shape(deg))
+                expected = server.service.y_shape(deg)
+                if expected is None:
+                    self._send_json(
+                        400, {"error": f"{deg!r}'s measurement is not an "
+                                       "image; send input=gt"})
+                    return
+            try:
+                ctx = None
+                if has_alpha:
+                    # RGBA upload: alpha is the per-request keep-mask
+                    rgba = np.asarray(img.convert("RGBA"), np.float32)
+                    arr = rgba[..., :3] / 255.0
+                    ctx = (rgba[..., 3:] > 127.0).astype(np.float32)
+                elif expected[-1] == 1:  # grayscale measurement
+                    arr = (np.asarray(img.convert("L"), np.float32)
+                           / 255.0)[..., None]
+                else:
+                    arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
+            except Exception as exc:
+                self._send_json(400, {"error": f"bad image: {exc}"})
+                return
             if arr.shape != expected:
                 self._send_json(
                     400, {"error": f"{input_kind} input for {deg!r} must be "

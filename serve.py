@@ -31,6 +31,9 @@ if str(REPO_ROOT) not in sys.path:
 
 SIMPLIFIED_DEGS = ("colorization", "denoising", "sr_averagepooling",
                    "inpainting", "sr_color", "mask_color_sr", "diy")
+SVD_DEGS = ("cs_walshhadamard", "cs_blockbased", "inpainting", "denoising",
+            "colorization", "sr_averagepooling", "sr_bicubic", "deblur_uni",
+            "deblur_gauss", "deblur_aniso")
 
 
 def parse_args(argv=None):
@@ -41,6 +44,10 @@ def parse_args(argv=None):
                    help="random weights (smoke mode; no checkpoint)")
     p.add_argument("--degs", type=str, default="sr_averagepooling",
                    help=f"comma-separated tasks from {SIMPLIFIED_DEGS}")
+    p.add_argument("--svd_degs", type=str, default="",
+                   help="comma-separated SVD-mode tasks from "
+                        f"{SVD_DEGS}; served under their own names "
+                        "(a name cannot appear in both lists)")
     p.add_argument("--deg_scale", type=float, default=4.0)
     p.add_argument("--sigma_y", type=float, default=0.0)
     p.add_argument("--eta", type=float, default=0.85)
@@ -106,6 +113,23 @@ def build_service(ns):
         operators[deg] = build_functional_operator(
             deg, image_size=size, deg_scale=ns.deg_scale,
             mask=op_mask if needs_mask else None,
+        )
+    for deg in [d.strip() for d in ns.svd_degs.split(",") if d.strip()]:
+        if deg not in SVD_DEGS:
+            raise SystemExit(f"unknown SVD task {deg!r}; choose from {SVD_DEGS}")
+        if deg in operators:
+            raise SystemExit(
+                f"{deg!r} appears in both --degs and --svd_degs; a served "
+                "name is bound to exactly one sampler mode")
+        from ddnm_tpu.operators import build_svd_operator
+
+        needs_mask = deg == "inpainting"
+        svd_mask = mask
+        if needs_mask and svd_mask is None:
+            svd_mask = np.ones((size, size), np.float32)
+        operators[deg] = build_svd_operator(
+            deg, image_size=size, deg_scale=ns.deg_scale, seed=ns.seed,
+            mask=svd_mask if needs_mask else None,
         )
     mesh = None
     if getattr(ns, "dp", 1) > 1:

@@ -651,6 +651,132 @@ def test_server_soak_dispatch_failures_are_isolated():
         server.stop()
 
 
+@pytest.fixture(scope="module")
+def svd_service():
+    """Service mixing SVD-mode tasks (deblur / CS / colorization)."""
+    from ddnm_tpu.operators import build_svd_operator
+
+    model = DDPMUNet(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                     attn_resolutions=(16,), resolution=RES)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.zeros((1, RES, RES, 3)), jnp.zeros((1,)))
+    betas = schedules.get_beta_schedule(
+        "linear", beta_start=1e-4, beta_end=0.02, num_diffusion_timesteps=100
+    )
+    sched = build_schedule(betas=betas, t_sampling=3)
+    ops = {
+        "deblur_gauss": build_svd_operator("deblur_gauss", image_size=RES),
+        "cs_walshhadamard": build_svd_operator(
+            "cs_walshhadamard", image_size=RES, deg_scale=0.25, seed=7),
+        "colorization": build_svd_operator("colorization", image_size=RES),
+    }
+    return RestorationService(
+        lambda p, x, t: model.apply(p, x, t), params, sched, ops,
+        image_size=RES, max_batch=4,
+    )
+
+
+def _vec(x):
+    return np.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
+
+
+def test_svd_service_shapes_and_invariance(svd_service):
+    """SVD tasks serve from gt; per-request RNG keeps outputs independent
+    of batch composition; degraded-upload shapes are classified right."""
+    svc = svd_service
+    assert all(svc.is_svd(t) for t in svc.tasks)
+    assert svc.ctx_tasks == ()
+    assert svc.y_shape("deblur_gauss") == (RES, RES, 3)
+    assert svc.y_shape("colorization") == (RES, RES, 1)
+    assert svc.y_shape("cs_walshhadamard") is None  # not an image
+
+    gts = _gt_images(3, seed=41)
+    out = svc.restore(gts, "deblur_gauss", [1, 2, 3], input_kind="gt")
+    assert out.shape == (3, RES, RES, 3)
+    assert np.isfinite(out).all()
+    alone = svc.restore(gts[1:2], "deblur_gauss", [2], input_kind="gt")
+    np.testing.assert_array_equal(out[1], alone[0])
+    # CS from gt works too
+    out_cs = svc.restore(gts[:1], "cs_walshhadamard", [4], input_kind="gt")
+    assert out_cs.shape == (1, RES, RES, 3)
+
+
+def test_svd_service_degraded_uploads(svd_service):
+    """An image-shaped SVD measurement can be uploaded directly: the
+    blurred RGB for deblur, the grayscale for colorization — matching the
+    gt path that computes y in-graph."""
+    svc = svd_service
+    gts = _gt_images(2, seed=43)
+    xg = 2.0 * gts - 1.0
+
+    op = svc._operators["deblur_gauss"]
+    y = np.asarray(op.A(jnp.asarray(_vec(xg))))
+    y_img = np.transpose(y.reshape(2, 3, RES, RES), (0, 2, 3, 1))
+    via_deg = svc.restore(((y_img + 1) / 2).astype(np.float32),
+                          "deblur_gauss", [9, 10], input_kind="degraded")
+    via_gt = svc.restore(gts, "deblur_gauss", [9, 10], input_kind="gt")
+    np.testing.assert_allclose(via_deg, via_gt, atol=1e-5)
+
+    opc = svc._operators["colorization"]
+    yg = np.asarray(opc.A(jnp.asarray(_vec(xg)))).reshape(2, RES, RES, 1)
+    via_deg = svc.restore(((yg + 1) / 2).astype(np.float32),
+                          "colorization", [11, 12], input_kind="degraded")
+    via_gt = svc.restore(gts, "colorization", [11, 12], input_kind="gt")
+    np.testing.assert_allclose(via_deg, via_gt, atol=1e-5)
+
+    with pytest.raises(ValueError, match="not an image"):
+        svc.restore(gts, "cs_walshhadamard", [0, 1], input_kind="degraded")
+    with pytest.raises(ValueError, match="per-request masks"):
+        svc.restore(gts, "deblur_gauss", [0, 1], input_kind="gt",
+                    ctxs=_masks(2))
+
+
+def test_http_svd_roundtrip(svd_service):
+    """HTTP: degraded blurred upload (RGB PNG), grayscale upload for
+    colorization, CS degraded rejected with a clear 400, healthz schema."""
+    server = RestorationServer(svd_service, max_wait_ms=100.0)
+    server.start()
+    host, port = server.address
+    base = f"http://{host}:{port}"
+    try:
+        blurred = _gt_images(1, seed=47)[0]
+        status, body, headers = _post(
+            f"{base}/restore?deg=deblur_gauss", _png_bytes(blurred))
+        assert status == 200, body
+        from PIL import Image
+
+        assert Image.open(io.BytesIO(body)).size == (RES, RES)
+
+        # grayscale PNG for colorization
+        gray = (np.clip(_gt_images(1, seed=48)[0, ..., 0], 0, 1)
+                * 255 + 0.5).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(gray, mode="L").save(buf, format="PNG")
+        status, body, _ = _post(
+            f"{base}/restore?deg=colorization", buf.getvalue())
+        assert status == 200, body
+
+        status, body, _ = _post(
+            f"{base}/restore?deg=cs_walshhadamard", _png_bytes(blurred))
+        assert status == 400 and b"not an image" in body
+        # RGBA against an SVD task -> 400
+        status, body, _ = _post(
+            f"{base}/restore?deg=deblur_gauss&input=gt",
+            _rgba_png_bytes(_gt_images(1, seed=49)[0], _masks(1)[0]))
+        assert status == 400 and b"per-request mask" in body
+
+        import json
+        import urllib.request as _rq
+
+        with _rq.urlopen(f"{base}/healthz", timeout=30) as resp:
+            h = json.loads(resp.read())
+        assert set(h["svd_tasks"]) == set(h["tasks"])
+        assert h["degraded_upload"]["cs_walshhadamard"] is None
+        assert h["degraded_upload"]["colorization"] == [RES, RES, 1]
+    finally:
+        server.stop()
+
+
 def test_serve_cli_sigterm_drains(tmp_path):
     """serve.py exits cleanly on SIGTERM (graceful drain path)."""
     import json
