@@ -17,6 +17,7 @@ from ddnm_tpu.models.unet_adm import (
     ADMSuperResModel,
     ADMUNet,
     classifier_guidance_fn,
+    classifier_guidance_from_params,
 )
 from ddnm_tpu.models.nn import cast_torso, update_ema
 from ddnm_tpu.models.convert import torch_state_dict_to_flax
@@ -29,5 +30,6 @@ __all__ = [
     "update_ema",
     "cast_torso",
     "classifier_guidance_fn",
+    "classifier_guidance_from_params",
     "torch_state_dict_to_flax",
 ]

@@ -576,3 +576,26 @@ def classifier_guidance_fn(classifier_apply, classes, scale: float,
         return grad_fn(run_params["classifier"], x, t) * scale
 
     return guidance
+
+
+def classifier_guidance_from_params(classifier_apply, scale: float):
+    """classifier_guidance_fn variant with PER-EXAMPLE class labels read
+    from the traced run_params pytree (run_params["classes"], shape (B,)).
+
+    Labels ride as data instead of closure constants, so one compiled
+    executable serves any class mix — what the online server needs to
+    coalesce mixed-class requests into one batch (server.py)."""
+
+    def log_prob(cparams, x, t, cls):
+        logits = classifier_apply(cparams, x, t)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return jnp.take_along_axis(logp, cls[:, None], axis=-1).sum()
+
+    grad_fn = jax.grad(log_prob, argnums=1)
+
+    def guidance(run_params, x, t, at=None):
+        return grad_fn(
+            run_params["classifier"], x, t, run_params["classes"]
+        ) * scale
+
+    return guidance

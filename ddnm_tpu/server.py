@@ -77,7 +77,12 @@ from ddnm_tpu.data.transforms import data_transform, inverse_data_transform
 from ddnm_tpu.operators.functional import FunctionalOperator
 from ddnm_tpu.sampling import DDNMSchedule, sample_simplified, sample_svd
 
-__all__ = ["RestorationService", "RestorationServer", "ServiceStats"]
+__all__ = [
+    "RestorationService",
+    "PosteriorRestorationService",
+    "RestorationServer",
+    "ServiceStats",
+]
 
 _MAX_BODY = 32 << 20  # 32 MB request cap
 
@@ -253,6 +258,7 @@ class RestorationService:
         *,
         input_kind: str = "degraded",
         ctxs: Optional[np.ndarray] = None,
+        classes: Optional[Sequence[int]] = None,
     ) -> np.ndarray:
         """Restore a group of <= max_batch requests for one task.
 
@@ -260,15 +266,21 @@ class RestorationService:
         (input_kind="degraded", default) or ground-truth images to degrade
         first (input_kind="gt"). seqs: one monotone sequence number per
         request (the RNG identity). `ctxs`: optional (B, H, W, 1) per-image
-        keep-masks for ctx-capable tasks. Returns (B, H, W, 3) float32 in
-        [0, 1].
+        keep-masks for ctx-capable tasks. `classes`: optional per-image
+        class labels for class-conditional services. Returns (B, H, W, 3)
+        float32 in [0, 1].
 
         Blocking form of restore_async + fetch.
         """
         return self.fetch(
             self.restore_async(images, deg, seqs, input_kind=input_kind,
-                               ctxs=ctxs)
+                               ctxs=ctxs, classes=classes)
         )
+
+    @property
+    def class_cond(self) -> bool:
+        """True if requests may carry a class label (?class=N)."""
+        return False
 
     def restore_async(
         self,
@@ -278,6 +290,7 @@ class RestorationService:
         *,
         input_kind: str = "degraded",
         ctxs: Optional[np.ndarray] = None,
+        classes: Optional[Sequence[int]] = None,
     ):
         """Dispatch a group's full trajectory and return WITHOUT syncing.
 
@@ -295,6 +308,8 @@ class RestorationService:
         if len(seqs) != b:
             raise ValueError("one sequence number per image required")
 
+        if classes is not None and not self.class_cond:
+            raise ValueError("this service is not class-conditional")
         is_svd = self._is_svd[deg]
         ctx = None
         if ctxs is not None:
@@ -374,6 +389,13 @@ class RestorationService:
         hw = (self.image_size, self.image_size, 3)
         x_init = jax.vmap(lambda k: jax.random.normal(k, hw, jnp.float32))(init_keys)
 
+        cls = None
+        if self.class_cond:
+            cls = list(classes) if classes is not None else [0] * b
+            if len(cls) != b:
+                raise ValueError("one class label per image required")
+            cls = jnp.asarray(cls + [0] * pad, jnp.int32)
+
         if self._mesh is not None:
             from ddnm_tpu.parallel import shard_batch
 
@@ -382,6 +404,13 @@ class RestorationService:
             )
             if ctx is not None:
                 (ctx,) = shard_batch(self._mesh, (ctx,))
+            if cls is not None:
+                (cls,) = shard_batch(self._mesh, (cls,))
+        x = self._sample(op, deg, is_svd, x_init, y, ctx, noise_keys, cls)
+        return inverse_data_transform(x[:b])
+
+    def _sample(self, op, deg, is_svd, x_init, y, ctx, noise_keys, cls):
+        """Run the padded group's trajectory; returns x_final (padded)."""
         if is_svd:
             x, _ = sample_svd(
                 self._model_fn, x_init, y, op, self._sched, noise_keys,
@@ -393,7 +422,7 @@ class RestorationService:
                 eta=self._eta, sigma_y=self._sigma_y, params=self._params,
                 op_ctx=ctx,
             )
-        return inverse_data_transform(x[:b])
+        return x
 
     @staticmethod
     def fetch(out) -> np.ndarray:
@@ -412,6 +441,74 @@ class RestorationService:
             self.restore(zero, deg, [0], input_kind="gt", ctxs=ones)
 
 
+class PosteriorRestorationService(RestorationService):
+    """hq-pipeline serving: respaced posterior DDNM with time-travel.
+
+    The online form of the reference's hq_demo face256/imagenet flow (one
+    256px tile per request). model_fn(params, x, t_orig) -> (B, H, W, 2C)
+    learned-range head; `tables` from `build_posterior_tables` carry the
+    respacing + jump schedule + sigma_y. Functional operators only (the
+    hq pipeline's task table).
+
+    Supports the base service's per-request masks (RGBA uploads), plus —
+    when `class_cond=True` — PER-REQUEST CLASS LABELS (`?class=N`): the
+    label batch rides inside the traced `params` pytree
+    (run_params["classes"]), so mixed-class requests coalesce into ONE
+    compiled batch with no retrace. model_fn / guidance_fn must read
+    p["classes"] (see serve.py --hq for the assembly).
+    """
+
+    def __init__(
+        self,
+        model_fn: Callable,
+        params,
+        tables,
+        operators: Mapping[str, FunctionalOperator],
+        *,
+        image_size: int,
+        max_batch: int = 8,
+        base_seed: int = 1234,
+        mesh=None,
+        guidance_fn: Optional[Callable] = None,
+        clip_denoised: bool = True,
+        class_cond: bool = False,
+    ):
+        super().__init__(
+            model_fn, params, None, operators, image_size=image_size,
+            max_batch=max_batch, base_seed=base_seed, mesh=mesh,
+        )
+        bad = [n for n, svd in self._is_svd.items() if svd]
+        if bad:
+            raise ValueError(
+                f"the posterior pipeline serves functional operators only; "
+                f"got SVD operators for {bad}")
+        self._tables = tables
+        self._guidance_fn = guidance_fn
+        self._clip_denoised = bool(clip_denoised)
+        self._class_cond = bool(class_cond)
+
+    @property
+    def class_cond(self) -> bool:
+        return self._class_cond
+
+    def _sample(self, op, deg, is_svd, x_init, y, ctx, noise_keys, cls):
+        from ddnm_tpu.sampling.posterior import sample_posterior
+
+        # the posterior loop consumes A+y (the reference passes Apy into
+        # p_sample_loop, hq_demo gaussian_diffusion.py:495-530)
+        apy = op.Ap_ctx(y, ctx) if ctx is not None else op.Ap(y)
+        params = self._params
+        if self._class_cond:
+            params = dict(params)
+            params["classes"] = cls
+        x, _ = sample_posterior(
+            self._model_fn, x_init, apy, op, self._tables, noise_keys,
+            guidance_fn=self._guidance_fn,
+            clip_denoised=self._clip_denoised, op_ctx=ctx, params=params,
+        )
+        return x
+
+
 @dataclass
 class _Request:
     image: np.ndarray
@@ -419,6 +516,7 @@ class _Request:
     input_kind: str
     seq: int
     ctx: Optional[np.ndarray] = None  # per-request keep-mask (H, W, 1)
+    cls: Optional[int] = None  # per-request class label (class-cond only)
     event: threading.Event = field(default_factory=threading.Event)
     # set by the handler when its client stopped waiting; the worker skips
     # cancelled requests instead of burning a device batch nobody reads
@@ -520,14 +618,15 @@ class RestorationServer:
     # -- request path -------------------------------------------------------
 
     def submit(self, image: np.ndarray, deg: str, input_kind: str,
-               ctx: Optional[np.ndarray] = None) -> _Request:
+               ctx: Optional[np.ndarray] = None,
+               cls: Optional[int] = None) -> _Request:
         if self._stopped:
             raise RuntimeError("server is shut down")
         with self._seq_lock:
             seq = self._seq
             self._seq += 1
         req = _Request(image=image, deg=deg, input_kind=input_kind, seq=seq,
-                       ctx=ctx)
+                       ctx=ctx, cls=cls)
         self._queue.put_nowait(req)  # raises queue.Full -> 503 upstream
         return req
 
@@ -619,9 +718,11 @@ class RestorationServer:
             images = np.stack([r.image for r in live])
             ctxs = (np.stack([r.ctx for r in live])
                     if live[0].ctx is not None else None)
+            classes = ([r.cls if r.cls is not None else 0 for r in live]
+                       if self.service.class_cond else None)
             out = self.service.restore_async(
                 images, live[0].deg, [r.seq for r in live],
-                input_kind=live[0].input_kind, ctxs=ctxs,
+                input_kind=live[0].input_kind, ctxs=ctxs, classes=classes,
             )
         except Exception as exc:  # trace/shape-time failure: fail the group
             self._complete(live, None, exc)
@@ -684,6 +785,7 @@ def _make_handler(server: RestorationServer):
                     "tasks": list(svc.tasks),
                     "ctx_tasks": list(svc.ctx_tasks),
                     "svd_tasks": [t for t in svc.tasks if svc.is_svd(t)],
+                    "class_cond": svc.class_cond,
                     "degraded_upload": {
                         t: (list(svc.y_shape(t))
                             if svc.y_shape(t) is not None else None)
@@ -714,6 +816,22 @@ def _make_handler(server: RestorationServer):
                     400, {"error": f"input must be 'degraded' or 'gt', "
                                    f"got {input_kind!r}"})
                 return
+            cls = None
+            if "class" in q:
+                if not server.service.class_cond:
+                    self._send_json(
+                        400, {"error": "this service is not "
+                                       "class-conditional"})
+                    return
+                try:
+                    cls = int(q["class"][0])
+                    if cls < 0:
+                        raise ValueError
+                except ValueError:
+                    self._send_json(
+                        400, {"error": f"class must be a non-negative "
+                                       f"integer, got {q['class'][0]!r}"})
+                    return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 if not 0 < length <= _MAX_BODY:
@@ -774,7 +892,7 @@ def _make_handler(server: RestorationServer):
                                    f"{expected}, got {tuple(arr.shape)}"})
                 return
             try:
-                req = server.submit(arr, deg, input_kind, ctx=ctx)
+                req = server.submit(arr, deg, input_kind, ctx=ctx, cls=cls)
             except queue.Full:
                 self._send_json(503, {"error": "queue full"})
                 return

@@ -34,11 +34,21 @@ SIMPLIFIED_DEGS = ("colorization", "denoising", "sr_averagepooling",
 SVD_DEGS = ("cs_walshhadamard", "cs_blockbased", "inpainting", "denoising",
             "colorization", "sr_averagepooling", "sr_bicubic", "deblur_uni",
             "deblur_gauss", "deblur_aniso")
+HQ_DEGS = ("sr_averagepooling", "colorization", "sr_color", "inpainting",
+           "mask_color_sr")
 
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="DDNM restoration server")
-    p.add_argument("--config", type=str, required=True)
+    p.add_argument("--config", type=str, default=None,
+                   help="main-pipeline config (simplified/SVD serving)")
+    p.add_argument("--hq_conf", type=str, default=None,
+                   help="hq-pipeline config (configs/hq/*.yml): serve the "
+                        "respaced posterior DDNM loop instead; class-"
+                        "conditional models take per-request ?class=N")
+    p.add_argument("--classifier_ckpt", type=str, default=None,
+                   help="(--hq_conf) classifier weights for guidance when "
+                        "the conf sets classifier_scale > 0")
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--random_init", action="store_true",
                    help="random weights (smoke mode; no checkpoint)")
@@ -69,6 +79,131 @@ def parse_args(argv=None):
                         "cancelled before device work")
     p.add_argument("--no_warmup", action="store_true")
     return p.parse_args(argv)
+
+
+def build_hq_service(ns):
+    """Assemble a PosteriorRestorationService from an hq config — the
+    online form of hq_main.py's single-tile (256px) flow: ADM UNet with
+    learned-range head, respaced posterior DDNM with time-travel, optional
+    classifier guidance, per-request masks and class labels."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from hq_main import build_adm_from_hq
+    from ddnm_tpu.config import load_hq_config
+    from ddnm_tpu.data.checkpoints import load_params
+    from ddnm_tpu.data.io import load_mask
+    from ddnm_tpu.models import classifier_guidance_from_params
+    from ddnm_tpu.operators import build_functional_operator
+    from ddnm_tpu.sampling.posterior import build_posterior_tables
+    from ddnm_tpu.schedules import named_beta_schedule
+    from ddnm_tpu.server import PosteriorRestorationService
+    from ddnm_tpu.utils import jit_init
+
+    cfg_path = Path(ns.hq_conf)
+    if not cfg_path.exists():
+        cfg_path = REPO_ROOT / ns.hq_conf
+    conf = load_hq_config(cfg_path)
+    dtype = jnp.bfloat16 if ns.dtype == "bfloat16" else jnp.float32
+    size = int(conf.image_size or 256)
+    class_cond = bool(conf.class_cond)
+
+    model = build_adm_from_hq(conf, dtype)
+    k_model = jax.random.PRNGKey(ns.seed)
+    dummy = (jnp.zeros((1, size, size, 3)), jnp.zeros((1,)))
+    if class_cond:
+        dummy = dummy + (jnp.zeros((1,), jnp.int32),)
+    ckpt = ns.ckpt or conf.model_path
+    if ckpt and Path(ckpt).exists():
+        params = load_params(
+            ckpt, expected=jax.eval_shape(model.init, k_model, *dummy))
+    elif ns.random_init:
+        logging.warning("random-init hq model — smoke mode")
+        params = jit_init(model, k_model, *dummy)
+    else:
+        raise SystemExit("pass --ckpt (torch .pt to convert) or --random_init")
+    if ns.dtype == "bfloat16":
+        from ddnm_tpu.models import cast_torso
+
+        params = cast_torso(params, jnp.bfloat16)
+
+    run_params = {"model": params}
+    if class_cond:
+        def model_fn(p, x, t):
+            return model.apply(p["model"], x, t, p["classes"])
+    else:
+        def model_fn(p, x, t):
+            return model.apply(p["model"], x, t)
+
+    guidance_fn = None
+    cckpt = ns.classifier_ckpt or conf.classifier_path
+    if class_cond and float(conf.classifier_scale or 0) > 0:
+        from ddnm_tpu.models import ADMClassifier
+
+        clf = ADMClassifier(
+            image_size=size,
+            model_channels=int(conf.classifier_width),
+            num_res_blocks=int(conf.classifier_depth),
+            attention_resolutions=tuple(
+                size // int(r)
+                for r in str(conf.classifier_attention_resolutions).split(",")
+            ),
+            channel_mult=(1, 1, 2, 2, 4, 4),
+            use_scale_shift_norm=bool(conf.classifier_use_scale_shift_norm),
+            resblock_updown=bool(conf.classifier_resblock_updown),
+            pool=str(conf.classifier_pool),
+            dtype=dtype,
+        )
+        cdummy = (jnp.zeros((1, size, size, 3)), jnp.zeros((1,)))
+        if cckpt and Path(cckpt).exists():
+            run_params["classifier"] = load_params(
+                cckpt, expected=jax.eval_shape(clf.init, k_model, *cdummy))
+        elif ns.random_init:
+            run_params["classifier"] = jit_init(clf, k_model, *cdummy)
+        else:
+            raise SystemExit(
+                f"classifier_scale > 0 but no classifier checkpoint at "
+                f"{cckpt!r}; pass --classifier_ckpt or --random_init")
+        # per-request labels ride run_params["classes"] (see server.py)
+        guidance_fn = classifier_guidance_from_params(
+            clf.apply, float(conf.classifier_scale))
+
+    tables = build_posterior_tables(
+        betas=named_beta_schedule(
+            str(conf.noise_schedule or "linear"),
+            int(conf.diffusion_steps or 1000), use_scale=True),
+        timestep_respacing=str(conf.timestep_respacing or "100"),
+        sigma_y=ns.sigma_y,
+        schedule_jump_params=dict(conf.schedule_jump_params or {}),
+        time_shift=(1 if conf.inpa_inj_time_shift is None
+                    else int(conf.inpa_inj_time_shift)),
+    )
+
+    mask = load_mask(ns.mask_path) if ns.mask_path else None
+    operators = {}
+    for deg in [d.strip() for d in ns.degs.split(",") if d.strip()]:
+        if deg not in HQ_DEGS:
+            raise SystemExit(f"unknown hq task {deg!r}; choose from {HQ_DEGS}")
+        needs_mask = deg in ("inpainting", "mask_color_sr")
+        op_mask = mask
+        if needs_mask and op_mask is None:
+            op_mask = np.ones((size, size, 1), np.float32)
+        operators[deg] = build_functional_operator(
+            deg, image_size=size, deg_scale=ns.deg_scale,
+            mask=op_mask if needs_mask else None,
+        )
+    mesh = None
+    if getattr(ns, "dp", 1) > 1:
+        from ddnm_tpu.parallel import make_mesh
+
+        mesh = make_mesh(ns.dp)
+    return PosteriorRestorationService(
+        model_fn, run_params, tables, operators, image_size=size,
+        max_batch=ns.max_batch, base_seed=ns.seed, mesh=mesh,
+        guidance_fn=guidance_fn, class_cond=class_cond,
+    )
 
 
 def build_service(ns):
@@ -155,7 +290,13 @@ def main(argv=None):
 
     from ddnm_tpu.server import RestorationServer
 
-    service = build_service(ns)
+    if ns.hq_conf and ns.config:
+        raise SystemExit("pass --config OR --hq_conf, not both")
+    if not ns.hq_conf and not ns.config:
+        raise SystemExit("pass --config (main pipeline) or --hq_conf (hq)")
+    if ns.hq_conf and ns.svd_degs:
+        raise SystemExit("--svd_degs is a main-pipeline option")
+    service = build_hq_service(ns) if ns.hq_conf else build_service(ns)
     if not ns.no_warmup:
         logging.info("warming up executables for %s ...", service.tasks)
         t0 = time.time()

@@ -558,12 +558,13 @@ class _FakeService:
         self.max_batch = max_batch
         self._fail = frozenset(fail_seqs)
         self.tasks = ("a", "b")
+        self.class_cond = False
 
     def y_shape(self, deg):
         return (self.image_size, self.image_size, 3)
 
     def restore_async(self, images, deg, seqs, *, input_kind="degraded",
-                      ctxs=None):
+                      ctxs=None, classes=None):
         if any(s in self._fail for s in seqs):
             raise RuntimeError("injected dispatch failure")
         # encode (seq, task) into the result so parity is checkable
@@ -775,6 +776,133 @@ def test_http_svd_roundtrip(svd_service):
         assert h["degraded_upload"]["colorization"] == [RES, RES, 1]
     finally:
         server.stop()
+
+
+@pytest.fixture(scope="module")
+def posterior_service():
+    """Class-conditional hq-pipeline service with classifier guidance on a
+    tiny learned-range ADM — the online face256/imagenet flow at toy scale."""
+    from ddnm_tpu.models import (
+        ADMClassifier, ADMUNet, classifier_guidance_from_params)
+    from ddnm_tpu.sampling.posterior import build_posterior_tables
+    from ddnm_tpu.schedules import named_beta_schedule
+    from ddnm_tpu.server import PosteriorRestorationService
+
+    model = ADMUNet(
+        image_size=RES, model_channels=32, num_res_blocks=1,
+        attention_resolutions=(4,), channel_mult=(1, 2), num_heads=1,
+        num_head_channels=32, out_channels=6, num_classes=10)
+    rng = jax.random.PRNGKey(0)
+    mp = model.init(rng, jnp.zeros((1, RES, RES, 3)), jnp.zeros((1,)),
+                    jnp.zeros((1,), jnp.int32))
+    clf = ADMClassifier(
+        image_size=RES, model_channels=32, num_res_blocks=1,
+        attention_resolutions=(4,), channel_mult=(1, 2), num_heads=1,
+        num_head_channels=32, pool="attention", out_channels=10)
+    cp = clf.init(rng, jnp.zeros((1, RES, RES, 3)), jnp.zeros((1,)))
+    tables = build_posterior_tables(
+        betas=named_beta_schedule("linear", 100, use_scale=True),
+        timestep_respacing="3",
+        schedule_jump_params=dict(t_T=3, n_sample=1, jump_length=1,
+                                  jump_n_sample=1))
+    ops = {
+        "inpainting": build_functional_operator(
+            "inpainting", image_size=RES,
+            mask=np.ones((RES, RES, 1), np.float32)),
+        "sr_averagepooling": build_functional_operator(
+            "sr_averagepooling", image_size=RES, deg_scale=4),
+    }
+    return PosteriorRestorationService(
+        lambda p, x, t: model.apply(p["model"], x, t, p["classes"]),
+        {"model": mp, "classifier": cp}, tables, ops,
+        image_size=RES, max_batch=4,
+        guidance_fn=classifier_guidance_from_params(clf.apply, 2.0),
+        class_cond=True,
+    )
+
+
+def test_posterior_service_classes_and_masks(posterior_service, service):
+    """Per-request class labels ride the traced params pytree: mixed-class
+    batches share one executable, lanes stay independent, and the label
+    actually changes the output. Per-request masks compose with it."""
+    svc = posterior_service
+    assert svc.class_cond and not svc.is_svd("inpainting")
+    gts = _gt_images(2, seed=53)
+
+    out_57 = svc.restore(gts, "sr_averagepooling", [1, 2], input_kind="gt",
+                         classes=[5, 7])
+    out_55 = svc.restore(gts, "sr_averagepooling", [1, 2], input_kind="gt",
+                         classes=[5, 5])
+    np.testing.assert_array_equal(out_57[0], out_55[0])  # lane 0 untouched
+    assert not np.array_equal(out_57[1], out_55[1])      # label matters
+
+    # composition invariance with classes: alone == coalesced
+    alone = svc.restore(gts[1:2], "sr_averagepooling", [2], input_kind="gt",
+                        classes=[7])
+    np.testing.assert_array_equal(out_57[1], alone[0])
+
+    # per-request masks work through the posterior path too
+    m = _masks(2, seed=59)
+    out_ab = svc.restore(gts, "inpainting", [3, 4], input_kind="gt",
+                         ctxs=m, classes=[1, 2])
+    m_aa = np.stack([m[0], m[0]])
+    out_aa = svc.restore(gts, "inpainting", [3, 4], input_kind="gt",
+                         ctxs=m_aa, classes=[1, 2])
+    np.testing.assert_array_equal(out_ab[0], out_aa[0])
+    assert not np.array_equal(out_ab[1], out_aa[1])
+
+    # classes on a non-class-conditional service is an error
+    with pytest.raises(ValueError, match="not class-conditional"):
+        service.restore(gts, "sr_averagepooling", [0, 1], input_kind="gt",
+                        classes=[1, 2])
+
+
+def test_posterior_service_rejects_svd_ops(posterior_service):
+    from ddnm_tpu.operators import build_svd_operator
+    from ddnm_tpu.server import PosteriorRestorationService
+
+    with pytest.raises(ValueError, match="functional operators only"):
+        PosteriorRestorationService(
+            lambda p, x, t: None, {"model": {}}, posterior_service._tables,
+            {"deblur_gauss": build_svd_operator(
+                "deblur_gauss", image_size=RES)},
+            image_size=RES)
+
+
+def test_http_posterior_class_param(posterior_service, service):
+    """?class=N flows through HTTP; invalid/unsupported uses are 400s."""
+    server = RestorationServer(posterior_service, max_wait_ms=100.0)
+    server.start()
+    host, port = server.address
+    base = f"http://{host}:{port}"
+    try:
+        gt = _gt_images(1, seed=61)[0]
+        status, body, _ = _post(
+            f"{base}/restore?deg=sr_averagepooling&input=gt&class=7",
+            _png_bytes(gt))
+        assert status == 200, body
+        status, body, _ = _post(
+            f"{base}/restore?deg=sr_averagepooling&input=gt&class=-1",
+            _png_bytes(gt))
+        assert status == 400 and b"non-negative" in body
+        import json
+        import urllib.request as _rq
+
+        with _rq.urlopen(f"{base}/healthz", timeout=30) as resp:
+            assert json.loads(resp.read())["class_cond"] is True
+    finally:
+        server.stop()
+    # ?class against a non-class-conditional service -> 400
+    server2 = RestorationServer(service)
+    server2.start()
+    host, port = server2.address
+    try:
+        status, body, _ = _post(
+            f"http://{host}:{port}/restore?deg=sr_averagepooling&input=gt"
+            "&class=3", _png_bytes(_gt_images(1)[0]))
+        assert status == 400 and b"not class-conditional" in body
+    finally:
+        server2.stop()
 
 
 def test_serve_cli_sigterm_drains(tmp_path):
