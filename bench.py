@@ -63,11 +63,8 @@ def main(argv=None):
     # device contact (observed: jax.devices() never returns when the
     # backend is unreachable). Rather than hanging the caller, emit the
     # one-line JSON with value 0 and an error marker, and exit non-zero.
-    watchdog_fired = threading.Event()
-
     def _arm(seconds: float, stage: str) -> threading.Timer:
         def boom():
-            watchdog_fired.set()
             print(json.dumps({
                 "metric": "images_per_sec_per_chip",
                 "value": 0.0,

@@ -101,6 +101,13 @@ class SVDOperator:
     """Base class: concrete ops define V/Vt/U/Ut/singulars/add_zeros on
     flattened (B, N) batches; the DDNM compositions come for free."""
 
+    # How the measurement y relates to an image, for surfaces that accept
+    # image uploads (the serving layer): "rgb" — y is a channel-major
+    # flattened RGB image; "gray" — a single-plane image; None — not an
+    # image (compressed/scattered coefficients), even when its length
+    # happens to factor like one. Declared per operator, not inferred.
+    measurement_image: str | None = None
+
     # --- abstract spectral pieces -----------------------------------------
     def V(self, vec):
         raise NotImplementedError

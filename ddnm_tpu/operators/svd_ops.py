@@ -84,6 +84,8 @@ class Denoising(SVDOperator):
     """Identity operator; Lambda/Lambda_noise reduce to scalar Eq.19/51
     branches (svd_operators.py:442-476)."""
 
+    measurement_image = 'rgb'
+
     def __init__(self, channels: int, img_dim: int):
         self.channels = channels
         self.img_dim = img_dim
@@ -122,6 +124,8 @@ class Denoising(SVDOperator):
 class Colorization(SVDOperator):
     """Per-pixel "needle" operator: SVD of [[0.3333, 0.3334, 0.3333]]
     (svd_operators.py:627-736)."""
+
+    measurement_image = 'gray'
 
     def __init__(self, img_dim: int):
         self.channels = 3
@@ -297,6 +301,8 @@ class SuperResolution(SVDOperator):
     """SVD of the ratio^2 -> 1 averaging row, applied per non-overlapping
     patch (svd_operators.py:479-623)."""
 
+    measurement_image = 'rgb'
+
     def __init__(self, channels: int, img_dim: int, ratio: int):
         assert img_dim % ratio == 0
         self.channels = channels
@@ -451,6 +457,8 @@ class SRConv(SVDOperator):
     """Strided-conv SR: Kronecker SVD of the 1-D strided conv matrix
     (svd_operators.py:851-931). No Lambda hooks in the reference (noisy mode
     unsupported for this task) — kept that way for parity."""
+
+    measurement_image = 'rgb'
 
     def __init__(self, kernel: np.ndarray, channels: int, img_dim: int, stride: int = 1):
         self.channels = channels
@@ -614,6 +622,8 @@ class Deblurring(SVDOperator):
     (svd_operators.py:934-1091). See module REFERENCE-QUIRK note on the tiled
     singular layout."""
 
+    measurement_image = 'rgb'
+
     def __init__(
         self,
         kernel: np.ndarray,
@@ -750,6 +760,8 @@ class Deblurring(SVDOperator):
 class Deblurring2D(SVDOperator):
     """Anisotropic deblurring: separate 1-D kernels per axis
     (svd_operators.py:1094-1166). No Lambda hooks in the reference — parity."""
+
+    measurement_image = 'rgb'
 
     def __init__(
         self,

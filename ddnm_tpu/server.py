@@ -76,6 +76,7 @@ import jax.numpy as jnp
 from ddnm_tpu.data.transforms import data_transform, inverse_data_transform
 from ddnm_tpu.operators.functional import FunctionalOperator
 from ddnm_tpu.sampling import DDNMSchedule, sample_simplified, sample_svd
+from ddnm_tpu.sampling.ddnm import _nhwc_to_vec
 
 __all__ = [
     "RestorationService",
@@ -96,17 +97,21 @@ class ServiceStats:
     cancelled: int = 0  # timed-out requests skipped before device work
 
     def __post_init__(self):
-        # enqueue->completion wall times of the most recent requests
-        # (deque append/iteration are GIL-atomic enough for stats reads)
+        # enqueue->completion wall times of the most recent requests.
+        # Locked: the worker appends while /healthz handlers snapshot, and
+        # iterating a deque that mutates raises RuntimeError.
         self._latencies = deque(maxlen=512)
+        self._lat_lock = threading.Lock()
 
     def record_latency(self, seconds: float) -> None:
-        self._latencies.append(seconds)
+        with self._lat_lock:
+            self._latencies.append(seconds)
 
     def as_dict(self) -> dict:
         d = {k: v for k, v in self.__dict__.items() if not k.startswith("_")}
         d["mean_batch"] = self.requests / self.batches if self.batches else 0.0
-        lat = sorted(self._latencies)
+        with self._lat_lock:
+            lat = sorted(self._latencies)
         if lat:
             pick = lambda q: lat[min(len(lat) - 1, int(q * len(lat)))]
             d["latency_s"] = {"p50": round(pick(0.50), 4),
@@ -114,18 +119,6 @@ class ServiceStats:
                               "p99": round(pick(0.99), 4),
                               "n": len(lat)}
         return d
-
-
-# SVD-mode tasks that never accept a *degraded* PNG upload: their
-# measurement vector is not an image (compressed/scattered coefficients),
-# even when its length happens to factor like one.
-_SVD_GT_ONLY = frozenset({"cs_walshhadamard", "cs_blockbased", "inpainting"})
-
-
-def _nhwc_to_vec(x):
-    """NHWC -> channel-major flat (the SVD operator layout, runner.py:422)."""
-    b = x.shape[0]
-    return jnp.transpose(x, (0, 3, 1, 2)).reshape(b, -1)
 
 
 class RestorationService:
@@ -162,9 +155,14 @@ class RestorationService:
         sigma_y: float = 0.0,
         base_seed: int = 1234,
         mesh=None,
+        require_ctx: Sequence[str] = (),
     ):
         self._model_fn = model_fn
         self._mesh = mesh
+        self._require_ctx = frozenset(require_ctx)
+        unknown = self._require_ctx - set(operators)
+        if unknown:
+            raise ValueError(f"require_ctx names unknown tasks: {sorted(unknown)}")
         if mesh is not None:
             from ddnm_tpu.parallel import replicate
 
@@ -198,13 +196,28 @@ class RestorationService:
                 continue
             self._is_svd[name] = True
             m = int(jax.eval_shape(op.A, vec).shape[1])
+            # the OPERATOR declares whether its measurement is an image
+            # (SVDOperator.measurement_image); length alone cannot tell an
+            # image from coefficients that happen to factor like one
+            kind = getattr(op, "measurement_image", None)
             shape = None
-            if name not in _SVD_GT_ONLY:
-                if m == size * size:
-                    shape = (size, size, 1)  # grayscale measurement
-                elif m % 3 == 0 and round((m // 3) ** 0.5) ** 2 == m // 3:
-                    s = round((m // 3) ** 0.5)
-                    shape = (s, s, 3)
+            if kind == "gray":
+                s = round(m**0.5)
+                if s * s != m:
+                    raise ValueError(
+                        f"{name!r} declares a grayscale measurement but "
+                        f"its length {m} is not a square")
+                shape = (s, s, 1)
+            elif kind == "rgb":
+                s = round((m / 3) ** 0.5) if m % 3 == 0 else 0
+                if s * s * 3 != m:
+                    raise ValueError(
+                        f"{name!r} declares an RGB measurement but its "
+                        f"length {m} is not 3*k^2")
+                shape = (s, s, 3)
+            elif kind is not None:
+                raise ValueError(
+                    f"{name!r}: unknown measurement_image {kind!r}")
             self._y_shapes[name] = shape  # None -> gt uploads only
         # Which ctx tasks accept a *degraded* masked upload: only those whose
         # A_ctx is the pure keep-mask projection (then the masked upload
@@ -279,8 +292,18 @@ class RestorationService:
 
     @property
     def class_cond(self) -> bool:
-        """True if requests may carry a class label (?class=N)."""
+        """True if requests MUST carry a class label (?class=N)."""
         return False
+
+    @property
+    def num_classes(self):
+        """Upper bound (exclusive) for class labels, or None if unknown."""
+        return None
+
+    def requires_ctx(self, deg: str) -> bool:
+        """True if `deg` must get a per-request mask (it was configured
+        without a real static one)."""
+        return deg in self._require_ctx
 
     def restore_async(
         self,
@@ -310,6 +333,10 @@ class RestorationService:
 
         if classes is not None and not self.class_cond:
             raise ValueError("this service is not class-conditional")
+        if ctxs is None and deg in self._require_ctx:
+            raise ValueError(
+                f"{deg!r} was configured without a static mask; every "
+                "request must carry its own (HTTP: RGBA upload)")
         is_svd = self._is_svd[deg]
         ctx = None
         if ctxs is not None:
@@ -391,9 +418,18 @@ class RestorationService:
 
         cls = None
         if self.class_cond:
-            cls = list(classes) if classes is not None else [0] * b
+            if classes is None:
+                raise ValueError(
+                    "this service is class-conditional: pass one class "
+                    "label per image (HTTP: ?class=N)")
+            cls = [int(c) for c in classes]
             if len(cls) != b:
                 raise ValueError("one class label per image required")
+            n_cls = self.num_classes
+            bad = [c for c in cls if c < 0 or (n_cls and c >= n_cls)]
+            if bad:
+                raise ValueError(
+                    f"class labels out of range [0, {n_cls}): {bad}")
             cls = jnp.asarray(cls + [0] * pad, jnp.int32)
 
         if self._mesh is not None:
@@ -435,10 +471,14 @@ class RestorationService:
         which is a distinct executable."""
         zero = np.zeros((1, self.image_size, self.image_size, 3), np.float32)
         ones = np.ones((1, self.image_size, self.image_size, 1), np.float32)
+        cls = [0] if self.class_cond else None
         for deg in self.tasks:
-            self.restore(zero, deg, [0], input_kind="gt")
+            if deg in self._require_ctx:
+                continue  # the maskless executable is unreachable
+            self.restore(zero, deg, [0], input_kind="gt", classes=cls)
         for deg in self.ctx_tasks:
-            self.restore(zero, deg, [0], input_kind="gt", ctxs=ones)
+            self.restore(zero, deg, [0], input_kind="gt", ctxs=ones,
+                         classes=cls)
 
 
 class PosteriorRestorationService(RestorationService):
@@ -472,10 +512,13 @@ class PosteriorRestorationService(RestorationService):
         guidance_fn: Optional[Callable] = None,
         clip_denoised: bool = True,
         class_cond: bool = False,
+        num_classes: Optional[int] = None,
+        require_ctx: Sequence[str] = (),
     ):
         super().__init__(
             model_fn, params, None, operators, image_size=image_size,
             max_batch=max_batch, base_seed=base_seed, mesh=mesh,
+            require_ctx=require_ctx,
         )
         bad = [n for n, svd in self._is_svd.items() if svd]
         if bad:
@@ -486,10 +529,15 @@ class PosteriorRestorationService(RestorationService):
         self._guidance_fn = guidance_fn
         self._clip_denoised = bool(clip_denoised)
         self._class_cond = bool(class_cond)
+        self._num_classes = None if num_classes is None else int(num_classes)
 
     @property
     def class_cond(self) -> bool:
         return self._class_cond
+
+    @property
+    def num_classes(self):
+        return self._num_classes
 
     def _sample(self, op, deg, is_svd, x_init, y, ctx, noise_keys, cls):
         from ddnm_tpu.sampling.posterior import sample_posterior
@@ -628,6 +676,13 @@ class RestorationServer:
         req = _Request(image=image, deg=deg, input_kind=input_kind, seq=seq,
                        ctx=ctx, cls=cls)
         self._queue.put_nowait(req)  # raises queue.Full -> 503 upstream
+        if self._stopped and not req.event.is_set():
+            # raced with stop(): the drains may already have run, leaving
+            # this request unwatched — fail it here (event.set is
+            # idempotent, so a concurrent drain doing the same is fine)
+            req.error = "server shutting down"
+            req.error_code = 503
+            req.event.set()
         return req
 
     def _collect(self, first: _Request) -> list:
@@ -786,6 +841,9 @@ def _make_handler(server: RestorationServer):
                     "ctx_tasks": list(svc.ctx_tasks),
                     "svd_tasks": [t for t in svc.tasks if svc.is_svd(t)],
                     "class_cond": svc.class_cond,
+                    "num_classes": svc.num_classes,
+                    "mask_required": [t for t in svc.tasks
+                                      if svc.requires_ctx(t)],
                     "degraded_upload": {
                         t: (list(svc.y_shape(t))
                             if svc.y_shape(t) is not None else None)
@@ -823,15 +881,21 @@ def _make_handler(server: RestorationServer):
                         400, {"error": "this service is not "
                                        "class-conditional"})
                     return
+                n_cls = server.service.num_classes
                 try:
                     cls = int(q["class"][0])
-                    if cls < 0:
+                    if cls < 0 or (n_cls is not None and cls >= n_cls):
                         raise ValueError
                 except ValueError:
                     self._send_json(
-                        400, {"error": f"class must be a non-negative "
-                                       f"integer, got {q['class'][0]!r}"})
+                        400, {"error": f"class must be an integer in "
+                                       f"[0, {n_cls}), got {q['class'][0]!r}"})
                     return
+            elif server.service.class_cond:
+                self._send_json(
+                    400, {"error": "this service is class-conditional: "
+                                   "pass ?class=N"})
+                return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 if not 0 < length <= _MAX_BODY:
@@ -846,6 +910,12 @@ def _make_handler(server: RestorationServer):
             # Validate kind/shape HERE so one malformed request cannot
             # poison the coalesced batch it would have ridden in.
             size = server.service.image_size
+            if not has_alpha and server.service.requires_ctx(deg):
+                self._send_json(
+                    400, {"error": f"{deg!r} was configured without a "
+                                   "static mask; upload an RGBA PNG whose "
+                                   "alpha channel is the keep-mask"})
+                return
             if has_alpha:
                 if deg not in server.service.ctx_tasks:
                     self._send_json(

@@ -269,9 +269,11 @@ def export_posterior_trajectory(
                 clip_denoised=clip_denoised, loop="scan", params=params)
 
     img = jax.ShapeDtypeStruct((batch, image_size, image_size, 3), jnp.float32)
-    paste = (img, img) if with_paste else ()
-    ctx = (jax.ShapeDtypeStruct((batch, image_size, image_size, 1),
-                                jnp.float32),) if with_ctx else ()
+    one = jax.ShapeDtypeStruct((batch, image_size, image_size, 1), jnp.float32)
+    # paste_mask is single-plane, matching what the tiling engine feeds
+    # sample_posterior (tiling.py:280); paste_content is a full RGB tile
+    paste = (one, img) if with_paste else ()
+    ctx = (one,) if with_ctx else ()
     key_shape = (batch, 2) if per_image_keys else (2,)
     args = (
         jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params),

@@ -124,6 +124,35 @@ def build_adm_from_hq(conf, dtype):
     )
 
 
+def build_classifier_from_hq(conf, dtype):
+    """ADM classifier from a flat hq config — shared by hq_main and
+    serve.py --hq_conf. Standard sizes go through ADMClassifier.from_config
+    (channel_mult derived from image_size like the reference's
+    create_classifier, script_util.py:229-252); a conf-provided
+    classifier_channel_mult overrides it (toy/test sizes)."""
+    from ddnm_tpu.models import ADMClassifier
+
+    size = int(conf.image_size or 256)
+    if conf.classifier_channel_mult:
+        mult = tuple(
+            int(m) for m in str(conf.classifier_channel_mult).split(","))
+        return ADMClassifier(
+            image_size=size,
+            model_channels=int(conf.classifier_width),
+            num_res_blocks=int(conf.classifier_depth),
+            attention_resolutions=tuple(
+                size // int(r)
+                for r in str(conf.classifier_attention_resolutions).split(",")
+            ),
+            channel_mult=mult,
+            use_scale_shift_norm=bool(conf.classifier_use_scale_shift_norm),
+            resblock_updown=bool(conf.classifier_resblock_updown),
+            pool=str(conf.classifier_pool),
+            dtype=dtype,
+        )
+    return ADMClassifier.from_config(conf, image_size=size, dtype=dtype)
+
+
 def main(argv=None):
     ns = parse_args(argv)
     logging.basicConfig(level=logging.INFO,
@@ -209,20 +238,7 @@ def main(argv=None):
     cparams = None
     cckpt = ns.classifier_ckpt or conf.classifier_path
     if conf.class_cond and float(conf.classifier_scale or 0) > 0:
-        clf = ADMClassifier(
-            image_size=size,
-            model_channels=int(conf.classifier_width),
-            num_res_blocks=int(conf.classifier_depth),
-            attention_resolutions=tuple(
-                size // int(r)
-                for r in str(conf.classifier_attention_resolutions).split(",")
-            ),
-            channel_mult=(1, 1, 2, 2, 4, 4),
-            use_scale_shift_norm=bool(conf.classifier_use_scale_shift_norm),
-            resblock_updown=bool(conf.classifier_resblock_updown),
-            pool=str(conf.classifier_pool),
-            dtype=dtype,
-        )
+        clf = build_classifier_from_hq(conf, dtype)
         if cckpt and Path(cckpt).exists():
             cparams = load_params(
                 cckpt,

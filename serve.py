@@ -140,22 +140,9 @@ def build_hq_service(ns):
     guidance_fn = None
     cckpt = ns.classifier_ckpt or conf.classifier_path
     if class_cond and float(conf.classifier_scale or 0) > 0:
-        from ddnm_tpu.models import ADMClassifier
+        from hq_main import build_classifier_from_hq
 
-        clf = ADMClassifier(
-            image_size=size,
-            model_channels=int(conf.classifier_width),
-            num_res_blocks=int(conf.classifier_depth),
-            attention_resolutions=tuple(
-                size // int(r)
-                for r in str(conf.classifier_attention_resolutions).split(",")
-            ),
-            channel_mult=(1, 1, 2, 2, 4, 4),
-            use_scale_shift_norm=bool(conf.classifier_use_scale_shift_norm),
-            resblock_updown=bool(conf.classifier_resblock_updown),
-            pool=str(conf.classifier_pool),
-            dtype=dtype,
-        )
+        clf = build_classifier_from_hq(conf, dtype)
         cdummy = (jnp.zeros((1, size, size, 3)), jnp.zeros((1,)))
         if cckpt and Path(cckpt).exists():
             run_params["classifier"] = load_params(
@@ -183,13 +170,18 @@ def build_hq_service(ns):
 
     mask = load_mask(ns.mask_path) if ns.mask_path else None
     operators = {}
+    require_ctx = []
     for deg in [d.strip() for d in ns.degs.split(",") if d.strip()]:
         if deg not in HQ_DEGS:
             raise SystemExit(f"unknown hq task {deg!r}; choose from {HQ_DEGS}")
         needs_mask = deg in ("inpainting", "mask_color_sr")
         op_mask = mask
         if needs_mask and op_mask is None:
+            # no --mask_path: there is no meaningful static mask, so every
+            # request must bring its own (RGBA upload); a maskless request
+            # would otherwise be a silent no-op restore under all-ones
             op_mask = np.ones((size, size, 1), np.float32)
+            require_ctx.append(deg)
         operators[deg] = build_functional_operator(
             deg, image_size=size, deg_scale=ns.deg_scale,
             mask=op_mask if needs_mask else None,
@@ -203,6 +195,7 @@ def build_hq_service(ns):
         model_fn, run_params, tables, operators, image_size=size,
         max_batch=ns.max_batch, base_seed=ns.seed, mesh=mesh,
         guidance_fn=guidance_fn, class_cond=class_cond,
+        num_classes=1000 if class_cond else None, require_ctx=require_ctx,
     )
 
 
@@ -236,15 +229,18 @@ def build_service(ns):
     size = config.data.image_size
     mask = load_mask(ns.mask_path) if ns.mask_path else None
     operators = {}
+    require_ctx = []
     for deg in [d.strip() for d in ns.degs.split(",") if d.strip()]:
         if deg not in SIMPLIFIED_DEGS:
             raise SystemExit(f"unknown task {deg!r}; choose from {SIMPLIFIED_DEGS}")
         needs_mask = deg in ("inpainting", "mask_color_sr", "diy")
         op_mask = mask
         if needs_mask and op_mask is None:
-            # no --mask_path: static mask defaults to all-keep; clients
-            # supply per-request masks via RGBA uploads (server docstring)
+            # no --mask_path: there is no meaningful static mask, so every
+            # request must bring its own (RGBA upload); a maskless request
+            # would otherwise be a silent no-op restore under all-ones
             op_mask = np.ones((size, size, 1), np.float32)
+            require_ctx.append(deg)
         operators[deg] = build_functional_operator(
             deg, image_size=size, deg_scale=ns.deg_scale,
             mask=op_mask if needs_mask else None,
@@ -275,6 +271,7 @@ def build_service(ns):
         model_fn, run_params, runner.sched, operators,
         image_size=size, max_batch=ns.max_batch, eta=ns.eta,
         sigma_y=ns.sigma_y, base_seed=ns.seed, mesh=mesh,
+        require_ctx=require_ctx,
     )
 
 

@@ -383,7 +383,7 @@ def test_serving_export_posterior_trajectory_roundtrip(tmp_path):
     gts = jnp.asarray(rng2.uniform(-1, 1, (batch, size, size, 3)), jnp.float32)
     apy = op.Ap_ctx(op.A_ctx(gts, ctx), ctx)
     paste_mask = jnp.asarray(
-        (rng2.random((batch, size, size, 3)) > 0.5), jnp.float32)
+        (rng2.random((batch, size, size, 1)) > 0.5), jnp.float32)
     paste_content = jnp.asarray(
         rng2.uniform(-1, 1, (batch, size, size, 3)), jnp.float32)
 

@@ -240,6 +240,25 @@ def test_serve_cli_build_service(tmp_path):
     assert out.shape == (2, 64, 64, 3)
 
 
+def test_serve_cli_maskless_inpainting_requires_ctx():
+    """Without --mask_path there is no meaningful static mask: the task is
+    served mask-required (maskless requests would be no-op restores)."""
+    import serve
+
+    ns = serve.parse_args([
+        "--config", "configs/smoke.yml", "--random_init",
+        "--degs", "inpainting", "--max_batch", "2", "--t_sampling", "2",
+    ])
+    svc = serve.build_service(ns)
+    assert svc.requires_ctx("inpainting")
+    gt = np.zeros((1, 64, 64, 3), np.float32)
+    with pytest.raises(ValueError, match="without a static mask"):
+        svc.restore(gt, "inpainting", [0], input_kind="gt")
+    out = svc.restore(gt, "inpainting", [0], input_kind="gt",
+                      ctxs=np.ones((1, 64, 64, 1), np.float32))
+    assert out.shape == (1, 64, 64, 3)
+
+
 def test_bad_request_cannot_poison_batch(service):
     """A wrong-size degraded PNG is rejected at the handler (400) and never
     reaches the batcher, so concurrent well-formed requests still get 200."""
@@ -559,6 +578,10 @@ class _FakeService:
         self._fail = frozenset(fail_seqs)
         self.tasks = ("a", "b")
         self.class_cond = False
+        self.num_classes = None
+
+    def requires_ctx(self, deg):
+        return False
 
     def y_shape(self, deg):
         return (self.image_size, self.image_size, 3)
@@ -817,7 +840,7 @@ def posterior_service():
         {"model": mp, "classifier": cp}, tables, ops,
         image_size=RES, max_batch=4,
         guidance_fn=classifier_guidance_from_params(clf.apply, 2.0),
-        class_cond=True,
+        class_cond=True, num_classes=10,
     )
 
 
@@ -884,7 +907,16 @@ def test_http_posterior_class_param(posterior_service, service):
         status, body, _ = _post(
             f"{base}/restore?deg=sr_averagepooling&input=gt&class=-1",
             _png_bytes(gt))
-        assert status == 400 and b"non-negative" in body
+        assert status == 400 and b"class must be" in body
+        # out-of-range and missing labels are 400s too
+        status, body, _ = _post(
+            f"{base}/restore?deg=sr_averagepooling&input=gt&class=10",
+            _png_bytes(gt))
+        assert status == 400 and b"class must be" in body
+        status, body, _ = _post(
+            f"{base}/restore?deg=sr_averagepooling&input=gt",
+            _png_bytes(gt))
+        assert status == 400 and b"class-conditional" in body
         import json
         import urllib.request as _rq
 
