@@ -621,3 +621,25 @@ def test_hq_cli_noisy_smoke(tmp_path):
         "-i", str(tmp_path / "hq"),
     ])
     assert np.isfinite(out["final"]).all()
+
+
+def test_sharding_audit_invariants():
+    """Compile the real executables over the virtual mesh and assert the
+    structural parallelism claims (docs/PERFORMANCE.md): the data-parallel
+    sampling step contains ZERO collectives (DDNM is batch-elementwise;
+    params replicated, batch sharded), while the spatially-partitioned
+    forward contains exactly the expected traffic classes — halo
+    collective-permutes and cross-shard normalisation/attention
+    reductions. Guards against a refactor silently taxing every step."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from analyze_sharding import (
+        _flagship_dp_step, _sp_forward, count_collectives)
+
+    dp = count_collectives(_flagship_dp_step(8))
+    assert dp == {}, f"dp hot step grew collectives: {dp}"
+
+    sp = count_collectives(_sp_forward(2, 4))
+    assert sp.get("collective-permute", 0) > 0  # conv halo exchanges
+    assert sp.get("all-reduce", 0) > 0  # GroupNorm cross-shard stats

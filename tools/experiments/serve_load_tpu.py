@@ -77,6 +77,7 @@ def main(n_requests: int = 64, max_wait_ms: float = 300.0):
     for t in threads:
         t.join()
     wall = time.time() - t0
+    stats = server.stats.as_dict()
     server.stop()
     ok = sum(1 for s in status if s == 200)
     print(json.dumps({
@@ -86,6 +87,7 @@ def main(n_requests: int = 64, max_wait_ms: float = 300.0):
         "img_per_sec": round(n_requests / wall, 3),
         "batches": server.stats.batches,
         "mean_batch": round(server.stats.requests / max(server.stats.batches, 1), 2),
+        "latency_s": stats.get("latency_s"),
     }))
 
 
