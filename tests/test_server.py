@@ -880,6 +880,34 @@ def test_posterior_service_classes_and_masks(posterior_service, service):
                         classes=[1, 2])
 
 
+def test_posterior_service_mesh_sharded_matches(posterior_service):
+    """A mesh-sharded posterior service (classes + masks sharded with the
+    batch) returns bitwise-identical restorations."""
+    from ddnm_tpu.parallel import make_mesh
+    from ddnm_tpu.server import PosteriorRestorationService
+
+    svc = posterior_service
+    assert len(jax.devices()) >= 8
+    sharded = PosteriorRestorationService(
+        svc._model_fn, {k: v for k, v in svc._params.items()},
+        svc._tables, svc._operators, image_size=RES, max_batch=8,
+        mesh=make_mesh(8), guidance_fn=svc._guidance_fn,
+        class_cond=True, num_classes=10,
+    )
+    plain = PosteriorRestorationService(
+        svc._model_fn, {k: v for k, v in svc._params.items()},
+        svc._tables, svc._operators, image_size=RES, max_batch=8,
+        guidance_fn=svc._guidance_fn, class_cond=True, num_classes=10,
+    )
+    gts = _gt_images(3, seed=67)
+    m = _masks(3, seed=71)
+    kw = dict(input_kind="gt", ctxs=m, classes=[1, 5, 9])
+    np.testing.assert_array_equal(
+        sharded.restore(gts, "inpainting", [30, 31, 32], **kw),
+        plain.restore(gts, "inpainting", [30, 31, 32], **kw),
+    )
+
+
 def test_posterior_service_rejects_svd_ops(posterior_service):
     from ddnm_tpu.operators import build_svd_operator
     from ddnm_tpu.server import PosteriorRestorationService

@@ -27,7 +27,7 @@ REPO = Path(__file__).resolve().parents[2]
 sys.path.insert(0, str(REPO))
 
 
-def main(n_requests: int = 64, max_wait_ms: float = 300.0):
+def main(n_requests: int = 64, max_wait_ms: float = 300.0, hq: bool = False):
     from PIL import Image
 
     import serve
@@ -35,12 +35,22 @@ def main(n_requests: int = 64, max_wait_ms: float = 300.0):
     from ddnm_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    ns = serve.parse_args([
-        "--config", str(REPO / "configs/celeba_hq.yml"), "--random_init",
-        "--dtype", "bfloat16", "--degs", "sr_averagepooling",
-        "--max_batch", "8", "--max_wait_ms", str(max_wait_ms),
-    ])
-    service = serve.build_service(ns)
+    if hq:
+        # the hq face256-class posterior workload: per-request RGBA masks
+        # through the respaced jump-schedule loop (~330 model calls/image)
+        ns = serve.parse_args([
+            "--hq_conf", str(REPO / "configs/hq/face256.yml"),
+            "--random_init", "--dtype", "bfloat16", "--degs", "inpainting",
+            "--max_batch", "8", "--max_wait_ms", str(max_wait_ms),
+        ])
+        service = serve.build_hq_service(ns)
+    else:
+        ns = serve.parse_args([
+            "--config", str(REPO / "configs/celeba_hq.yml"), "--random_init",
+            "--dtype", "bfloat16", "--degs", "sr_averagepooling",
+            "--max_batch", "8", "--max_wait_ms", str(max_wait_ms),
+        ])
+        service = serve.build_service(ns)
     print("warming up ...", flush=True)
     t0 = time.time()
     service.warmup()
@@ -49,14 +59,23 @@ def main(n_requests: int = 64, max_wait_ms: float = 300.0):
     server = RestorationServer(service, max_wait_ms=max_wait_ms)
     server.start()
     host, port = server.address
-    url = f"http://{host}:{port}/restore?deg=sr_averagepooling"
+    deg = "inpainting" if hq else "sr_averagepooling"
+    url = f"http://{host}:{port}/restore?deg={deg}" + ("&input=gt" if hq else "")
 
     rng = np.random.default_rng(0)
     bodies = []
     for _ in range(n_requests):
-        y = (rng.uniform(0.1, 0.9, (64, 64, 3)) * 255).astype(np.uint8)
+        if hq:
+            size = service.image_size
+            gt = (rng.uniform(0.1, 0.9, (size, size, 3)) * 255).astype(np.uint8)
+            alpha = ((rng.random((size, size, 1)) > 0.3) * 255).astype(np.uint8)
+            img = Image.fromarray(
+                np.concatenate([gt, alpha], axis=-1), mode="RGBA")
+        else:
+            y = (rng.uniform(0.1, 0.9, (64, 64, 3)) * 255).astype(np.uint8)
+            img = Image.fromarray(y)
         buf = io.BytesIO()
-        Image.fromarray(y).save(buf, format="PNG")
+        img.save(buf, format="PNG")
         bodies.append(buf.getvalue())
 
     import urllib.request
@@ -92,6 +111,7 @@ def main(n_requests: int = 64, max_wait_ms: float = 300.0):
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    w = float(sys.argv[2]) if len(sys.argv) > 2 else 300.0
-    main(n, w)
+    args = [a for a in sys.argv[1:] if a != "--hq"]
+    n = int(args[0]) if len(args) > 0 else 64
+    w = float(args[1]) if len(args) > 1 else 300.0
+    main(n, w, hq="--hq" in sys.argv[1:])
