@@ -344,6 +344,41 @@ def test_serving_export_posterior_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(x0), np.asarray(ref_x0), atol=1e-5)
 
 
+def test_serving_export_multiplatform(tmp_path):
+    """A (cpu, tpu) trajectory artifact can be built on a CPU-only host and
+    still executes on the CPU side — build-anywhere, deploy-to-TPU."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddnm_tpu import schedules
+    from ddnm_tpu.models.unet_ddpm import DDPMUNet
+    from ddnm_tpu.operators import build_functional_operator
+    from ddnm_tpu.sampling import build_schedule
+    from ddnm_tpu.serving import export_simplified_trajectory, load_exported
+
+    size, batch = 32, 1
+    model = DDPMUNet(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                     attn_resolutions=(16,), resolution=size)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (batch, size, size, 3))
+    params = model.init(rng, x, jnp.zeros((batch,)))
+    op = build_functional_operator("sr_averagepooling", image_size=size,
+                                   deg_scale=4)
+    y = op.A(x)
+    betas = schedules.get_beta_schedule(
+        "linear", beta_start=1e-4, beta_end=0.02, num_diffusion_timesteps=100)
+    sched = build_schedule(betas=betas, t_sampling=3)
+    blob = export_simplified_trajectory(
+        lambda p, xx, tt: model.apply(p, xx, tt), params, op, sched,
+        batch=batch, image_size=size, y_shape=tuple(y.shape),
+        platforms=("cpu", "tpu"))
+    call = load_exported(blob)
+    key = jax.random.key_data(jax.random.PRNGKey(7)).astype(jnp.uint32)
+    out, _ = call(params, x, y, key)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_serving_export_posterior_trajectory_roundtrip(tmp_path):
     """Export the WHOLE posterior jump-schedule loop (paste + ctx + travel)
     and match the live scan-driver sampler bitwise."""
