@@ -344,6 +344,34 @@ def test_serving_export_posterior_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(x0), np.asarray(ref_x0), atol=1e-5)
 
 
+def test_flagship_forward_cost_envelope():
+    """Perf-regression guard: XLA cost analysis of the flagship (256px,
+    114M-param bf16 DDPM UNet) forward must stay inside the measured
+    envelope — 0.497 TFLOP and 10.07 GB accessed per batch-1 forward
+    (matches docs/PERFORMANCE.md's TPU batch-8 roofline: 3.94 TFLOP,
+    which is 8x this). A change that silently bloats compute or memory
+    traffic (a lost fusion, an accidental fp32 torso, a layout flip that
+    duplicates activations) fails here without needing a TPU."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddnm_tpu.models.unet_ddpm import DDPMUNet
+
+    model = DDPMUNet(dtype=jnp.bfloat16)  # the bench.py flagship config
+    rng = jax.random.PRNGKey(0)
+    x = jax.ShapeDtypeStruct((1, 256, 256, 3), jnp.float32)
+    t = jax.ShapeDtypeStruct((1,), jnp.float32)
+    pshapes = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+        jax.eval_shape(model.init, rng, x, t))
+    fwd = jax.jit(lambda p, xx, tt: model.apply(p, xx, tt))
+    ca = fwd.lower(pshapes, x, t).compile().cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else ca
+    flops, gbytes = ca["flops"] / 1e12, ca["bytes accessed"] / 1e9
+    assert 0.45 <= flops <= 0.55, f"flagship forward FLOPs drifted: {flops} T"
+    assert 9.0 <= gbytes <= 11.1, f"flagship forward bytes drifted: {gbytes} GB"
+
+
 def test_serving_export_multiplatform(tmp_path):
     """A (cpu, tpu) trajectory artifact can be built on a CPU-only host and
     still executes on the CPU side — build-anywhere, deploy-to-TPU."""
