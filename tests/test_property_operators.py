@@ -184,3 +184,29 @@ def test_functional_right_inverse_on_range(case, seed):
     x = jnp.asarray(rng.standard_normal((2, size, size, 3)), jnp.float32)
     ax = op.A(x)
     _rel_close(op.A(op.Ap(ax)), ax, tol=1e-5)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.sampled_from(["inpainting", "mask_color_sr"]),
+    st.integers(0, 2**31 - 1),
+    st.sampled_from([8, 16, 32]),
+)
+def test_ctx_forms_reduce_to_static(deg, seed, size):
+    """Context-parameterised forms with ctx == the baked static mask must
+    reproduce A/Ap exactly, for any mask (the op_ctx serving/tiling paths
+    rely on this reduction)."""
+    rng = np.random.default_rng(seed)
+    mask = (rng.random((size, size, 1)) > rng.uniform(0.1, 0.9)).astype(
+        np.float32)
+    scale = 2 if size == 8 else 4
+    op = build_functional_operator(deg, image_size=size, mask=mask,
+                                   deg_scale=scale)
+    assert op.has_ctx
+    z = jnp.asarray(rng.uniform(-1, 1, (2, size, size, 3)), jnp.float32)
+    ctx = jnp.asarray(mask)[None]
+    np.testing.assert_array_equal(
+        np.asarray(op.A(z)), np.asarray(op.A_ctx(z, ctx)))
+    y = op.A(z)
+    np.testing.assert_array_equal(
+        np.asarray(op.Ap(y)), np.asarray(op.Ap_ctx(y, ctx)))

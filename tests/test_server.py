@@ -1003,6 +1003,60 @@ def test_serve_cli_sigterm_drains(tmp_path):
             proc.kill()
 
 
+def test_batcher_grouping_invariants_fuzz():
+    """Model-based fuzz of the batcher (threadless, deterministic): for
+    random request sequences, groups are homogeneous in
+    (task, input_kind, maskedness), never exceed max_batch, and their
+    concatenation preserves submission order (collect stops at the first
+    mismatch and holds it — it never skips). Cancellation accounting adds
+    up after serving every group."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    img = np.zeros((8, 8, 3), np.float32)
+    mask = np.ones((8, 8, 1), np.float32)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.sampled_from(["gt", "degraded"]),
+                  st.booleans(), st.booleans()),
+        min_size=1, max_size=24))
+    def run(seq):
+        server = RestorationServer(_FakeService(max_batch=3), max_wait_ms=0.001)
+        try:
+            reqs = []
+            for deg, kind, has_ctx, cancel in seq:
+                r = server.submit(img, deg, kind,
+                                  ctx=mask if has_ctx else None)
+                if cancel:
+                    r.cancelled.set()
+                reqs.append(r)
+            groups = []
+            while server._held is not None or not server._queue.empty():
+                if server._held is not None:
+                    first, server._held = server._held, None
+                else:
+                    first = server._queue.get_nowait()
+                groups.append(server._collect(first))
+            flat = [r for g in groups for r in g]
+            assert [r.seq for r in flat] == [r.seq for r in reqs]
+            for g in groups:
+                assert len(g) <= server.service.max_batch
+                keys = {(r.deg, r.input_kind, r.ctx is None) for r in g}
+                assert len(keys) == 1, f"mixed group: {keys}"
+            for g in groups:
+                server._serve_group(g)
+            assert all(r.event.is_set() for r in reqs)
+            n_cancelled = sum(1 for _, _, _, c in seq if c)
+            assert server.stats.cancelled == n_cancelled
+            assert server.stats.requests == len(seq) - n_cancelled
+            assert server.stats.errors == 0
+        finally:
+            server._httpd.server_close()
+
+    run()
+
+
 def test_collect_coalesces_same_task(service):
     """The batcher groups same-task requests and holds a mismatch back."""
     server = RestorationServer(service, max_wait_ms=50.0)
