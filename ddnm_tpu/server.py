@@ -133,8 +133,8 @@ class RestorationService:
     SVD tasks take `input=gt` always; `input=degraded` additionally works
     where the measurement is an image in the operator's channel-major
     layout (deblur family: full-size blurred RGB; sr_*: the low-res RGB;
-    colorization: the grayscale) — inferred from the measurement length,
-    with the non-image tasks (_SVD_GT_ONLY) explicitly excluded.
+    colorization: the grayscale) — declared by each operator's
+    `SVDOperator.measurement_image`, never inferred from length alone.
 
     `mesh` (a 1-D jax.sharding.Mesh from `parallel.make_mesh`) serves the
     batch sharded across chips: params replicate, the request batch splits
