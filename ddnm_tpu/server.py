@@ -240,6 +240,36 @@ class RestorationService:
                             np.asarray(probe * pmask))
             )
 
+    def swap_params(self, params) -> None:
+        """Replace the served weights in place — ZERO recompiles.
+
+        Params are traced ARGUMENTS of every compiled executable (never
+        baked constants), so a checkpoint refresh (EMA update, fine-tune
+        rollout) just swaps the arrays the next batch reads; no compiled
+        program is touched. The tree structure and shapes must match what
+        the executables were traced with. In-flight batches keep the old
+        weights (they were already dispatched); attribute assignment is
+        atomic under the GIL, so the single worker thread sees either the
+        old or the new tree, never a mix."""
+        old = jax.tree_util.tree_structure(self._params)
+        new = jax.tree_util.tree_structure(params)
+        if old != new:
+            raise ValueError(
+                f"param tree structure mismatch: served {old}, got {new}")
+        mismatched = [
+            ()
+            for a, b in zip(jax.tree.leaves(self._params),
+                            jax.tree.leaves(params))
+            if a.shape != b.shape
+        ]
+        if mismatched:
+            raise ValueError("param leaf shapes differ from the served tree")
+        if self._mesh is not None:
+            from ddnm_tpu.parallel import replicate
+
+            params = replicate(self._mesh, params)
+        self._params = params
+
     @property
     def tasks(self) -> tuple:
         return tuple(sorted(self._operators))

@@ -308,14 +308,33 @@ def main(argv=None):
                  service.tasks, *server.address, service.max_batch)
 
     # graceful drain on SIGTERM (the supervisor's stop signal): pending
-    # requests get explicit 503s instead of connection resets
+    # requests get explicit 503s instead of connection resets; SIGHUP
+    # hot-reloads the checkpoint with ZERO recompiles (weights are traced
+    # arguments of every executable, so swapping arrays touches no
+    # compiled program)
     import signal
 
     stop_requested = threading.Event()
+    reload_requested = threading.Event()
     signal.signal(signal.SIGTERM, lambda *_: stop_requested.set())
+    signal.signal(signal.SIGHUP, lambda *_: reload_requested.set())
     try:
-        while not stop_requested.wait(timeout=3600):
-            pass
+        while not stop_requested.wait(timeout=1.0):
+            if reload_requested.is_set():
+                reload_requested.clear()
+                if not ns.ckpt:
+                    logging.warning("SIGHUP: no --ckpt to reload from")
+                    continue
+                try:
+                    t0 = time.time()
+                    fresh = build_hq_service(ns) if ns.hq_conf \
+                        else build_service(ns)
+                    service.swap_params(fresh._params)
+                    logging.info("SIGHUP: reloaded %s in %.1fs (no "
+                                 "recompiles)", ns.ckpt, time.time() - t0)
+                except Exception:
+                    logging.exception("SIGHUP reload failed; serving the "
+                                      "previous weights")
     except KeyboardInterrupt:
         pass
     logging.info("shutting down")

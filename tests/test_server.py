@@ -240,6 +240,48 @@ def test_serve_cli_build_service(tmp_path):
     assert out.shape == (2, 64, 64, 3)
 
 
+def test_swap_params_zero_recompile():
+    """Hot-swapping weights changes outputs WITHOUT retracing any
+    executable (params are traced arguments, never baked constants); a
+    mismatched tree is rejected."""
+    model = DDPMUNet(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                     attn_resolutions=(16,), resolution=RES)
+    traces = {"n": 0}
+
+    def model_fn(p, x, t):
+        traces["n"] += 1  # runs at TRACE time only, not per execution
+        return model.apply(p, x, t)
+
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((1, RES, RES, 3))
+    params1 = model.init(rng, x0, jnp.zeros((1,)))
+    params2 = model.init(jax.random.PRNGKey(9), x0, jnp.zeros((1,)))
+    betas = schedules.get_beta_schedule(
+        "linear", beta_start=1e-4, beta_end=0.02, num_diffusion_timesteps=100
+    )
+    svc = RestorationService(
+        model_fn, params1,
+        build_schedule(betas=betas, t_sampling=3),
+        {"sr_averagepooling": build_functional_operator(
+            "sr_averagepooling", image_size=RES, deg_scale=4)},
+        image_size=RES, max_batch=2,
+    )
+    gts = _gt_images(1, seed=73)
+    out1 = svc.restore(gts, "sr_averagepooling", [0], input_kind="gt")
+    n_traces = traces["n"]
+    assert n_traces > 0
+    svc.swap_params(params2)
+    out2 = svc.restore(gts, "sr_averagepooling", [0], input_kind="gt")
+    assert traces["n"] == n_traces, "weight swap must not retrace"
+    assert not np.array_equal(out1, out2), "new weights must take effect"
+    # swapping back reproduces the original output bitwise
+    svc.swap_params(params1)
+    out3 = svc.restore(gts, "sr_averagepooling", [0], input_kind="gt")
+    np.testing.assert_array_equal(out1, out3)
+    with pytest.raises(ValueError, match="structure"):
+        svc.swap_params({"bogus": np.zeros(3)})
+
+
 def test_serve_cli_maskless_inpainting_requires_ctx():
     """Without --mask_path there is no meaningful static mask: the task is
     served mask-required (maskless requests would be no-op restores)."""
@@ -995,9 +1037,18 @@ def test_serve_cli_sigterm_drains(tmp_path):
             except (OSError, ValueError):
                 time.sleep(0.5)
         assert up, "server never came up"
+        # SIGHUP (hot-reload request) must not kill the server; with no
+        # --ckpt it logs a warning and keeps serving
+        proc.send_signal(signal.SIGHUP)
+        time.sleep(2.0)
+        with urllib.request.urlopen(
+                "http://127.0.0.1:8733/healthz", timeout=5) as r:
+            assert json.load(r)["status"] == "ok"
         proc.send_signal(signal.SIGTERM)
         assert proc.wait(timeout=60) == 0
-        assert "shutting down" in proc.stdout.read()
+        out_text = proc.stdout.read()
+        assert "shutting down" in out_text
+        assert "no --ckpt to reload" in out_text
     finally:
         if proc.poll() is None:
             proc.kill()
