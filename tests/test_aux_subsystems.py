@@ -640,3 +640,25 @@ def test_hq_evaluation_face_sweep_dry_run(tmp_path, capsys):
     assert "--gt_path" in out and "--mask_path_dir" in out
     assert "--max_len 2" in out
     assert "face256.yml" in out
+
+
+def test_docs_paths_exist():
+    """Docs-integrity: every repo file path mentioned in PARITY.md,
+    README.md and docs/*.md exists (catches doc rot when files move)."""
+    import re
+
+    repo = Path(__file__).resolve().parents[1]
+    docs = [repo / "PARITY.md", repo / "README.md",
+            *sorted((repo / "docs").glob("*.md"))]
+    # slash-qualified repo-relative paths only (bare file names are
+    # usually reference-repo citations, which live outside this tree)
+    pat = re.compile(
+        r"\b((?:ddnm_tpu|tools|tests|configs|docs)/[\w/\.-]+\.\w+)\b")
+    missing = {}
+    for doc in docs:
+        for m in pat.finditer(doc.read_text()):
+            rel = m.group(1)
+            if not (repo / rel).exists():
+                missing.setdefault(doc.name, set()).add(rel)
+    missing = {k: sorted(v) for k, v in missing.items()}
+    assert not missing, f"docs reference missing files: {missing}"
