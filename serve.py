@@ -74,6 +74,9 @@ def parse_args(argv=None):
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--max_wait_ms", type=float, default=20.0)
+    p.add_argument("--queue_size", type=int, default=64,
+                   help="pending-request cap; submits beyond it shed with "
+                        "503 'queue full' (backpressure)")
     p.add_argument("--request_timeout_s", type=float, default=600.0,
                    help="handler wait budget; timed-out requests are "
                         "cancelled before device work")
@@ -301,7 +304,7 @@ def main(argv=None):
         logging.info("warmup done in %.1fs", time.time() - t0)
     server = RestorationServer(
         service, host=ns.host, port=ns.port, max_wait_ms=ns.max_wait_ms,
-        request_timeout_s=ns.request_timeout_s,
+        queue_size=ns.queue_size, request_timeout_s=ns.request_timeout_s,
     )
     server.start()
     logging.info("serving %s on http://%s:%d (max_batch=%d)",

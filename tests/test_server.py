@@ -614,15 +614,24 @@ class _FakeService:
     touches — lets the soak test hammer the batcher/pipeline at full speed
     and inject failures deterministically."""
 
-    def __init__(self, image_size=8, max_batch=4, fail_seqs=()):
+    def __init__(self, image_size=8, max_batch=4, fail_seqs=(),
+                 dispatch_delay_s=0.0):
         self.image_size = image_size
         self.max_batch = max_batch
         self._fail = frozenset(fail_seqs)
+        self._dispatch_delay = dispatch_delay_s
         self.tasks = ("a", "b")
+        self.ctx_tasks = ()
         self.class_cond = False
         self.num_classes = None
 
     def requires_ctx(self, deg):
+        return False
+
+    def is_svd(self, deg):
+        return False
+
+    def ctx_degraded_ok(self, deg):
         return False
 
     def y_shape(self, deg):
@@ -632,6 +641,8 @@ class _FakeService:
                       ctxs=None, classes=None):
         if any(s in self._fail for s in seqs):
             raise RuntimeError("injected dispatch failure")
+        if self._dispatch_delay:
+            time.sleep(self._dispatch_delay)
         # encode (seq, task) into the result so parity is checkable
         tag = {"a": 1.0, "b": 2.0}[deg]
         return images * 0 + np.asarray(seqs, np.float32)[:, None, None, None] + tag
@@ -691,6 +702,57 @@ def test_server_soak_concurrent_submit_cancel_stop():
     assert cancelled_seen == server.stats.cancelled
     assert served + shutdown + cancelled_seen == len(submitted)
     assert server.stats.errors == 0
+
+
+def test_http_overload_sheds_with_503_queue_full():
+    """Offered load beyond queue_size sheds at the HTTP layer with a clean
+    503 'queue full' while every accepted request is still served correctly
+    (measured live on the chip 2026-08-18: 96 clients vs queue_size 64 ->
+    66 ok / 30 shed, accepted-latency percentiles unchanged)."""
+    fake = _FakeService(dispatch_delay_s=0.2)  # slow device -> queue backs up
+    server = RestorationServer(fake, max_wait_ms=5.0, queue_size=2)
+    server.start()
+    host, port = server.address
+    url = f"http://{host}:{port}/restore?deg=a&input=gt"
+    body = _png_bytes(np.zeros((8, 8, 3), np.float32))
+    results = {}
+
+    def call(i):
+        results[i] = _post(url, body)
+
+    try:
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        codes = [results[i][0] for i in range(16)]
+        ok = codes.count(200)
+        shed = codes.count(503)
+        assert ok + shed == 16 and ok >= 2 and shed >= 1, codes
+        for i in range(16):
+            if results[i][0] == 503:
+                assert b"queue full" in results[i][1], results[i][1]
+        # the shed requests never reached the device ledger
+        assert server.stats.requests == ok
+        assert server.stats.errors == 0
+    finally:
+        server.stop()
+
+
+def test_serve_cli_queue_size_flag():
+    """--queue_size reaches the server's pending-queue bound."""
+    import serve
+
+    ns = serve.parse_args(["--config", "configs/smoke.yml", "--random_init",
+                           "--queue_size", "7"])
+    assert ns.queue_size == 7
+    server = RestorationServer(_FakeService(), queue_size=ns.queue_size)
+    try:
+        assert server._queue.maxsize == 7
+    finally:
+        server._httpd.server_close()
 
 
 def test_server_soak_dispatch_failures_are_isolated():

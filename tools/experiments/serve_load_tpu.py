@@ -56,7 +56,10 @@ def main(n_requests: int = 64, max_wait_ms: float = 300.0, hq: bool = False):
     service.warmup()
     print(f"warmup {time.time() - t0:.1f}s", flush=True)
 
-    server = RestorationServer(service, max_wait_ms=max_wait_ms)
+    # size the pending queue to the offered load: this measures throughput,
+    # not load-shedding (the 503 backpressure path has its own test)
+    server = RestorationServer(
+        service, max_wait_ms=max_wait_ms, queue_size=max(64, n_requests))
     server.start()
     host, port = server.address
     deg = "inpainting" if hq else "sr_averagepooling"
@@ -85,9 +88,12 @@ def main(n_requests: int = 64, max_wait_ms: float = 300.0, hq: bool = False):
     def post(i):
         req = urllib.request.Request(
             url, data=bodies[i], headers={"Content-Type": "image/png"})
-        with urllib.request.urlopen(req, timeout=1200) as r:
-            r.read()
-            status[i] = r.status
+        try:
+            with urllib.request.urlopen(req, timeout=1200) as r:
+                r.read()
+                status[i] = r.status
+        except urllib.error.HTTPError as exc:
+            status[i] = exc.code
 
     threads = [threading.Thread(target=post, args=(i,)) for i in range(n_requests)]
     t0 = time.time()
@@ -99,11 +105,13 @@ def main(n_requests: int = 64, max_wait_ms: float = 300.0, hq: bool = False):
     stats = server.stats.as_dict()
     server.stop()
     ok = sum(1 for s in status if s == 200)
+    shed = sum(1 for s in status if s == 503)
     print(json.dumps({
         "requests": n_requests,
         "ok": ok,
+        "shed_503": shed,
         "wall_s": round(wall, 2),
-        "img_per_sec": round(n_requests / wall, 3),
+        "img_per_sec": round(ok / wall, 3),
         "batches": server.stats.batches,
         "mean_batch": round(server.stats.requests / max(server.stats.batches, 1), 2),
         "latency_s": stats.get("latency_s"),
