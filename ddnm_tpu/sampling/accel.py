@@ -260,29 +260,34 @@ def _eps_of(out, x):
 
 
 @partial(jax.jit, static_argnames=(
-    "encode_fn", "decode_fn", "operator", "eta", "sigma_y", "noise_fn"))
+    "encode_fn", "decode_fn", "operator", "eta", "sigma_y", "noise_fn",
+    "has_ctx"))
 def _key_step(encode_fn, decode_fn, operator, eta, sigma_y, noise_fn, params,
-              x, y, key, t_f, at, at_next):
+              x, y, key, t_f, at, at_next, op_ctx=None, has_ctx=False):
     """Full forward: run encoder + decoder, return the encoder cache."""
     key, k_noise = split_key(key)
     noise = draw_noise(noise_fn, k_noise, x.shape)
     t_b = jnp.full((x.shape[0],), t_f, jnp.float32)
     cache = encode_fn(params, x, t_b)
     et = _eps_of(decode_fn(params, cache, x, t_b), x)
-    x_next, x0_t = _simplified_update(operator, eta, sigma_y, x, y, et, at, at_next, noise)
+    x_next, x0_t = _simplified_update(
+        operator, eta, sigma_y, x, y, et, at, at_next, noise,
+        op_ctx if has_ctx else None)
     return x_next, x0_t, cache, key
 
 
 @partial(jax.jit, static_argnames=(
-    "decode_fn", "operator", "eta", "sigma_y", "noise_fn"))
+    "decode_fn", "operator", "eta", "sigma_y", "noise_fn", "has_ctx"))
 def _cached_step(decode_fn, operator, eta, sigma_y, noise_fn, params, x, y,
-                 cache, key, t_f, at, at_next):
+                 cache, key, t_f, at, at_next, op_ctx=None, has_ctx=False):
     """Decoder-only forward from the cached encoder features."""
     key, k_noise = split_key(key)
     noise = draw_noise(noise_fn, k_noise, x.shape)
     t_b = jnp.full((x.shape[0],), t_f, jnp.float32)
     et = _eps_of(decode_fn(params, cache, x, t_b), x)
-    x_next, x0_t = _simplified_update(operator, eta, sigma_y, x, y, et, at, at_next, noise)
+    x_next, x0_t = _simplified_update(
+        operator, eta, sigma_y, x, y, et, at, at_next, noise,
+        op_ctx if has_ctx else None)
     return x_next, x0_t, key
 
 
@@ -308,6 +313,7 @@ def sample_simplified_encoder_prop(
     key_steps=None,
     noise_fn=_default_noise,
     params=None,
+    op_ctx=None,
 ):
     """Simplified DDNM+ with encoder features reused for `interval-1` of
     every `interval` model calls. `encode_fn(params, x, t) -> cache`,
@@ -316,11 +322,21 @@ def sample_simplified_encoder_prop(
     `adm_split_fns`. Host-driven loop. `key_steps` (optional) pins the
     full forwards to explicit global model-call indices instead of the
     uniform interval — calibrate with `measure_feature_drift` +
-    `select_key_steps` (see module docstring).
+    `select_key_steps` (see module docstring). `op_ctx` as in
+    sample_simplified: runtime operator context (e.g. a (B,H,W,1)
+    per-image mask batch) routed through A_ctx/Ap_ctx each step.
 
     interval=1 is exactly the standard host-loop sampler (tested)."""
     if interval < 1:
         raise ValueError(f"interval must be >= 1, got {interval}")
+    if op_ctx is not None and not operator.has_ctx:
+        raise ValueError(
+            f"operator {operator.name!r} has no A_ctx/Ap_ctx forms; "
+            "op_ctx requires a context-parameterised operator"
+        )
+    has_ctx = op_ctx is not None
+    if not has_ctx:
+        op_ctx = jnp.zeros((), jnp.float32)
     is_key = _make_key_pred(interval, key_steps)
     abar = np.asarray(sched.alpha_bar)
     x, x0_pred = x_init, jnp.zeros_like(x_init)
@@ -339,11 +355,13 @@ def sample_simplified_encoder_prop(
             x, x0_pred, cache, key = _key_step(
                 encode_fn, decode_fn, operator, eta, sigma_y, noise_fn,
                 params, x, y, key, float(t_i), at, at_next,
+                op_ctx, has_ctx=has_ctx,
             )
         else:
             x, x0_pred, key = _cached_step(
                 decode_fn, operator, eta, sigma_y, noise_fn, params, x, y,
                 cache, key, float(t_i), at, at_next,
+                op_ctx, has_ctx=has_ctx,
             )
         seg_call += 1
         glob_call += 1

@@ -156,10 +156,34 @@ class RestorationService:
         base_seed: int = 1234,
         mesh=None,
         require_ctx: Sequence[str] = (),
+        encoder_cache: int = 1,
+        encoder_cache_policy: str = "uniform",
+        split_fns=None,
     ):
         self._model_fn = model_fn
         self._mesh = mesh
         self._require_ctx = frozenset(require_ctx)
+        self._encoder_cache = int(encoder_cache)
+        self._encoder_policy = str(encoder_cache_policy)
+        self._split_fns = split_fns
+        self._key_steps = None
+        if self._encoder_cache > 1:
+            # APPROXIMATE opt-in (Faster Diffusion, see sampling/accel.py):
+            # non-key steps reuse the cached encoder features and run only
+            # the decoder. split_fns = (encode_fn, decode_fn) over the SAME
+            # params pytree the service's model_fn takes; build once and
+            # reuse (they are jit static arguments).
+            if split_fns is None:
+                raise ValueError(
+                    "encoder_cache > 1 requires split_fns=(encode_fn, "
+                    "decode_fn) — see sampling.accel.ddpm_split_fns /"
+                    " adm_split_fns")
+            bad = [n for n, op in operators.items()
+                   if not isinstance(op, FunctionalOperator)]
+            if bad and type(self) is RestorationService:
+                raise ValueError(
+                    f"encoder_cache has no SVD-mode sampler; serve "
+                    f"{sorted(bad)} from a separate exact service")
         unknown = self._require_ctx - set(operators)
         if unknown:
             raise ValueError(f"require_ctx names unknown tasks: {sorted(unknown)}")
@@ -174,6 +198,13 @@ class RestorationService:
             params = replicate(mesh, params)
         self._params = params
         self._sched = sched
+        if self._encoder_cache > 1 and sched is not None:
+            from ddnm_tpu.sampling.accel import (
+                key_steps_for_policy, n_model_calls)
+
+            self._key_steps = key_steps_for_policy(
+                n_model_calls(sched.is_travel), self._encoder_cache,
+                self._encoder_policy)
         self._operators = dict(operators)
         self.image_size = int(image_size)
         self.max_batch = int(max_batch)
@@ -482,6 +513,16 @@ class RestorationService:
                 self._model_fn, x_init, y, op, self._sched, noise_keys,
                 eta=self._eta, sigma_y=self._sigma_y, params=self._params,
             )
+        elif self._encoder_cache > 1:
+            from ddnm_tpu.sampling.accel import sample_simplified_encoder_prop
+
+            encode_fn, decode_fn = self._split_fns
+            x, _ = sample_simplified_encoder_prop(
+                encode_fn, decode_fn, x_init, y, op, self._sched,
+                noise_keys, eta=self._eta, sigma_y=self._sigma_y,
+                interval=self._encoder_cache, key_steps=self._key_steps,
+                params=self._params, op_ctx=ctx,
+            )
         else:
             x, _ = sample_simplified(
                 self._model_fn, x_init, y, op, self._sched, noise_keys,
@@ -544,11 +585,15 @@ class PosteriorRestorationService(RestorationService):
         class_cond: bool = False,
         num_classes: Optional[int] = None,
         require_ctx: Sequence[str] = (),
+        encoder_cache: int = 1,
+        encoder_cache_policy: str = "uniform",
+        split_fns=None,
     ):
         super().__init__(
             model_fn, params, None, operators, image_size=image_size,
             max_batch=max_batch, base_seed=base_seed, mesh=mesh,
-            require_ctx=require_ctx,
+            require_ctx=require_ctx, encoder_cache=encoder_cache,
+            encoder_cache_policy=encoder_cache_policy, split_fns=split_fns,
         )
         bad = [n for n, svd in self._is_svd.items() if svd]
         if bad:
@@ -556,6 +601,13 @@ class PosteriorRestorationService(RestorationService):
                 f"the posterior pipeline serves functional operators only; "
                 f"got SVD operators for {bad}")
         self._tables = tables
+        if self._encoder_cache > 1:
+            from ddnm_tpu.sampling.accel import (
+                key_steps_for_policy, n_model_calls)
+
+            self._key_steps = key_steps_for_policy(
+                n_model_calls(tables.is_travel), self._encoder_cache,
+                self._encoder_policy)
         self._guidance_fn = guidance_fn
         self._clip_denoised = bool(clip_denoised)
         self._class_cond = bool(class_cond)
@@ -579,11 +631,23 @@ class PosteriorRestorationService(RestorationService):
         if self._class_cond:
             params = dict(params)
             params["classes"] = cls
-        x, _ = sample_posterior(
-            self._model_fn, x_init, apy, op, self._tables, noise_keys,
-            guidance_fn=self._guidance_fn,
-            clip_denoised=self._clip_denoised, op_ctx=ctx, params=params,
-        )
+        if self._encoder_cache > 1:
+            from ddnm_tpu.sampling.accel import sample_posterior_encoder_prop
+
+            encode_fn, decode_fn = self._split_fns
+            x, _ = sample_posterior_encoder_prop(
+                encode_fn, decode_fn, x_init, apy, op, self._tables,
+                noise_keys, interval=self._encoder_cache,
+                key_steps=self._key_steps, guidance_fn=self._guidance_fn,
+                clip_denoised=self._clip_denoised, op_ctx=ctx,
+                params=params,
+            )
+        else:
+            x, _ = sample_posterior(
+                self._model_fn, x_init, apy, op, self._tables, noise_keys,
+                guidance_fn=self._guidance_fn,
+                clip_denoised=self._clip_denoised, op_ctx=ctx, params=params,
+            )
         return x
 
 

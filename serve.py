@@ -80,6 +80,18 @@ def parse_args(argv=None):
     p.add_argument("--request_timeout_s", type=float, default=600.0,
                    help="handler wait budget; timed-out requests are "
                         "cancelled before device work")
+    p.add_argument("--encoder_cache", type=int, default=1,
+                   help=">1: reuse UNet encoder features across this many "
+                        "model calls (APPROXIMATE Faster-Diffusion accel — "
+                        "validate quality per checkpoint; see "
+                        "ddnm_tpu/sampling/accel.py). Simplified and "
+                        "posterior tasks only; SVD-mode tasks need a "
+                        "separate exact service")
+    p.add_argument("--encoder_cache_policy", type=str, default="uniform",
+                   choices=["uniform", "end_dense"],
+                   help="key-step placement for --encoder_cache: end_dense "
+                        "holds quality at much deeper budgets (measured; "
+                        "docs/PERFORMANCE.md)")
     p.add_argument("--no_warmup", action="store_true")
     return p.parse_args(argv)
 
@@ -194,11 +206,30 @@ def build_hq_service(ns):
         from ddnm_tpu.parallel import make_mesh
 
         mesh = make_mesh(ns.dp)
+    split_fns = None
+    if getattr(ns, "encoder_cache", 1) > 1:
+        # encode/decode halves over the SAME run_params pytree model_fn
+        # takes — per-request classes keep riding p["classes"] as a traced
+        # argument, so mixed-class cached batches still coalesce
+        def _cls(p, x):
+            return p["classes"] if class_cond else None
+
+        def encode_fn(p, x, t):
+            return model.apply(p["model"], x, t, _cls(p, x), mode="encode")
+
+        def decode_fn(p, cache, x, t):
+            return model.apply(p["model"], x, t, _cls(p, x), mode="decode",
+                               cache=cache)
+
+        split_fns = (encode_fn, decode_fn)
     return PosteriorRestorationService(
         model_fn, run_params, tables, operators, image_size=size,
         max_batch=ns.max_batch, base_seed=ns.seed, mesh=mesh,
         guidance_fn=guidance_fn, class_cond=class_cond,
         num_classes=1000 if class_cond else None, require_ctx=require_ctx,
+        encoder_cache=getattr(ns, "encoder_cache", 1),
+        encoder_cache_policy=getattr(ns, "encoder_cache_policy", "uniform"),
+        split_fns=split_fns,
     )
 
 
@@ -270,11 +301,31 @@ def build_service(ns):
         from ddnm_tpu.parallel import make_mesh
 
         mesh = make_mesh(ns.dp)
+    split_fns = None
+    if getattr(ns, "encoder_cache", 1) > 1:
+        if ns.svd_degs.strip():
+            raise SystemExit(
+                "--encoder_cache has no SVD-mode sampler; serve --svd_degs "
+                "tasks from a separate exact service")
+        # the runner's family-correct encode/decode halves take RAW model
+        # params; the service's samplers see run_params = {"model": ...}
+        enc0, dec0 = runner._split_fns()
+
+        def encode_fn(p, x, t):
+            return enc0(p["model"], x, t)
+
+        def decode_fn(p, cache, x, t):
+            return dec0(p["model"], cache, x, t)
+
+        split_fns = (encode_fn, decode_fn)
     return RestorationService(
         model_fn, run_params, runner.sched, operators,
         image_size=size, max_batch=ns.max_batch, eta=ns.eta,
         sigma_y=ns.sigma_y, base_seed=ns.seed, mesh=mesh,
         require_ctx=require_ctx,
+        encoder_cache=getattr(ns, "encoder_cache", 1),
+        encoder_cache_policy=getattr(ns, "encoder_cache_policy", "uniform"),
+        split_fns=split_fns,
     )
 
 

@@ -1182,3 +1182,220 @@ def test_collect_coalesces_same_task(service):
     assert [r.seq for r in group] == [reqs[0].seq, reqs[1].seq, reqs[2].seq]
     assert server._held is other
     server._httpd.server_close()
+
+
+# ---------------------------------------------------------------------------
+# Encoder-cache serving (opt-in approximate accel; sampling/accel.py)
+# ---------------------------------------------------------------------------
+
+def _tiny_ddpm():
+    model = DDPMUNet(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                     attn_resolutions=(16,), resolution=RES)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, RES, RES, 3)), jnp.zeros((1,)))
+    betas = schedules.get_beta_schedule(
+        "linear", beta_start=1e-4, beta_end=0.02, num_diffusion_timesteps=100
+    )
+    return model, params, build_schedule(betas=betas, t_sampling=4)
+
+
+def _cached_service(ops, interval=2, policy="uniform", require_ctx=()):
+    from ddnm_tpu.sampling.accel import ddpm_split_fns
+
+    model, params, sched = _tiny_ddpm()
+    return RestorationService(
+        lambda p, x, t: model.apply(p, x, t), params, sched, ops,
+        image_size=RES, max_batch=4, require_ctx=require_ctx,
+        encoder_cache=interval, encoder_cache_policy=policy,
+        split_fns=ddpm_split_fns(model),
+    )
+
+
+@pytest.fixture(scope="module")
+def cached_service():
+    ops = {
+        "sr_averagepooling": build_functional_operator(
+            "sr_averagepooling", image_size=RES, deg_scale=4),
+        "inpainting": build_functional_operator(
+            "inpainting", image_size=RES,
+            mask=np.ones((RES, RES, 1), np.float32)),
+    }
+    return _cached_service(ops)
+
+
+def test_cached_service_batch_composition_invariance(cached_service):
+    """The serving invariant holds through the cached sampler: alone vs
+    coalesced -> bitwise-same output; it IS the cached trajectory (differs
+    from the exact service's)."""
+    gts = _gt_images(3, seed=31)
+    together = cached_service.restore(gts, "sr_averagepooling", [10, 11, 12],
+                                      input_kind="gt")
+    alone = cached_service.restore(gts[1:2], "sr_averagepooling", [11],
+                                   input_kind="gt")
+    np.testing.assert_array_equal(together[1], alone[0])
+
+    exact_ops = {"sr_averagepooling": build_functional_operator(
+        "sr_averagepooling", image_size=RES, deg_scale=4)}
+    model, params, sched = _tiny_ddpm()
+    exact = RestorationService(
+        lambda p, x, t: model.apply(p, x, t), params, sched, exact_ops,
+        image_size=RES, max_batch=4)
+    ref = exact.restore(gts[1:2], "sr_averagepooling", [11], input_kind="gt")
+    assert not np.array_equal(ref[0], alone[0])  # interval 2 approximates
+
+
+def test_cached_service_per_request_mask_equals_static(cached_service):
+    """The new op_ctx path through the CACHED sampler: a per-request mask
+    equal to a baked static mask gives the bitwise-same trajectory."""
+    m = _masks(1, seed=41)
+    static_ops = {"inpainting": build_functional_operator(
+        "inpainting", image_size=RES, mask=m[0])}
+    static_svc = _cached_service(static_ops)
+    gts = _gt_images(1, seed=43)
+    via_ctx = cached_service.restore(gts, "inpainting", [5], input_kind="gt",
+                                     ctxs=m)
+    via_static = static_svc.restore(gts, "inpainting", [5], input_kind="gt")
+    np.testing.assert_array_equal(via_ctx, via_static)
+
+
+def test_encoder_prop_op_ctx_interval1_is_exact():
+    """sample_simplified_encoder_prop with op_ctx reduces bitwise to
+    sample_simplified with op_ctx at interval=1 (the exactness contract,
+    extended to the ctx form)."""
+    from ddnm_tpu.sampling import sample_simplified
+    from ddnm_tpu.sampling.accel import (
+        ddpm_split_fns, sample_simplified_encoder_prop)
+
+    model, params, sched = _tiny_ddpm()
+    op = build_functional_operator(
+        "inpainting", image_size=RES,
+        mask=np.ones((RES, RES, 1), np.float32))
+    ctx = jnp.asarray(_masks(2, seed=47))
+    gts = jnp.asarray(_gt_images(2, seed=48) * 2.0 - 1.0)
+    y = op.A_ctx(gts, ctx)
+    x_init = jax.random.normal(jax.random.PRNGKey(3), gts.shape)
+    key = jax.random.PRNGKey(11)
+    enc, dec = ddpm_split_fns(model)
+    mf = lambda p, x, t: model.apply(p, x, t)
+    exact, _ = sample_simplified(mf, x_init, y, op, sched, key,
+                                 params=params, op_ctx=ctx, loop="host")
+    cached, _ = sample_simplified_encoder_prop(
+        enc, dec, x_init, y, op, sched, key, interval=1,
+        params=params, op_ctx=ctx)
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(cached))
+    # and interval=2 actually takes the cached path (differs)
+    cached2, _ = sample_simplified_encoder_prop(
+        enc, dec, x_init, y, op, sched, key, interval=2,
+        params=params, op_ctx=ctx)
+    assert not np.array_equal(np.asarray(exact), np.asarray(cached2))
+
+
+def test_cached_service_construction_validates():
+    ops = {"sr_averagepooling": build_functional_operator(
+        "sr_averagepooling", image_size=RES, deg_scale=4)}
+    model, params, sched = _tiny_ddpm()
+    with pytest.raises(ValueError, match="split_fns"):
+        RestorationService(
+            lambda p, x, t: model.apply(p, x, t), params, sched, ops,
+            image_size=RES, max_batch=4, encoder_cache=2)
+    from ddnm_tpu.operators import build_svd_operator
+    from ddnm_tpu.sampling.accel import ddpm_split_fns
+
+    svd_ops = dict(ops)
+    svd_ops["deblur_gauss"] = build_svd_operator(
+        "deblur_gauss", image_size=RES)
+    with pytest.raises(ValueError, match="SVD"):
+        RestorationService(
+            lambda p, x, t: model.apply(p, x, t), params, sched, svd_ops,
+            image_size=RES, max_batch=4, encoder_cache=2,
+            split_fns=ddpm_split_fns(model))
+
+
+def test_posterior_cached_service_classes_and_invariance():
+    """The hq/posterior service through the cached sampler (end_dense):
+    per-request classes + classifier guidance still ride the traced
+    params, lanes stay independent, and the cached trajectory differs
+    from exact. (Label sensitivity must come through the GUIDANCE
+    gradient: the ADM UNet's zero-initialised out-convs make its output
+    label-independent at random init.)"""
+    from ddnm_tpu.models import (
+        ADMClassifier, ADMUNet, classifier_guidance_from_params)
+    from ddnm_tpu.sampling.posterior import build_posterior_tables
+    from ddnm_tpu.schedules import named_beta_schedule
+    from ddnm_tpu.server import PosteriorRestorationService
+
+    model = ADMUNet(
+        image_size=RES, model_channels=32, num_res_blocks=1,
+        attention_resolutions=(4,), channel_mult=(1, 2), num_heads=1,
+        num_head_channels=32, out_channels=6, num_classes=10)
+    mp = model.init(jax.random.PRNGKey(0), jnp.zeros((1, RES, RES, 3)),
+                    jnp.zeros((1,)), jnp.zeros((1,), jnp.int32))
+    clf = ADMClassifier(
+        image_size=RES, model_channels=32, num_res_blocks=1,
+        attention_resolutions=(4,), channel_mult=(1, 2), num_heads=1,
+        num_head_channels=32, pool="attention", out_channels=10)
+    cp = clf.init(jax.random.PRNGKey(0), jnp.zeros((1, RES, RES, 3)),
+                  jnp.zeros((1,)))
+    tables = build_posterior_tables(
+        betas=named_beta_schedule("linear", 100, use_scale=True),
+        timestep_respacing="4",
+        schedule_jump_params=dict(t_T=4, n_sample=1, jump_length=1,
+                                  jump_n_sample=1))
+    ops = {"sr_averagepooling": build_functional_operator(
+        "sr_averagepooling", image_size=RES, deg_scale=4)}
+
+    def encode_fn(p, x, t):
+        return model.apply(p["model"], x, t, p["classes"], mode="encode")
+
+    def decode_fn(p, cache, x, t):
+        return model.apply(p["model"], x, t, p["classes"], mode="decode",
+                           cache=cache)
+
+    def build(**kw):
+        return PosteriorRestorationService(
+            lambda p, x, t: model.apply(p["model"], x, t, p["classes"]),
+            {"model": mp, "classifier": cp}, tables, ops, image_size=RES,
+            max_batch=4, class_cond=True, num_classes=10,
+            guidance_fn=classifier_guidance_from_params(clf.apply, 2.0),
+            **kw)
+
+    cached = build(encoder_cache=2, encoder_cache_policy="end_dense",
+                   split_fns=(encode_fn, decode_fn))
+    exact = build()
+    gts = _gt_images(2, seed=61)
+    pair = cached.restore(gts, "sr_averagepooling", [1, 2], input_kind="gt",
+                          classes=[5, 7])
+    alone = cached.restore(gts[:1], "sr_averagepooling", [1],
+                           input_kind="gt", classes=[5])
+    np.testing.assert_array_equal(pair[0], alone[0])
+    other_cls = cached.restore(gts[:1], "sr_averagepooling", [1],
+                               input_kind="gt", classes=[9])
+    assert not np.array_equal(other_cls[0], alone[0])  # label matters
+    ref = exact.restore(gts[:1], "sr_averagepooling", [1],
+                        input_kind="gt", classes=[5])
+    assert not np.array_equal(ref[0], alone[0])  # cached != exact
+
+
+def test_serve_cli_encoder_cache(tmp_path):
+    """--encoder_cache plumbs through build_service; SVD tasks refuse it."""
+    import serve
+
+    ns = serve.parse_args([
+        "--config", "configs/smoke.yml", "--random_init",
+        "--degs", "sr_averagepooling", "--max_batch", "2",
+        "--t_sampling", "4", "--encoder_cache", "2",
+        "--encoder_cache_policy", "end_dense",
+    ])
+    svc = serve.build_service(ns)
+    assert svc._encoder_cache == 2 and svc._split_fns is not None
+    imgs = np.random.default_rng(0).uniform(
+        0.2, 0.8, size=(1, 64, 64, 3)).astype(np.float32)
+    out = svc.restore(imgs, "sr_averagepooling", [0], input_kind="gt")
+    assert out.shape == (1, 64, 64, 3) and np.isfinite(out).all()
+
+    ns_bad = serve.parse_args([
+        "--config", "configs/smoke.yml", "--random_init",
+        "--svd_degs", "deblur_gauss", "--encoder_cache", "2",
+    ])
+    with pytest.raises(SystemExit, match="SVD"):
+        serve.build_service(ns_bad)

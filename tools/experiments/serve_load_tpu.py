@@ -27,7 +27,8 @@ REPO = Path(__file__).resolve().parents[2]
 sys.path.insert(0, str(REPO))
 
 
-def main(n_requests: int = 64, max_wait_ms: float = 300.0, hq: bool = False):
+def main(n_requests: int = 64, max_wait_ms: float = 300.0, hq: bool = False,
+         enc: int = 1):
     from PIL import Image
 
     import serve
@@ -35,6 +36,11 @@ def main(n_requests: int = 64, max_wait_ms: float = 300.0, hq: bool = False):
     from ddnm_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
+    # --enc K: APPROXIMATE encoder-cache serving (end_dense placement) —
+    # throughput measurement for the opt-in accel path
+    enc_args = ([] if enc <= 1 else
+                ["--encoder_cache", str(enc),
+                 "--encoder_cache_policy", "end_dense"])
     if hq:
         # the hq face256-class posterior workload: per-request RGBA masks
         # through the respaced jump-schedule loop (~330 model calls/image)
@@ -42,14 +48,14 @@ def main(n_requests: int = 64, max_wait_ms: float = 300.0, hq: bool = False):
             "--hq_conf", str(REPO / "configs/hq/face256.yml"),
             "--random_init", "--dtype", "bfloat16", "--degs", "inpainting",
             "--max_batch", "8", "--max_wait_ms", str(max_wait_ms),
-        ])
+        ] + enc_args)
         service = serve.build_hq_service(ns)
     else:
         ns = serve.parse_args([
             "--config", str(REPO / "configs/celeba_hq.yml"), "--random_init",
             "--dtype", "bfloat16", "--degs", "sr_averagepooling",
             "--max_batch", "8", "--max_wait_ms", str(max_wait_ms),
-        ])
+        ] + enc_args)
         service = serve.build_service(ns)
     print("warming up ...", flush=True)
     t0 = time.time()
@@ -119,7 +125,13 @@ def main(n_requests: int = 64, max_wait_ms: float = 300.0, hq: bool = False):
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--hq"]
+    argv = sys.argv[1:]
+    enc = 1
+    if "--enc" in argv:
+        i = argv.index("--enc")
+        enc = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if a != "--hq"]
     n = int(args[0]) if len(args) > 0 else 64
     w = float(args[1]) if len(args) > 1 else 300.0
-    main(n, w, hq="--hq" in sys.argv[1:])
+    main(n, w, hq="--hq" in argv, enc=enc)
