@@ -329,10 +329,12 @@ def sample_simplified_encoder_prop(
     interval=1 is exactly the standard host-loop sampler (tested)."""
     if interval < 1:
         raise ValueError(f"interval must be >= 1, got {interval}")
-    if op_ctx is not None and not operator.has_ctx:
+    if op_ctx is not None and not getattr(operator, "has_ctx", False):
+        # getattr: SVD operators don't define has_ctx; misuse should get
+        # this clear error, not an AttributeError (ADVICE r2)
         raise ValueError(
             f"operator {operator.name!r} has no A_ctx/Ap_ctx forms; "
-            "op_ctx requires a context-parameterised operator"
+            "op_ctx requires a context-parameterised functional operator"
         )
     has_ctx = op_ctx is not None
     if not has_ctx:
@@ -458,6 +460,11 @@ def sample_posterior_encoder_prop(
     """
     if interval < 1:
         raise ValueError(f"interval must be >= 1, got {interval}")
+    if op_ctx is not None and not getattr(operator, "has_ctx", False):
+        raise ValueError(
+            f"operator {operator.name!r} has no A_ctx/Ap_ctx forms; "
+            "op_ctx requires a context-parameterised functional operator"
+        )
     is_key = _make_key_pred(interval, key_steps)
     has_paste = paste_mask is not None
     has_ctx = op_ctx is not None

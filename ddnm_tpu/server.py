@@ -178,9 +178,12 @@ class RestorationService:
                     "encoder_cache > 1 requires split_fns=(encode_fn, "
                     "decode_fn) — see sampling.accel.ddpm_split_fns /"
                     " adm_split_fns")
+            # unconditional (not gated on the exact type) so subclasses
+            # cannot silently skip it; PosteriorRestorationService's own
+            # stricter no-SVD check fires right after super().__init__.
             bad = [n for n, op in operators.items()
                    if not isinstance(op, FunctionalOperator)]
-            if bad and type(self) is RestorationService:
+            if bad:
                 raise ValueError(
                     f"encoder_cache has no SVD-mode sampler; serve "
                     f"{sorted(bad)} from a separate exact service")

@@ -176,6 +176,46 @@ def _n_model_calls(tables: PosteriorTables) -> int:
     return n_model_calls(tables.is_travel)
 
 
+GROUP_SIZE = 8  # wavefront chunk size (batch-8 executable, see _plan_groups)
+MIN_PAD_BATCH = 4  # smallest remainder worth padding up to GROUP_SIZE
+
+
+def _plan_groups(tiles, group_size: int = GROUP_SIZE,
+                 min_pad_batch: int = MIN_PAD_BATCH):
+    """Chunk the mask-shift tile list into wavefront execution groups.
+
+    Tiles on the same skewed anti-diagonal (2*row + col) are mutually
+    independent (each depends only on tiles above/left through the paste
+    strips — reference hq_demo/guided_diffusion/gaussian_diffusion.py:
+    344-380), so they may run as one batched sampler call.
+
+    Cost-aware chunking (measured on the v5e, docs/PERFORMANCE.md):
+    per-step wall cost by sampler batch is 34.5 / 80.3 / 153.7 / 126.6 ms
+    for b = 1/2/4/8 — batches of 2-7 hit a sublane-padding cliff where
+    they cost nearly as much as (or more than) batch 8, and the batch-8
+    executable is FASTER in absolute terms than batch 4. So: take
+    `group_size` (8) tiles at a time, padding >=4-tile remainders up to 8
+    (126.6 device-ms beats n*34.5 from n=4 up — a near-tie in wall time
+    on the dispatch-heavy dev tunnel, a clear win on direct-attached TPUs
+    where one group replaces n step chains); run <=3-tile remainders as
+    singles (batching 2-3 measures 16%/11% slower per tile than
+    sequential).
+    """
+    from itertools import groupby
+
+    skew = lambda t: 2 * t.index[0] + t.index[1]
+    ordered = sorted(tiles, key=lambda t: (skew(t), t.index))
+    waves = [list(g) for _, g in groupby(ordered, key=skew)]
+    groups = []
+    for wave in waves:
+        i = 0
+        while len(wave) - i >= min_pad_batch:
+            groups.append(wave[i : i + group_size])
+            i += group_size
+        groups.extend([t] for t in wave[i:])
+    return groups
+
+
 def batched_tile_sample(
     model_fn,
     gts: np.ndarray,
@@ -434,29 +474,7 @@ def mask_shift_sample(
         tile_keys[tile.index] = (k_init, k_samp)
 
     if parallel:
-        from itertools import groupby
-
-        skew = lambda t: 2 * t.index[0] + t.index[1]
-        ordered = sorted(tiles, key=lambda t: (skew(t), t.index))
-        waves = [list(g) for _, g in groupby(ordered, key=skew)]
-        # Cost-aware chunking (measured on the v5e, docs/PERFORMANCE.md):
-        # per-step wall cost by sampler batch is 34.5 / 80.3 / 153.7 / 126.6
-        # ms for b = 1/2/4/8 — batches of 2-7 hit a sublane-padding cliff
-        # where they cost nearly as much as (or more than) batch 8, and the
-        # batch-8 executable is FASTER in absolute terms than batch 4. So:
-        # take 8 tiles at a time, padding >=4-tile remainders up to 8
-        # (126.6 device-ms beats n*34.5 from n=4 up — a near-tie in wall
-        # time on the dispatch-heavy dev tunnel, a clear win on
-        # direct-attached TPUs where one group replaces n step chains);
-        # run <=3-tile remainders as singles (batching 2-3 measures 16%/11%
-        # slower per tile than sequential).
-        groups = []
-        for wave in waves:
-            i = 0
-            while len(wave) - i >= 4:
-                groups.append(wave[i : i + 8])
-                i += 8
-            groups.extend([t] for t in wave[i:])
+        groups = _plan_groups(tiles)
     else:
         groups = [[t] for t in tiles]
 

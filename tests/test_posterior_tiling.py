@@ -3,6 +3,7 @@ posterior DDNM sampler, and the Mask-Shift tile geometry — all checked
 against the reference hq_demo fork as an oracle."""
 
 import numpy as np
+from pathlib import Path
 import jax
 import jax.numpy as jnp
 import pytest
@@ -1238,3 +1239,52 @@ def test_mask_shift_checkpoint_resume_parallel(tmp_path):
                                 resume=True, **common)
     np.testing.assert_allclose(resumed["final"], full["final"], atol=1e-7)
     assert not (tmp_path / "mask_shift_state.npz").exists()
+
+
+def test_plan_groups_policy_and_docs_agree():
+    """The wavefront chunking policy: 8-tile groups, >=4-tile remainders
+    padded up to 8, <=3-tile remainders run as singles — and the prose in
+    docs/PERFORMANCE.md states the SAME thresholds (round-2 doc drift)."""
+    import re
+
+    from ddnm_tpu.tiling import GROUP_SIZE, MIN_PAD_BATCH, _plan_groups
+
+    assert (GROUP_SIZE, MIN_PAD_BATCH) == (8, 4)
+
+    # dependency safety: within a group, no tile may depend on another
+    # (same skewed anti-diagonal), and groups come in dependency order
+    for h, w in [(512, 512), (2048, 2048), (500, 380), (1024, 4096)]:
+        tiles = tile_grid(h, w)
+        groups = _plan_groups(tiles)
+        assert sorted(t.index for g in groups for t in g) == sorted(
+            t.index for t in tiles)
+        seen_skew = -1
+        for g in groups:
+            skews = {2 * t.index[0] + t.index[1] for t in g}
+            assert len(skews) == 1, "group mixes anti-diagonals"
+            assert skews.pop() >= seen_skew
+            seen_skew = max(seen_skew, max(skews) if skews else seen_skew)
+            assert len(g) <= GROUP_SIZE
+
+    # the numeric policy on a single wave of every remainder size
+    # (constant skew 2*row + col = 2n puts all n tiles on one anti-diagonal)
+    class _T:
+        def __init__(self, j, n):
+            self.index = (j, 2 * (n - j))
+
+    for n in range(1, 20):
+        wave = [_T(j, n) for j in range(n)]
+        sizes = [len(g) for g in _plan_groups(wave)]
+        full, rem = divmod(n, GROUP_SIZE)
+        if rem >= MIN_PAD_BATCH:
+            assert sizes == [GROUP_SIZE] * full + [rem]
+        else:
+            assert sizes == [GROUP_SIZE] * full + [1] * rem
+
+    # docs state the same thresholds
+    perf = (Path(__file__).resolve().parents[1] / "docs/PERFORMANCE.md").read_text()
+    m = re.search(r"padding >=(\d+)-tile remainders up to\s+(\d+) and\s+"
+                  r"running\s+<=(\d+)-tile remainders as singles", perf)
+    assert m, "PERFORMANCE.md no longer states the chunking policy"
+    assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == (
+        MIN_PAD_BATCH, GROUP_SIZE, MIN_PAD_BATCH - 1)

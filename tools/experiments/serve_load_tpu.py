@@ -129,6 +129,9 @@ if __name__ == "__main__":
     enc = 1
     if "--enc" in argv:
         i = argv.index("--enc")
+        if i + 1 >= len(argv):
+            raise SystemExit("usage: serve_load_tpu.py [n] [wall_s] "
+                             "[--hq] [--enc INTERVAL]")
         enc = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
     args = [a for a in argv if a != "--hq"]
