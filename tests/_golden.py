@@ -14,6 +14,9 @@ variance.
 from __future__ import annotations
 
 import contextlib
+import dataclasses
+import importlib
+import sys
 from pathlib import Path
 
 import numpy as np
@@ -24,6 +27,72 @@ EVAL_DIR = REPO / "exp/datasets/toy32"
 RES = 32
 T = 1000
 T_SAMPLING = 25
+
+
+@dataclasses.dataclass(frozen=True)
+class Tier:
+    """One trained-weights golden scale tier (VERDICT round-2 item #2:
+    toy 32px/0.7M is joined by mid 64px/6.8M to close the 0.7M->552M
+    numerics extrapolation). `trainer_mod` is the tools/ module whose
+    `build_fn(dtype)` / `ref_build_fn()` construct the two frameworks'
+    models for `fixture`."""
+
+    name: str
+    res: int
+    fixture: Path
+    eval_dir: Path
+    trainer_mod: str
+    build_fn: str
+    ref_build_fn: str
+    golden_json: Path
+
+
+TOY32 = Tier(
+    name="toy32", res=32,
+    fixture=REPO / "tests/fixtures/toy_ddpm32.pt",
+    eval_dir=REPO / "exp/datasets/toy32",
+    trainer_mod="train_toy_golden", build_fn="build_model",
+    ref_build_fn="build_ref_model",
+    golden_json=REPO / "tests/fixtures/toy_golden_psnr.json",
+)
+
+MID64 = Tier(
+    name="mid64", res=64,
+    fixture=REPO / "tests/fixtures/mid_ddpm64.pt",
+    eval_dir=REPO / "exp/datasets/natural64",
+    trainer_mod="train_mid_golden", build_fn="build_ddpm",
+    ref_build_fn="build_ref_ddpm",
+    golden_json=REPO / "tests/fixtures/mid_golden_psnr.json",
+)
+
+TIERS = {t.name: t for t in (TOY32, MID64)}
+
+
+def _trainer(tier: Tier):
+    p = str(REPO / "tools")
+    if p not in sys.path:
+        sys.path.insert(0, p)
+    return importlib.import_module(tier.trainer_mod)
+
+
+def _upcast_f32(params):
+    """fp16-stored fixtures (mid tier) -> fp32, mirroring torch's
+    load_state_dict cast on the reference side; fp32 passes through."""
+    import jax
+
+    return jax.tree.map(
+        lambda a: np.asarray(a, np.float32)
+        if getattr(a, "dtype", None) == np.float16 else a, params)
+
+
+def _resolve_dtype(dtype):
+    import jax.numpy as jnp
+
+    if dtype in (None, "float32", jnp.float32):
+        return jnp.float32
+    if dtype in ("bfloat16", jnp.bfloat16):
+        return jnp.bfloat16
+    raise ValueError(f"unsupported golden dtype: {dtype!r}")
 
 # (name, deg, deg_scale, sigma_y) — evaluation.sh:1-36 at toy scale
 # (16x SR is impossible at 32px; the noisy rows keep their tasks at 4x/0.25)
@@ -39,30 +108,32 @@ TASKS = [
 ]
 
 
-def toy_mask() -> np.ndarray:
-    """Deterministic 32px keep-mask (center hole), shared by both sides."""
-    m = np.ones((RES, RES), np.int64)
-    m[10:22, 8:26] = 0
+def toy_mask(res: int = RES) -> np.ndarray:
+    """Deterministic keep-mask (center hole), shared by both sides.
+    Scales the toy 32px hole proportionally for larger tiers."""
+    m = np.ones((res, res), np.int64)
+    m[res * 10 // 32:res * 22 // 32, res * 8 // 32:res * 26 // 32] = 0
     return m
 
 
-def toy_perm() -> np.ndarray:
+def toy_perm(res: int = RES) -> np.ndarray:
     """Deterministic pixel permutation for cs_walshhadamard."""
-    return np.random.default_rng(7).permutation(RES * RES)
+    return np.random.default_rng(7).permutation(res * res)
 
 
-def load_eval_images(n: int = 4) -> np.ndarray:
-    """(n, 3, RES, RES) in [-1, 1] from the committed blob PNGs (NCHW)."""
+def load_eval_images(n: int = 4, tier: Tier = TOY32) -> np.ndarray:
+    """(n, 3, res, res) in [-1, 1] from the tier's committed PNGs (NCHW)."""
     from PIL import Image
 
-    paths = sorted(EVAL_DIR.glob("*.png"))[:n]
-    assert paths, f"run tools/train_toy_golden.py first ({EVAL_DIR})"
+    paths = sorted(tier.eval_dir.glob("*.png"))[:n]
+    assert paths, f"run tools/{tier.trainer_mod}.py first ({tier.eval_dir})"
     imgs = [np.asarray(Image.open(p), np.float32) / 255.0 for p in paths]
     x = np.stack(imgs).transpose(0, 3, 1, 2) * 2.0 - 1.0
     return x.astype(np.float32)
 
 
-def build_our_operator(deg: str, deg_scale: float, ref_op=None):
+def build_our_operator(deg: str, deg_scale: float, ref_op=None,
+                       res: int = RES):
     from ddnm_tpu.operators import build_svd_operator
 
     if deg == "deblur_gauss" and ref_op is not None:
@@ -73,22 +144,23 @@ def build_our_operator(deg: str, deg_scale: float, ref_op=None):
 
         sigma = 10.0
         k = np.exp(-0.5 * (np.array([-2, -1, 0, 1, 2]) / sigma) ** 2)
-        return Deblurring((k / k.sum()).astype(np.float32), 3, RES,
+        return Deblurring((k / k.sum()).astype(np.float32), 3, res,
                           perm=ref_op._perm.numpy())
     kw = {}
     if deg == "inpainting":
-        kw["mask"] = toy_mask()
+        kw["mask"] = toy_mask(res)
     if deg == "cs_walshhadamard":
-        kw["perm"] = toy_perm()
-    return build_svd_operator(deg, channels=3, image_size=RES,
+        kw["perm"] = toy_perm(res)
+    return build_svd_operator(deg, channels=3, image_size=res,
                               deg_scale=deg_scale, **kw)
 
 
-def build_ref_operator(deg: str, deg_scale: float):
+def build_ref_operator(deg: str, deg_scale: float, res: int = RES):
     """The reference's own operator, constructed exactly as
     guided_diffusion/diffusion.py:451-520 does (device='cpu')."""
     import torch
 
+    RES = res  # noqa: N806 — keep the construction bodies verbatim below
     dev = "cpu"
     if deg == "sr_averagepooling":
         from functions.svd_operators import SuperResolution
@@ -127,36 +199,43 @@ def build_ref_operator(deg: str, deg_scale: float):
         from functions.svd_operators import WalshHadamardCS
 
         compress_by = round(1 / deg_scale)
-        perm = torch.from_numpy(toy_perm()).long()
+        perm = torch.from_numpy(toy_perm(RES)).long()
         return WalshHadamardCS(3, RES, compress_by, perm, dev)
     if deg == "inpainting":
         from functions.svd_operators import Inpainting
 
-        mask = torch.from_numpy(toy_mask()).reshape(-1)
+        mask = torch.from_numpy(toy_mask(RES)).reshape(-1)
         missing_r = torch.nonzero(mask == 0).long().reshape(-1) * 3
         missing = torch.cat([missing_r, missing_r + 1, missing_r + 2], dim=0)
         return Inpainting(3, RES, missing, dev)
     raise ValueError(deg)
 
 
-def load_our_model():
-    """(model_fn, params) from the fixture via the FULL load path."""
+def load_our_model(tier: Tier = TOY32, dtype=None):
+    """(model_fn, params) from the tier's fixture via the FULL load path.
+
+    `dtype="bfloat16"` builds the PRODUCTION configuration: model torso
+    computes bf16 AND params are stored bf16-resident via cast_torso —
+    exactly what `--dtype bfloat16` does in both CLIs (runner.py:139-144,
+    hq_main.py:207-213)."""
     import jax
     import jax.numpy as jnp
 
     from ddnm_tpu.data.checkpoints import load_params
 
-    import sys
-
-    sys.path.insert(0, str(REPO / "tools"))
-    from train_toy_golden import build_model
-
-    model = build_model()
+    dt = _resolve_dtype(dtype)
+    model = getattr(_trainer(tier), tier.build_fn)(dtype=dt)
+    res = tier.res
     expected = jax.eval_shape(
         model.init, jax.random.PRNGKey(0),
-        jnp.zeros((1, RES, RES, 3)), jnp.zeros((1,)),
+        jnp.zeros((1, res, res, 3)), jnp.zeros((1,)),
     )
-    params = load_params(FIXTURE_PT, cache=False, expected=expected)
+    params = _upcast_f32(
+        load_params(tier.fixture, cache=False, expected=expected))
+    if dt == jnp.bfloat16:
+        from ddnm_tpu.models import cast_torso
+
+        params = cast_torso(params, jnp.bfloat16)
 
     def model_fn(p, x, t):
         return model.apply(p, x, t)
@@ -164,26 +243,14 @@ def load_our_model():
     return model_fn, params
 
 
-def load_ref_model():
-    """The reference's Model with the trained fixture weights loaded."""
-    import sys
-
+def load_ref_model(tier: Tier = TOY32):
+    """The reference's Model with the trained fixture weights loaded
+    (torch's load_state_dict upcasts fp16-stored tiers to the module's
+    fp32 params — the same values _upcast_f32 gives our side)."""
     import torch
-    import yaml
 
-    sys.path.insert(0, str(REPO / "tools"))
-    from tests._reference import import_reference
-    from train_toy_golden import TOY_CONFIG_YAML
-
-    ref_models = import_reference("guided_diffusion.models")
-
-    class _NS:
-        def __init__(self, d):
-            for k, v in d.items():
-                setattr(self, k, _NS(v) if isinstance(v, dict) else v)
-
-    m = ref_models.Model(_NS(yaml.safe_load(TOY_CONFIG_YAML)))
-    m.load_state_dict(torch.load(FIXTURE_PT, map_location="cpu"))
+    m = getattr(_trainer(tier), tier.ref_build_fn)()
+    m.load_state_dict(torch.load(tier.fixture, map_location="cpu"))
     m.eval()
     return m
 
@@ -223,13 +290,20 @@ def psnr01(a01: np.ndarray, b01: np.ndarray) -> float:
 
 
 def run_task(deg: str, deg_scale: float, sigma_y: float, n_images: int = 4,
-             return_images: bool = False):
+             return_images: bool = False, tier: Tier = TOY32, dtype=None,
+             skip_ref: bool = False):
     """Run one task through both frameworks (zero noise, shared x_T).
 
     Returns dict with ours/ref PSNR vs gt and ours-vs-ref max abs diff.
     With return_images, adds an "images" dict of [0,1] NCHW arrays
     (gt / apy / ref / ours) for the side-by-side gallery
-    (tools/make_gallery.py, docs/GALLERY.md)."""
+    (tools/make_gallery.py, docs/GALLERY.md). `tier` selects the golden
+    scale tier, `dtype="bfloat16"` runs OUR side in the production bf16
+    configuration (the reference has no bf16 path — its torso reduction is
+    fp16, fp16_util.py:15-32 — so the ref side always runs fp32).
+    `skip_ref=True` runs our side only (ref_psnr/max_abs_diff omitted) —
+    the bf16 regression tests compare against committed goldens instead of
+    re-running the torch oracle."""
     import jax
     import jax.numpy as jnp
     import torch
@@ -238,9 +312,12 @@ def run_task(deg: str, deg_scale: float, sigma_y: float, n_images: int = 4,
     from ddnm_tpu.sampling import build_schedule, sample_svd
     from tests._reference import import_reference
 
+    # the reference tree must be importable before build_ref_operator
+    # (import_reference sets sys.path + stubs)
     svd_ddnm = import_reference("functions.svd_ddnm")
 
-    x_orig = load_eval_images(n_images)  # NCHW [-1,1]
+    res = tier.res
+    x_orig = load_eval_images(n_images, tier)  # NCHW [-1,1]
     rng = np.random.RandomState(42)
     x_T = rng.randn(*x_orig.shape).astype(np.float32)
     betas = sch.get_beta_schedule(
@@ -252,8 +329,8 @@ def run_task(deg: str, deg_scale: float, sigma_y: float, n_images: int = 4,
     # measurement layouts legitimately differ for the tiled-spectral
     # operators (svd_ops.py:15-23), so equivalence is checked on the
     # layout-free range-space projection Ap(A(x)) instead.
-    ref_op = build_ref_operator(deg, deg_scale)
-    our_op = build_our_operator(deg, deg_scale, ref_op)
+    ref_op = build_ref_operator(deg, deg_scale, res)
+    our_op = build_our_operator(deg, deg_scale, ref_op, res)
     y = np.asarray(our_op.A(jnp.asarray(x_orig.reshape(n_images, -1))))
     y_ref = ref_op.A(torch.from_numpy(x_orig).reshape(n_images, -1))
     apay_ours = np.asarray(our_op.A_pinv(jnp.asarray(y)))
@@ -261,28 +338,32 @@ def run_task(deg: str, deg_scale: float, sigma_y: float, n_images: int = 4,
     np.testing.assert_allclose(apay_ours, apay_ref, atol=2e-3,
                                err_msg=f"range-space projection mismatch: {deg}")
 
-    class _NS:
-        def __init__(self, d):
-            for k, v in d.items():
-                setattr(self, k, _NS(v) if isinstance(v, dict) else v)
+    ref_out = None
+    if not skip_ref:
 
-    cfg = _NS({
-        "diffusion": {"num_diffusion_timesteps": T},
-        "time_travel": {"T_sampling": T_SAMPLING, "travel_length": 1,
-                        "travel_repeat": 1},
-    })
+        class _NS:
+            def __init__(self, d):
+                for k, v in d.items():
+                    setattr(self, k, _NS(v) if isinstance(v, dict) else v)
 
-    ref_model = load_ref_model()
-    with cpu_as_cuda_and_zero_noise(), torch.no_grad():
-        fn = svd_ddnm.ddnm_diffusion if sigma_y == 0 else svd_ddnm.ddnm_plus_diffusion
-        args = [torch.from_numpy(x_T.copy()), ref_model,
-                torch.from_numpy(betas), 0.85, ref_op, y_ref]
-        if sigma_y != 0:
-            args.append(sigma_y)
-        xs, _ = fn(*args, config=cfg)
-        ref_out = xs[-1].numpy()
+        cfg = _NS({
+            "diffusion": {"num_diffusion_timesteps": T},
+            "time_travel": {"T_sampling": T_SAMPLING, "travel_length": 1,
+                            "travel_repeat": 1},
+        })
 
-    model_fn, params = load_our_model()
+        ref_model = load_ref_model(tier)
+        with cpu_as_cuda_and_zero_noise(), torch.no_grad():
+            fn = (svd_ddnm.ddnm_diffusion if sigma_y == 0
+                  else svd_ddnm.ddnm_plus_diffusion)
+            args = [torch.from_numpy(x_T.copy()), ref_model,
+                    torch.from_numpy(betas), 0.85, ref_op, y_ref]
+            if sigma_y != 0:
+                args.append(sigma_y)
+            xs, _ = fn(*args, config=cfg)
+            ref_out = xs[-1].numpy()
+
+    model_fn, params = load_our_model(tier, dtype)
     sched = build_schedule(betas=betas, t_sampling=T_SAMPLING)
     zero = lambda key, shape: jnp.zeros(shape, jnp.float32)
     x, _ = sample_svd(
@@ -297,19 +378,19 @@ def run_task(deg: str, deg_scale: float, sigma_y: float, n_images: int = 4,
         noise_fn=zero,
         params=params,
     )
-    ours = np.transpose(np.asarray(x), (0, 3, 1, 2))
+    ours = np.transpose(np.asarray(x, np.float32), (0, 3, 1, 2))
 
     to01 = lambda a: np.clip((a + 1) / 2, 0, 1)
-    out = {
-        "ours_psnr": round(psnr01(to01(ours), to01(x_orig)), 4),
-        "ref_psnr": round(psnr01(to01(ref_out), to01(x_orig)), 4),
-        "max_abs_diff": float(np.abs(ours - ref_out).max()),
-    }
+    out = {"ours_psnr": round(psnr01(to01(ours), to01(x_orig)), 4)}
+    if ref_out is not None:
+        out["ref_psnr"] = round(psnr01(to01(ref_out), to01(x_orig)), 4)
+        out["max_abs_diff"] = float(np.abs(ours - ref_out).max())
     if return_images:
         out["images"] = {
             "gt": to01(x_orig),
-            "apy": to01(apay_ours.reshape(n_images, 3, RES, RES)),
-            "ref": to01(ref_out),
+            "apy": to01(apay_ours.reshape(n_images, 3, res, res)),
             "ours": to01(ours),
         }
+        if ref_out is not None:
+            out["images"]["ref"] = to01(ref_out)
     return out

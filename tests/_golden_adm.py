@@ -27,7 +27,9 @@ jump schedule in one run per task.
 from __future__ import annotations
 
 import contextlib
+import dataclasses
 import functools
+import importlib
 import sys
 from pathlib import Path
 
@@ -42,6 +44,56 @@ RESPACING = "25"
 JUMP = dict(t_T=25, n_sample=1, jump_length=10, jump_n_sample=2)
 GUIDED_CLASS = 2   # blue-dominant blob family
 GUIDED_SCALE = 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class AdmTier:
+    """One ADM-family golden scale tier (see tests/_golden.Tier)."""
+
+    name: str
+    res: int
+    fixture: Path
+    clf_fixture: Path
+    eval_dir: Path
+    trainer_mod: str
+    build_fn: str
+    ref_build_fn: str
+    clf_mod: str
+    clf_build_fn: str
+    clf_ref_build_fn: str
+    golden_json: Path
+
+
+ADM_TOY32 = AdmTier(
+    name="toy32", res=32,
+    fixture=REPO / "tests/fixtures/toy_adm32.pt",
+    clf_fixture=REPO / "tests/fixtures/toy_clf32.pt",
+    eval_dir=REPO / "exp/datasets/toy32",
+    trainer_mod="train_toy_adm_golden", build_fn="build_model",
+    ref_build_fn="build_ref_model",
+    clf_mod="train_toy_classifier_golden", clf_build_fn="build_model",
+    clf_ref_build_fn="build_ref_model",
+    golden_json=REPO / "tests/fixtures/toy_adm32_psnr.json",
+)
+
+ADM_MID64 = AdmTier(
+    name="mid64", res=64,
+    fixture=REPO / "tests/fixtures/mid_adm64.pt",
+    clf_fixture=REPO / "tests/fixtures/mid_clf64.pt",
+    eval_dir=REPO / "exp/datasets/natural64",
+    trainer_mod="train_mid_golden", build_fn="build_adm",
+    ref_build_fn="build_ref_adm",
+    clf_mod="train_mid_golden", clf_build_fn="build_clf",
+    clf_ref_build_fn="build_ref_clf",
+    golden_json=REPO / "tests/fixtures/mid_adm64_psnr.json",
+)
+
+ADM_TIERS = {t.name: t for t in (ADM_TOY32, ADM_MID64)}
+
+
+def _mod(name: str):
+    _tools_on_path()
+    return importlib.import_module(name)
 
 # (name, deg, scale, sigma_y) — the hq task matrix
 # (gaussian_diffusion.py:595-643) at toy scale; masked tasks use
@@ -64,23 +116,41 @@ def _tools_on_path():
         sys.path.insert(0, p)
 
 
-@functools.lru_cache(maxsize=1)
-def load_our_model():
-    """(model_fn, params) from the fixture via the FULL strict load path."""
+def _resolve_dtype(dtype):
+    from tests._golden import _resolve_dtype as rd
+
+    return rd(dtype)
+
+
+def _upcast_f32(params):
+    from tests._golden import _upcast_f32 as up
+
+    return up(params)
+
+
+@functools.lru_cache(maxsize=4)
+def load_our_model(tier: AdmTier = ADM_TOY32, dtype=None):
+    """(model_fn, params) from the tier's fixture via the FULL strict load
+    path. dtype="bfloat16" = the production configuration (bf16 torso +
+    bf16-resident params via cast_torso, hq_main.py:186-213)."""
     import jax
     import jax.numpy as jnp
 
     from ddnm_tpu.data.checkpoints import load_params
 
-    _tools_on_path()
-    from train_toy_adm_golden import build_model
-
-    model = build_model()
+    dt = _resolve_dtype(dtype)
+    model = getattr(_mod(tier.trainer_mod), tier.build_fn)(dtype=dt)
+    res = tier.res
     expected = jax.eval_shape(
         model.init, jax.random.PRNGKey(0),
-        jnp.zeros((1, RES, RES, 3)), jnp.zeros((1,)),
+        jnp.zeros((1, res, res, 3)), jnp.zeros((1,)),
     )
-    params = load_params(FIXTURE_PT, cache=False, expected=expected)
+    params = _upcast_f32(
+        load_params(tier.fixture, cache=False, expected=expected))
+    if dt == jnp.bfloat16:
+        from ddnm_tpu.models import cast_torso
+
+        params = cast_torso(params, jnp.bfloat16)
 
     def model_fn(p, x, t):
         return model.apply(p, x, t)
@@ -88,61 +158,58 @@ def load_our_model():
     return model_fn, params
 
 
-@functools.lru_cache(maxsize=1)
-def load_ref_model():
+@functools.lru_cache(maxsize=2)
+def load_ref_model(tier: AdmTier = ADM_TOY32):
     """The reference's UNetModel with the trained fixture weights loaded."""
     import torch
 
-    _tools_on_path()
-    from train_toy_adm_golden import build_ref_model
-
-    m = build_ref_model()
-    m.load_state_dict(torch.load(FIXTURE_PT, map_location="cpu"))
+    m = getattr(_mod(tier.trainer_mod), tier.ref_build_fn)()
+    m.load_state_dict(torch.load(tier.fixture, map_location="cpu"))
     m.eval()
     return m
 
 
-@functools.lru_cache(maxsize=1)
-def load_our_classifier():
-    """(module, params) for the trained toy classifier (strict load)."""
+@functools.lru_cache(maxsize=4)
+def load_our_classifier(tier: AdmTier = ADM_TOY32, dtype=None):
+    """(module, params) for the tier's trained classifier (strict load).
+    Under bf16 the classifier COMPUTES bf16 but keeps fp32 params —
+    mirroring hq_main.py:241-251 (no cast_torso on cparams)."""
     import jax
     import jax.numpy as jnp
 
     from ddnm_tpu.data.checkpoints import load_params
 
-    _tools_on_path()
-    from train_toy_classifier_golden import build_model
-
-    model = build_model()
+    dt = _resolve_dtype(dtype)
+    model = getattr(_mod(tier.clf_mod), tier.clf_build_fn)(dtype=dt)
+    res = tier.res
     expected = jax.eval_shape(
         model.init, jax.random.PRNGKey(0),
-        jnp.zeros((1, RES, RES, 3)), jnp.zeros((1,)),
+        jnp.zeros((1, res, res, 3)), jnp.zeros((1,)),
     )
-    params = load_params(CLF_PT, cache=False, expected=expected)
+    params = _upcast_f32(
+        load_params(tier.clf_fixture, cache=False, expected=expected))
     return model, params
 
 
-@functools.lru_cache(maxsize=1)
-def load_ref_classifier():
+@functools.lru_cache(maxsize=2)
+def load_ref_classifier(tier: AdmTier = ADM_TOY32):
     import torch
 
-    _tools_on_path()
-    from train_toy_classifier_golden import build_ref_model
-
-    m = build_ref_model()
-    m.load_state_dict(torch.load(CLF_PT, map_location="cpu"))
+    m = getattr(_mod(tier.clf_mod), tier.clf_ref_build_fn)()
+    m.load_state_dict(torch.load(tier.clf_fixture, map_location="cpu"))
     m.eval()
     return m
 
 
-def build_ref_ops(gd, deg: str, scale: int, mask_t):
+def build_ref_ops(gd, deg: str, scale: int, mask_t, res: int = RES):
     """The reference's A/Ap closures (gaussian_diffusion.py:595-643) at toy
-    scale (256 -> RES), built from the reference's OWN helpers
+    scale (256 -> res), built from the reference's OWN helpers
     (gd.color2gray / gd.gray2color / gd.MeanUpsample). Batch-1 only: the
     reference's color2gray relies on the enforced batch size
     (x.repeat(1,3,1,1) on a 3-D tensor)."""
     import torch
 
+    RES = res  # noqa: N806 — keep the closure bodies verbatim below
     if deg == "sr_averagepooling":
         pool = torch.nn.AdaptiveAvgPool2d((RES // scale, RES // scale))
         return (lambda z: pool(z)), (lambda z: gd.MeanUpsample(z, scale))
@@ -163,15 +230,16 @@ def build_ref_ops(gd, deg: str, scale: int, mask_t):
     raise ValueError(deg)
 
 
-def build_our_operator(deg: str, scale: int):
+def build_our_operator(deg: str, scale: int, res: int = RES, mask=None):
     from ddnm_tpu.operators import build_functional_operator
 
     from tests._golden import toy_mask
 
     kw = {}
     if deg in ("inpainting", "mask_color_sr"):
-        kw["mask"] = toy_mask().astype(np.float32)
-    return build_functional_operator(deg, image_size=RES,
+        kw["mask"] = (toy_mask(res) if mask is None else mask).astype(
+            np.float32)
+    return build_functional_operator(deg, image_size=res,
                                      deg_scale=float(scale or 1), **kw)
 
 
@@ -214,7 +282,7 @@ def _silence_ref_io(gd):
 
 
 def _run_ref_loop(gd, scheduler, sd, tmodel, x_T, apy_ref, sigma_y,
-                  n_images, ops, cond_fn=None):
+                  n_images, ops, cond_fn=None, res: int = RES):
     """Drive the reference's own p_sample/undo jump-schedule loop per image
     (the reference CLI is batch-1) under zero noise; returns (n, 3, H, W).
 
@@ -234,7 +302,7 @@ def _run_ref_loop(gd, scheduler, sd, tmodel, x_T, apy_ref, sigma_y,
                 "Apy": torch.from_numpy(apy_ref[i:i + 1].copy()),
                 "shift_w": 0, "shift_h": 0,
                 "shift_w_total": 1, "shift_h_total": 1,
-                "H_target": RES, "W_target": RES, "x_temp": None,
+                "H_target": res, "W_target": res, "x_temp": None,
                 "save_path": "x", "gt": None,
             }
             x = torch.from_numpy(x_T[i:i + 1].copy())
@@ -254,17 +322,19 @@ def _result(ours, ref_out, x_orig, apy):
     from tests._golden import psnr01
 
     to01 = lambda a: np.clip((a + 1) / 2, 0, 1)
-    return {
+    out = {
         "ours_psnr": round(psnr01(to01(ours), to01(x_orig)), 4),
-        "ref_psnr": round(psnr01(to01(ref_out), to01(x_orig)), 4),
-        "max_abs_diff": float(np.abs(ours - ref_out).max()),
         "images": {
             "gt": to01(x_orig),
             "apy": to01(apy),
-            "ref": to01(ref_out),
             "ours": to01(ours),
         },
     }
+    if ref_out is not None:
+        out["ref_psnr"] = round(psnr01(to01(ref_out), to01(x_orig)), 4)
+        out["max_abs_diff"] = float(np.abs(ours - ref_out).max())
+        out["images"]["ref"] = to01(ref_out)
+    return out
 
 
 def _apy_both(op, refA, refAp, x_orig, n_images, deg):
@@ -285,11 +355,13 @@ def _apy_both(op, refA, refAp, x_orig, n_images, deg):
 
 
 def run_hq_task(deg: str, scale: int, sigma_y: float = 0.0,
-                n_images: int = 2):
+                n_images: int = 2, tier: AdmTier = ADM_TOY32, dtype=None,
+                skip_ref: bool = False, mask=None):
     """One hq task through both frameworks (zero noise, shared x_T).
 
     Returns ours/ref PSNR vs gt, cross-framework max abs diff, and the
-    output arrays for the gallery under "images"."""
+    output arrays for the gallery under "images". `tier`/`dtype`/`skip_ref`
+    as in tests/_golden.run_task (the reference side always runs fp32)."""
     import jax
     import jax.numpy as jnp
     import torch
@@ -300,26 +372,27 @@ def run_hq_task(deg: str, scale: int, sigma_y: float = 0.0,
         sample_posterior,
     )
 
-    from tests._golden import load_eval_images, toy_mask
+    from tests._golden import TIERS, load_eval_images, toy_mask
     from tests._reference import import_hq_reference
 
     gd = import_hq_reference("gaussian_diffusion")
     respace = import_hq_reference("respace")
     scheduler = import_hq_reference("scheduler")
 
-    x_orig = load_eval_images(n_images)  # NCHW [-1,1]
+    res = tier.res
+    x_orig = load_eval_images(n_images, TIERS[tier.name])  # NCHW [-1,1]
     rng = np.random.RandomState(7)
     x_T = rng.randn(*x_orig.shape).astype(np.float32)
     betas = sch.named_beta_schedule("linear", T, use_scale=True)
 
-    mask_t = torch.from_numpy(
-        toy_mask().astype(np.float32)).reshape(1, 1, RES, RES)
-    refA, refAp = build_ref_ops(gd, deg, scale, mask_t)
-    op = build_our_operator(deg, scale)
+    mask_np = (toy_mask(res) if mask is None else mask).astype(np.float32)
+    mask_t = torch.from_numpy(mask_np).reshape(1, 1, res, res)
+    refA, refAp = build_ref_ops(gd, deg, scale, mask_t, res)
+    op = build_our_operator(deg, scale, res, mask=mask_np)
     apy_ours, apy_ref = _apy_both(op, refA, refAp, x_orig, n_images, deg)
 
     # ---- ours ----
-    model_fn, params = load_our_model()
+    model_fn, params = load_our_model(tier, dtype)
     tables = build_posterior_tables(
         betas=betas, timestep_respacing=RESPACING, sigma_y=sigma_y,
         schedule_jump_params=JUMP,
@@ -332,22 +405,26 @@ def run_hq_task(deg: str, scale: int, sigma_y: float = 0.0,
         op, tables, jax.random.PRNGKey(0),
         noise_fn=zero, params=params,
     )
-    ours = np.transpose(np.asarray(x_fin), (0, 3, 1, 2))
+    ours = np.transpose(np.asarray(x_fin, np.float32), (0, 3, 1, 2))
+
+    if skip_ref:
+        return _result(ours, None, x_orig, apy_ours)
 
     # ---- reference (its own SpacedDiffusion.p_sample / undo loop) ----
-    ref_model = load_ref_model()
+    ref_model = load_ref_model(tier)
 
     def tmodel(x, ts, **kw):
         return ref_model(x, ts)
 
     ref_out = _run_ref_loop(gd, scheduler, _spaced(gd, respace, betas),
                             tmodel, x_T, apy_ref, sigma_y, n_images,
-                            (refA, refAp))
+                            (refA, refAp), res=res)
     return _result(ours, ref_out, x_orig, apy_ours)
 
 
 def run_hq_guided_task(deg: str = "sr_averagepooling", scale: int = 4,
-                       n_images: int = 2):
+                       n_images: int = 2, tier: AdmTier = ADM_TOY32,
+                       dtype=None, skip_ref: bool = False):
     """Classifier-GUIDED hq restoration through both frameworks on TRAINED
     weights (toy ADM + toy EncoderUNet classifier): the reference builds
     cond_fn = grad_x log p(y|x) * scale with torch.autograd
@@ -377,20 +454,21 @@ def run_hq_guided_task(deg: str = "sr_averagepooling", scale: int = 4,
     respace = import_hq_reference("respace")
     scheduler = import_hq_reference("scheduler")
 
-    x_nhwc, _ = make_class_blobs(jax.random.PRNGKey(123), n_images, RES,
+    res = tier.res
+    x_nhwc, _ = make_class_blobs(jax.random.PRNGKey(123), n_images, res,
                                  classes=GUIDED_CLASS)
     x_orig = np.transpose(np.asarray(x_nhwc), (0, 3, 1, 2))
     rng = np.random.RandomState(11)
     x_T = rng.randn(*x_orig.shape).astype(np.float32)
     betas = sch.named_beta_schedule("linear", T, use_scale=True)
 
-    refA, refAp = build_ref_ops(gd, deg, scale, None)
-    op = build_our_operator(deg, scale)
+    refA, refAp = build_ref_ops(gd, deg, scale, None, res)
+    op = build_our_operator(deg, scale, res)
     apy_ours, apy_ref = _apy_both(op, refA, refAp, x_orig, n_images, deg)
 
     # ---- ours ----
-    model_fn_raw, mparams = load_our_model()
-    cmodel, cparams = load_our_classifier()
+    model_fn_raw, mparams = load_our_model(tier, dtype)
+    cmodel, cparams = load_our_classifier(tier, dtype)
     run_params = {"model": mparams, "classifier": cparams}
 
     def model_fn(p, x, t):
@@ -412,11 +490,14 @@ def run_hq_guided_task(deg: str = "sr_averagepooling", scale: int = 4,
         op, tables, jax.random.PRNGKey(0),
         noise_fn=zero, params=run_params, guidance_fn=guidance,
     )
-    ours = np.transpose(np.asarray(x_fin), (0, 3, 1, 2))
+    ours = np.transpose(np.asarray(x_fin, np.float32), (0, 3, 1, 2))
+
+    if skip_ref:
+        return _result(ours, None, x_orig, apy_ours)
 
     # ---- reference ----
-    ref_model = load_ref_model()
-    ref_clf = load_ref_classifier()
+    ref_model = load_ref_model(tier)
+    ref_clf = load_ref_classifier(tier)
 
     def cond_fn(x, t, **kw):  # hq_demo/main.py:87-96
         with torch.enable_grad():
@@ -431,5 +512,5 @@ def run_hq_guided_task(deg: str = "sr_averagepooling", scale: int = 4,
 
     ref_out = _run_ref_loop(gd, scheduler, _spaced(gd, respace, betas),
                             tmodel, x_T, apy_ref, 0.0, n_images,
-                            (refA, refAp), cond_fn=cond_fn)
+                            (refA, refAp), cond_fn=cond_fn, res=res)
     return _result(ours, ref_out, x_orig, apy_ours)

@@ -54,6 +54,25 @@ HEADER_HQ = """
 |---|---|---|---|---|
 """
 
+HEADER_MID = """
+## Mid tier (64px, 6.8M-param DDPM) — naturalistic fixtures (exp/datasets/natural64)
+
+| task | grid | ours PSNR (dB) | reference PSNR (dB) | delta |
+|---|---|---|---|---|
+"""
+
+HEADER_MID_HQ = """
+## Mid tier (64px, 12.3M-param ADM) — hq task matrix + old-photo demo
+
+`mid_oldphoto` is the reference's old-photo restoration class
+(configs/oldphoto.yml: scratch mask + grayscale + low-res composite,
+diffusion.py:260-274) on naturalistic fixtures with the committed
+irregular scratch mask (exp/datasets/natural64/scratch_keep_mask.npy).
+
+| task | grid | ours PSNR (dB) | reference PSNR (dB) | delta |
+|---|---|---|---|---|
+"""
+
 
 def to_grid(images: dict, zoom: int) -> np.ndarray:
     """(rows=images, cols=gt/apy/ref/ours) -> one HWC uint8 grid."""
@@ -91,8 +110,8 @@ def main(argv=None):
     GALLERY_DIR.mkdir(parents=True, exist_ok=True)
     lines = [HEADER]
 
-    def emit(name, r):
-        grid = to_grid(r["images"], ns.zoom)
+    def emit(name, r, zoom=None):
+        grid = to_grid(r["images"], zoom or ns.zoom)
         out = GALLERY_DIR / f"{name}.png"
         Image.fromarray(grid).save(out)
         delta = r["ours_psnr"] - r["ref_psnr"]
@@ -122,6 +141,41 @@ def main(argv=None):
                  run_hq_guided_task(n_images=min(ns.images, 2)))
     else:
         print("toy_adm32.pt not trained yet — skipping the hq section")
+
+    # ---- mid tier (64px, naturalistic fixtures — VERDICT r2 #2/#7) ----
+    from tests._golden import MID64
+    from tests._golden_adm import ADM_MID64
+
+    zoom_mid = max(ns.zoom // 2, 1)
+    if MID64.fixture.exists():
+        lines.append(HEADER_MID.rstrip("\n"))
+        for name, deg, scale, sigma_y in TASKS:
+            emit(f"mid_{name}",
+                 run_task(deg, scale, sigma_y, n_images=ns.images,
+                          return_images=True, tier=MID64), zoom=zoom_mid)
+    else:
+        print("mid_ddpm64.pt not trained yet — skipping the mid section")
+
+    if ADM_MID64.fixture.exists():
+        lines.append(HEADER_MID_HQ.rstrip("\n"))
+        for name, deg, scale, sigma_y in TASKS_HQ:
+            emit(f"mid_{name}",
+                 run_hq_task(deg, scale, sigma_y, n_images=min(ns.images, 2),
+                             tier=ADM_MID64), zoom=zoom_mid)
+        if ADM_MID64.clf_fixture.exists():
+            emit("mid_hq_guided_sr",
+                 run_hq_guided_task(n_images=min(ns.images, 2),
+                                    tier=ADM_MID64), zoom=zoom_mid)
+        # the OLD-PHOTO demo class (reference configs/oldphoto.yml +
+        # diffusion.py:260-274: scratch-masked + grayscale + low-res on a
+        # natural photo) on the naturalistic fixtures with the committed
+        # irregular scratch mask — the one reference demo class that had
+        # no qualitative counterpart (VERDICT r2 item #7)
+        scratch = np.load(MID64.eval_dir / "scratch_keep_mask.npy")
+        emit("mid_oldphoto",
+             run_hq_task("mask_color_sr", 2, 0.0,
+                         n_images=min(ns.images, 2), tier=ADM_MID64,
+                         mask=scratch), zoom=zoom_mid)
 
     (REPO / "docs/GALLERY.md").write_text("".join(lines[:1])
                                           + "\n".join(lines[1:]) + "\n")

@@ -53,10 +53,12 @@ ADM_KW = dict(
 )
 
 
-def build_model():
+def build_model(dtype=None):
+    import jax.numpy as jnp
+
     from ddnm_tpu.models.unet_adm import ADMUNet
 
-    return ADMUNet(**ADM_KW)
+    return ADMUNet(**ADM_KW, dtype=dtype or jnp.float32)
 
 
 def build_ref_model():

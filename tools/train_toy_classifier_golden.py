@@ -78,10 +78,12 @@ def make_class_blobs(key, n, res, n_classes=N_CLASSES, classes=None):
     return jnp.clip(img - 0.6, -1.0, 1.0), cls
 
 
-def build_model():
+def build_model(dtype=None):
+    import jax.numpy as jnp
+
     from ddnm_tpu.models.unet_adm import ADMClassifier
 
-    return ADMClassifier(**CLF_KW)
+    return ADMClassifier(**CLF_KW, dtype=dtype or jnp.float32)
 
 
 def build_ref_model():

@@ -88,11 +88,31 @@ time_travel:
 """
 
 
-def build_model():
+def build_model(dtype=None):
+    import jax.numpy as jnp
+
     from ddnm_tpu.models.unet_ddpm import DDPMUNet
 
     return DDPMUNet(ch=CH, ch_mult=CH_MULT, num_res_blocks=NUM_RES_BLOCKS,
-                    attn_resolutions=ATTN, resolution=RES)
+                    attn_resolutions=ATTN, resolution=RES,
+                    dtype=dtype or jnp.float32)
+
+
+def build_ref_model():
+    """The reference's Model with this architecture (config from
+    TOY_CONFIG_YAML), weights NOT loaded."""
+    import yaml
+
+    from tests._reference import import_reference
+
+    ref_models = import_reference("guided_diffusion.models")
+
+    class _NS:
+        def __init__(self, d):
+            for k, v in d.items():
+                setattr(self, k, _NS(v) if isinstance(v, dict) else v)
+
+    return ref_models.Model(_NS(yaml.safe_load(TOY_CONFIG_YAML)))
 
 
 def main(argv=None):
