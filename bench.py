@@ -57,6 +57,11 @@ def main(argv=None):
                     help="data-parallel mesh width (batch scales to 8*dp)")
     ap.add_argument("--sp", type=int, default=1,
                     help="spatial partitioning: shard image rows this many ways")
+    ap.add_argument("--batch", type=int, default=BATCH,
+                    help="per-chip sampler batch (tracked config: 8)")
+    ap.add_argument("--loop", type=str, default="auto",
+                    choices=["auto", "host", "scan"],
+                    help="sampler loop driver (see docs/PERFORMANCE.md)")
     ns = ap.parse_args(argv)
 
     # Watchdog: the remote-compile tunnel can hang indefinitely at first
@@ -106,7 +111,7 @@ def main(argv=None):
 
     mark("start")
     n_chips = ns.dp * ns.sp
-    batch = BATCH * ns.dp
+    batch = ns.batch * ns.dp
     model = DDPMUNet(dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (batch, RES, RES, 3), dtype=jnp.float32)
@@ -143,7 +148,7 @@ def main(argv=None):
     op = build_functional_operator("sr_averagepooling", image_size=RES, deg_scale=4)
     y = shard_in(op.A(x))
 
-    kwargs = dict(eta=0.85, sigma_y=0.0)
+    kwargs = dict(eta=0.85, sigma_y=0.0, loop=ns.loop)
 
     # warmup / compile
     # short warmup: the host-loop step executable is schedule-length

@@ -1,0 +1,109 @@
+"""Execute the lax.scan sampling driver on the real TPU (VERDICT r2 item #3).
+
+docs/PERFORMANCE.md claimed scan is "best for production TPUs" while every
+on-chip measurement ever taken used the host driver (`loop="auto"` picks
+"host" on the axon remote-compile backend, sampling/ddnm.py:101-108,
+because one scan executable embeds the whole 100-step chain and its cold
+compile through the tunnel is minutes). This experiment converts the claim
+into a measurement:
+
+  1. flagship workload (bench.py's: 114M-param DDPM UNet, 256px, batch 8,
+     100-step simplified DDNM+ 4x SR, bf16 torso) with loop="host";
+  2. the same with loop="scan" — first-call wall time recorded separately
+     (compile; cached in .jax_cache for subsequent runs) then steady-state;
+  3. numerics: same PRNG key => the two drivers must produce the same
+     restoration (they share step bodies; only the loop carrier differs).
+
+Writes one JSON line. Run ALONE on the chip (one-TPU-process rule):
+  python tools/experiments/scan_on_tpu.py [--t_sampling 100] [--batch 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[2]
+sys.path.insert(0, str(REPO))
+
+RES = 256
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--t_sampling", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--trials", type=int, default=3)
+    ns = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ddnm_tpu import schedules
+    from ddnm_tpu.models.unet_ddpm import DDPMUNet
+    from ddnm_tpu.operators import build_functional_operator
+    from ddnm_tpu.sampling import build_schedule, sample_simplified
+    from ddnm_tpu.utils import enable_compilation_cache, jit_init
+
+    enable_compilation_cache()
+    print(f"# backend: {jax.default_backend()} {jax.devices()}", flush=True)
+
+    model = DDPMUNet(dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (ns.batch, RES, RES, 3), dtype=jnp.float32)
+    params = jit_init(model, rng, x[:1], jnp.zeros((1,)))
+    jax.block_until_ready(params)
+    print("# init done", flush=True)
+
+    def model_fn(p, xx, tt):
+        return model.apply(p, xx, tt)
+
+    betas = schedules.get_beta_schedule(
+        "linear", beta_start=1e-4, beta_end=0.02, num_diffusion_timesteps=1000)
+    sched = build_schedule(betas=betas, t_sampling=ns.t_sampling)
+    op = build_functional_operator("sr_averagepooling", image_size=RES,
+                                   deg_scale=4)
+    y = op.A(x)
+    kwargs = dict(eta=0.85, sigma_y=0.0, params=params)
+
+    results = {}
+    outs = {}
+    for loop in ("host", "scan"):
+        t0 = time.perf_counter()
+        out, _ = sample_simplified(model_fn, x, y, op, sched,
+                                   jax.random.PRNGKey(7), loop=loop, **kwargs)
+        outs[loop] = np.asarray(jax.device_get(out), np.float32)
+        first = time.perf_counter() - t0
+        trials = []
+        for i in range(ns.trials):
+            t0 = time.perf_counter()
+            out, _ = sample_simplified(model_fn, x, y, op, sched,
+                                       jax.random.PRNGKey(7), loop=loop,
+                                       **kwargs)
+            jax.device_get(out)
+            trials.append(time.perf_counter() - t0)
+        steady = sorted(trials)[len(trials) // 2]
+        results[loop] = {
+            "first_call_s": round(first, 2),
+            "steady_s": round(steady, 2),
+            "img_per_sec": round(ns.batch / steady, 3),
+            "trials_s": [round(t, 2) for t in trials],
+        }
+        print(f"# {loop}: {results[loop]}", flush=True)
+
+    diff = float(np.abs(outs["host"] - outs["scan"]).max())
+    mse = float(np.mean((outs["host"] - outs["scan"]) ** 2))
+    psnr = 10 * np.log10(4.0 / max(mse, 1e-12))  # [-1,1] range -> peak 2
+    results["numerics"] = {"max_abs_diff": diff,
+                           "host_vs_scan_psnr_db": round(float(psnr), 2)}
+    results["speedup_scan_over_host"] = round(
+        results["host"]["steady_s"] / results["scan"]["steady_s"], 3)
+    print(json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -28,7 +28,7 @@ sys.path.insert(0, str(REPO))
 
 
 def main(n_requests: int = 64, max_wait_ms: float = 300.0, hq: bool = False,
-         enc: int = 1):
+         enc: int = 1, sigma_y: float = 0.0):
     from PIL import Image
 
     import serve
@@ -48,6 +48,7 @@ def main(n_requests: int = 64, max_wait_ms: float = 300.0, hq: bool = False,
             "--hq_conf", str(REPO / "configs/hq/face256.yml"),
             "--random_init", "--dtype", "bfloat16", "--degs", "inpainting",
             "--max_batch", "8", "--max_wait_ms", str(max_wait_ms),
+            "--sigma_y", str(sigma_y),
         ] + enc_args)
         service = serve.build_hq_service(ns)
     else:
@@ -121,20 +122,27 @@ def main(n_requests: int = 64, max_wait_ms: float = 300.0, hq: bool = False,
         "batches": server.stats.batches,
         "mean_batch": round(server.stats.requests / max(server.stats.batches, 1), 2),
         "latency_s": stats.get("latency_s"),
+        "sigma_y": sigma_y,
     }))
+
+
+def _flag(argv, name, default):
+    if name in argv:
+        i = argv.index(name)
+        if i + 1 >= len(argv):
+            raise SystemExit("usage: serve_load_tpu.py [n] [max_wait_ms] "
+                             "[--hq] [--enc INTERVAL] [--sigma_y S]")
+        val = argv[i + 1]
+        del argv[i:i + 2]
+        return val
+    return default
 
 
 if __name__ == "__main__":
     argv = sys.argv[1:]
-    enc = 1
-    if "--enc" in argv:
-        i = argv.index("--enc")
-        if i + 1 >= len(argv):
-            raise SystemExit("usage: serve_load_tpu.py [n] [wall_s] "
-                             "[--hq] [--enc INTERVAL]")
-        enc = int(argv[i + 1])
-        argv = argv[:i] + argv[i + 2:]
+    enc = int(_flag(argv, "--enc", 1))
+    sig = float(_flag(argv, "--sigma_y", 0.0))
     args = [a for a in argv if a != "--hq"]
     n = int(args[0]) if len(args) > 0 else 64
     w = float(args[1]) if len(args) > 1 else 300.0
-    main(n, w, hq="--hq" in argv, enc=enc)
+    main(n, w, hq="--hq" in argv, enc=enc, sigma_y=sig)
