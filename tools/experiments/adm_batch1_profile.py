@@ -35,6 +35,9 @@ def main(argv=None):
     ap.add_argument("--trace", type=str, default="/tmp/adm_b1_trace")
     ap.add_argument("--dtype", type=str, default="bfloat16")
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--no-trace", action="store_true",
+                    help="skip the xplane trace pass (batch-sweep probes "
+                         "only need the timed chain)")
     ns = ap.parse_args(argv)
 
     import jax
@@ -117,10 +120,11 @@ def main(argv=None):
         "wall_ms_per_model_call": round(warm_dt * 1e3 / n_model, 2),
     }), flush=True)
 
-    with jax.profiler.trace(ns.trace):
-        jax.device_get(run(short, jax.random.PRNGKey(3)))
-    print(f"trace written to {ns.trace}; analyze with "
-          f"python tools/trace_report.py {ns.trace}")
+    if not ns.no_trace:
+        with jax.profiler.trace(ns.trace):
+            jax.device_get(run(short, jax.random.PRNGKey(3)))
+        print(f"trace written to {ns.trace}; analyze with "
+              f"python tools/trace_report.py {ns.trace}")
 
 
 if __name__ == "__main__":
