@@ -259,7 +259,20 @@ def train_eps_family(family: str, steps: int, batch: int, lr: float):
     t0 = time.time()
     key = jax.random.PRNGKey(1)
     tail = []
-    for step in range(steps):
+    # hang insurance: the axon tunnel can stall an RPC mid-run; snapshot
+    # (params, opt_state, step, tail) so a killed run resumes, not restarts
+    import pickle
+
+    ckpt = Path(f"/tmp/mid_{family}_train.ckpt")
+    start = 0
+    if ckpt.exists():
+        with ckpt.open("rb") as f:
+            params, opt_state, start, tail = pickle.load(f)
+        params = jax.tree.map(jnp.asarray, params)
+        opt_state = jax.tree.map(
+            lambda x: jnp.asarray(x) if hasattr(x, "shape") else x, opt_state)
+        print(f"# {family}: resumed from {ckpt} at step {start}", flush=True)
+    for step in range(start, steps):
         key, k = jax.random.split(key)
         params, opt_state, loss = train_step(params, opt_state, k)
         if step % 500 == 0 or step == steps - 1:
@@ -267,6 +280,10 @@ def train_eps_family(family: str, steps: int, batch: int, lr: float):
             tail.append({"step": step, "loss": round(lv, 5)})
             print(f"# {family} step {step} loss {lv:.4f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
+        if step % 1000 == 999:
+            host = jax.tree.map(np.asarray, (params, opt_state))
+            with ckpt.open("wb") as f:
+                pickle.dump((host[0], host[1], step + 1, tail), f)
 
     kw = DDPM_KW if family == "ddpm" else ADM_KW
     meta = {"res": RES, "T": T, "params_m": round(n_par / 1e6, 2),
