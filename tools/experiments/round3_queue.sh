@@ -2,7 +2,9 @@
 # Round-3 on-chip measurement queue (VERDICT r2 items #3, #5, #4, #8 + a
 # flagship batch-16/32 probe). Runs each probe as its own process — the
 # axon tunnel allows ONE TPU process at a time — and logs JSON to /tmp.
-# Launch only when the chip is otherwise idle.
+# Launch only when the chip AND the host CPU are otherwise idle: this dev
+# host has ONE core, and the host-driven loops are dispatch-heavy, so a
+# concurrent CPU job (e.g. a golden suite) skews every timing here.
 set -u
 cd "$(dirname "$0")/../.."
 
@@ -14,8 +16,15 @@ run() { # name, cmd...
   tail -3 "/tmp/r3_${name}.log"
 }
 
-# item 3: scan driver on the real chip (one-time scan compile, cached)
+# item 3: scan driver on the real chip (one-time scan compile, cached).
+# bf16 is the production config; the fp32 pass is the numerics control —
+# host and scan compile different fusions, so bf16 trajectories diverge
+# chaotically (random weights); fp32 agreement isolates driver correctness.
 run scan python tools/experiments/scan_on_tpu.py
+run scan_fp32 python tools/experiments/scan_on_tpu.py --dtype float32
+# short horizon: 5 steps can't amplify ulp noise, so this isolates the
+# drivers' step-level agreement from trajectory chaos
+run scan_short python tools/experiments/scan_on_tpu.py --t_sampling 5
 
 # item 5: extend the ADM cliff table to batch 16/32
 run cliff16 python tools/experiments/adm_batch1_profile.py --batch 16 --no-trace

@@ -11,11 +11,17 @@ into a measurement:
      100-step simplified DDNM+ 4x SR, bf16 torso) with loop="host";
   2. the same with loop="scan" — first-call wall time recorded separately
      (compile; cached in .jax_cache for subsequent runs) then steady-state;
-  3. numerics: same PRNG key => the two drivers must produce the same
-     restoration (they share step bodies; only the loop carrier differs).
+  3. numerics: same PRNG key => the two drivers share step bodies, but XLA
+     compiles DIFFERENT fusions for the per-step executable vs the scan
+     body. Under a bf16 torso those differ at the last ulp, and a 100-step
+     trajectory through a random-weights (non-contractive) UNet amplifies
+     ulp-level divergence chaotically. `--dtype float32` is the control:
+     if fp32 host-vs-scan agrees tightly on the chip, the bf16 divergence
+     is rounding chaos, not a driver bug.
 
 Writes one JSON line. Run ALONE on the chip (one-TPU-process rule):
   python tools/experiments/scan_on_tpu.py [--t_sampling 100] [--batch 8]
+      [--dtype float32]
 """
 
 from __future__ import annotations
@@ -37,6 +43,8 @@ def main(argv=None):
     ap.add_argument("--t_sampling", type=int, default=100)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--dtype", choices=["bfloat16", "float32"],
+                    default="bfloat16")
     ns = ap.parse_args(argv)
 
     import jax
@@ -52,7 +60,7 @@ def main(argv=None):
     enable_compilation_cache()
     print(f"# backend: {jax.default_backend()} {jax.devices()}", flush=True)
 
-    model = DDPMUNet(dtype=jnp.bfloat16)
+    model = DDPMUNet(dtype=jnp.dtype(ns.dtype))
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (ns.batch, RES, RES, 3), dtype=jnp.float32)
     params = jit_init(model, rng, x[:1], jnp.zeros((1,)))
@@ -102,6 +110,7 @@ def main(argv=None):
                            "host_vs_scan_psnr_db": round(float(psnr), 2)}
     results["speedup_scan_over_host"] = round(
         results["host"]["steady_s"] / results["scan"]["steady_s"], 3)
+    results["dtype"] = ns.dtype
     print(json.dumps(results), flush=True)
 
 
