@@ -159,6 +159,7 @@ class RestorationService:
         encoder_cache: int = 1,
         encoder_cache_policy: str = "uniform",
         split_fns=None,
+        loop: str = "auto",
     ):
         self._model_fn = model_fn
         self._mesh = mesh
@@ -167,6 +168,19 @@ class RestorationService:
         self._encoder_policy = str(encoder_cache_policy)
         self._split_fns = split_fns
         self._key_steps = None
+        # Loop driver for the trajectory executables (sampling/ddnm.py
+        # docstring). Measured on the real chip (docs/PERFORMANCE.md "Scan
+        # vs host"): steady-state equivalent; "scan" restarts ~20x faster
+        # from a warm persistent cache (one executable), "host" warms ~10%
+        # faster steady throughput on the 100-step flagship. Operators pick
+        # per deployment; "auto" keeps the per-backend default.
+        if loop not in ("auto", "host", "scan"):
+            raise ValueError(f"loop must be auto|host|scan, got {loop!r}")
+        if loop == "scan" and self._encoder_cache > 1:
+            raise ValueError(
+                "encoder_cache > 1 uses the host-driven accel samplers "
+                "(sampling/accel.py); loop='scan' is incompatible")
+        self._loop = loop
         if self._encoder_cache > 1:
             # APPROXIMATE opt-in (Faster Diffusion, see sampling/accel.py):
             # non-key steps reuse the cached encoder features and run only
@@ -515,6 +529,7 @@ class RestorationService:
             x, _ = sample_svd(
                 self._model_fn, x_init, y, op, self._sched, noise_keys,
                 eta=self._eta, sigma_y=self._sigma_y, params=self._params,
+                loop=self._loop,
             )
         elif self._encoder_cache > 1:
             from ddnm_tpu.sampling.accel import sample_simplified_encoder_prop
@@ -530,7 +545,7 @@ class RestorationService:
             x, _ = sample_simplified(
                 self._model_fn, x_init, y, op, self._sched, noise_keys,
                 eta=self._eta, sigma_y=self._sigma_y, params=self._params,
-                op_ctx=ctx,
+                op_ctx=ctx, loop=self._loop,
             )
         return x
 
@@ -591,12 +606,14 @@ class PosteriorRestorationService(RestorationService):
         encoder_cache: int = 1,
         encoder_cache_policy: str = "uniform",
         split_fns=None,
+        loop: str = "auto",
     ):
         super().__init__(
             model_fn, params, None, operators, image_size=image_size,
             max_batch=max_batch, base_seed=base_seed, mesh=mesh,
             require_ctx=require_ctx, encoder_cache=encoder_cache,
             encoder_cache_policy=encoder_cache_policy, split_fns=split_fns,
+            loop=loop,
         )
         bad = [n for n, svd in self._is_svd.items() if svd]
         if bad:
@@ -650,6 +667,7 @@ class PosteriorRestorationService(RestorationService):
                 self._model_fn, x_init, apy, op, self._tables, noise_keys,
                 guidance_fn=self._guidance_fn,
                 clip_denoised=self._clip_denoised, op_ctx=ctx, params=params,
+                loop=self._loop,
             )
         return x
 

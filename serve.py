@@ -92,6 +92,14 @@ def parse_args(argv=None):
                    help="key-step placement for --encoder_cache: end_dense "
                         "holds quality at much deeper budgets (measured; "
                         "docs/PERFORMANCE.md)")
+    p.add_argument("--loop", type=str, default="auto",
+                   choices=("auto", "host", "scan"),
+                   help="trajectory loop driver (docs/PERFORMANCE.md 'Scan "
+                        "vs host, measured'): steady-state equivalent; "
+                        "'scan' restarts ~20x faster from a warm compile "
+                        "cache (one executable per task), 'host' keeps the "
+                        "step executable schedule-length independent. "
+                        "Incompatible with --encoder_cache > 1")
     p.add_argument("--no_warmup", action="store_true")
     return p.parse_args(argv)
 
@@ -230,6 +238,7 @@ def build_hq_service(ns):
         encoder_cache=getattr(ns, "encoder_cache", 1),
         encoder_cache_policy=getattr(ns, "encoder_cache_policy", "uniform"),
         split_fns=split_fns,
+        loop=getattr(ns, "loop", "auto"),
     )
 
 
@@ -326,6 +335,7 @@ def build_service(ns):
         encoder_cache=getattr(ns, "encoder_cache", 1),
         encoder_cache_policy=getattr(ns, "encoder_cache_policy", "uniform"),
         split_fns=split_fns,
+        loop=getattr(ns, "loop", "auto"),
     )
 
 

@@ -1399,3 +1399,54 @@ def test_serve_cli_encoder_cache(tmp_path):
     ])
     with pytest.raises(SystemExit, match="SVD"):
         serve.build_service(ns_bad)
+
+
+# ------------------------------------------------------------- loop driver
+
+
+def test_loop_driver_knob():
+    """`loop=` threads through to the trajectory samplers: a scan-driven
+    service reproduces the host-driven one on the same request (CPU: both
+    drivers compile the same step fusions — sampling/ddnm.py numerics
+    contract), and the knob validates its inputs."""
+    model, params, sched = _tiny_ddpm()
+    ops = {"sr_averagepooling": build_functional_operator(
+        "sr_averagepooling", image_size=RES, deg_scale=4)}
+
+    def mk(loop):
+        return RestorationService(
+            lambda p, x, t: model.apply(p, x, t), params, sched, ops,
+            image_size=RES, max_batch=2, loop=loop)
+
+    gts = _gt_images(2, seed=53)
+    host = mk("host").restore(gts, "sr_averagepooling", [3, 4],
+                              input_kind="gt")
+    scan = mk("scan").restore(gts, "sr_averagepooling", [3, 4],
+                              input_kind="gt")
+    np.testing.assert_allclose(scan, host, atol=2e-5)
+
+    with pytest.raises(ValueError, match="auto|host|scan"):
+        mk("vectorized")
+    from ddnm_tpu.sampling.accel import ddpm_split_fns
+    with pytest.raises(ValueError, match="host-driven"):
+        RestorationService(
+            lambda p, x, t: model.apply(p, x, t), params, sched, ops,
+            image_size=RES, max_batch=2, loop="scan",
+            encoder_cache=2, split_fns=ddpm_split_fns(model))
+
+
+def test_serve_cli_loop_flag():
+    """--loop plumbs through build_service."""
+    import serve
+
+    ns = serve.parse_args([
+        "--config", "configs/smoke.yml", "--random_init",
+        "--degs", "sr_averagepooling", "--max_batch", "2",
+        "--t_sampling", "4", "--loop", "scan",
+    ])
+    svc = serve.build_service(ns)
+    assert svc._loop == "scan"
+    imgs = np.random.default_rng(5).uniform(
+        0.2, 0.8, size=(1, 64, 64, 3)).astype(np.float32)
+    out = svc.restore(imgs, "sr_averagepooling", [0], input_kind="gt")
+    assert out.shape == (1, 64, 64, 3) and np.isfinite(out).all()

@@ -45,6 +45,13 @@ def main(argv=None):
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--dtype", choices=["bfloat16", "float32"],
                     default="bfloat16")
+    ap.add_argument("--trained", choices=["none", "toy32", "mid64"],
+                    default="none",
+                    help="use a TRAINED golden-tier fixture instead of the "
+                         "random-init flagship: trained denoisers are "
+                         "contractive, so host-vs-scan fusion divergence "
+                         "stops amplifying chaotically — the driver-"
+                         "correctness control at trajectory length")
     ns = ap.parse_args(argv)
 
     import jax
@@ -60,15 +67,31 @@ def main(argv=None):
     enable_compilation_cache()
     print(f"# backend: {jax.default_backend()} {jax.devices()}", flush=True)
 
-    model = DDPMUNet(dtype=jnp.dtype(ns.dtype))
+    global RES
     rng = jax.random.PRNGKey(0)
-    x = jax.random.normal(rng, (ns.batch, RES, RES, 3), dtype=jnp.float32)
-    params = jit_init(model, rng, x[:1], jnp.zeros((1,)))
+    if ns.trained != "none":
+        sys.path.insert(0, str(REPO / "tests"))
+        from _golden import TIERS, load_eval_images, load_our_model
+
+        tier = TIERS[ns.trained]
+        RES = tier.res
+        model_fn, params = load_our_model(tier, dtype=ns.dtype)
+        gt = load_eval_images(ns.batch, tier=tier)  # (n, 3, res, res)
+        n = gt.shape[0]
+        reps = -(-ns.batch // n)
+        gt = np.tile(gt, (reps, 1, 1, 1))[: ns.batch]
+        x = jnp.asarray(gt.transpose(0, 2, 3, 1))  # NHWC in [-1, 1]
+    else:
+        model = DDPMUNet(dtype=jnp.dtype(ns.dtype))
+        x = jax.random.normal(rng, (ns.batch, RES, RES, 3),
+                              dtype=jnp.float32)
+        params = jit_init(model, rng, x[:1], jnp.zeros((1,)))
+
+        def model_fn(p, xx, tt):
+            return model.apply(p, xx, tt)
+
     jax.block_until_ready(params)
     print("# init done", flush=True)
-
-    def model_fn(p, xx, tt):
-        return model.apply(p, xx, tt)
 
     betas = schedules.get_beta_schedule(
         "linear", beta_start=1e-4, beta_end=0.02, num_diffusion_timesteps=1000)
@@ -76,20 +99,21 @@ def main(argv=None):
     op = build_functional_operator("sr_averagepooling", image_size=RES,
                                    deg_scale=4)
     y = op.A(x)
+    x_init = jax.random.normal(jax.random.PRNGKey(1), x.shape, jnp.float32)
     kwargs = dict(eta=0.85, sigma_y=0.0, params=params)
 
     results = {}
     outs = {}
     for loop in ("host", "scan"):
         t0 = time.perf_counter()
-        out, _ = sample_simplified(model_fn, x, y, op, sched,
+        out, _ = sample_simplified(model_fn, x_init, y, op, sched,
                                    jax.random.PRNGKey(7), loop=loop, **kwargs)
         outs[loop] = np.asarray(jax.device_get(out), np.float32)
         first = time.perf_counter() - t0
         trials = []
         for i in range(ns.trials):
             t0 = time.perf_counter()
-            out, _ = sample_simplified(model_fn, x, y, op, sched,
+            out, _ = sample_simplified(model_fn, x_init, y, op, sched,
                                        jax.random.PRNGKey(7), loop=loop,
                                        **kwargs)
             jax.device_get(out)
@@ -108,9 +132,19 @@ def main(argv=None):
     psnr = 10 * np.log10(4.0 / max(mse, 1e-12))  # [-1,1] range -> peak 2
     results["numerics"] = {"max_abs_diff": diff,
                            "host_vs_scan_psnr_db": round(float(psnr), 2)}
+    if ns.trained != "none":
+        # end-metric agreement: with a contractive trained denoiser both
+        # drivers must restore the gt equally well even where trajectories
+        # differ pointwise
+        gt_arr = np.asarray(x, np.float32)
+        for loop in ("host", "scan"):
+            m = float(np.mean((outs[loop] - gt_arr) ** 2))
+            results["numerics"][f"{loop}_vs_gt_psnr_db"] = round(
+                10 * np.log10(4.0 / max(m, 1e-12)), 2)
     results["speedup_scan_over_host"] = round(
         results["host"]["steady_s"] / results["scan"]["steady_s"], 3)
     results["dtype"] = ns.dtype
+    results["trained"] = ns.trained
     print(json.dumps(results), flush=True)
 
 

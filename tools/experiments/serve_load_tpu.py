@@ -28,7 +28,7 @@ sys.path.insert(0, str(REPO))
 
 
 def main(n_requests: int = 64, max_wait_ms: float = 300.0, hq: bool = False,
-         enc: int = 1, sigma_y: float = 0.0):
+         enc: int = 1, sigma_y: float = 0.0, loop: str = "auto"):
     from PIL import Image
 
     import serve
@@ -48,7 +48,7 @@ def main(n_requests: int = 64, max_wait_ms: float = 300.0, hq: bool = False,
             "--hq_conf", str(REPO / "configs/hq/face256.yml"),
             "--random_init", "--dtype", "bfloat16", "--degs", "inpainting",
             "--max_batch", "8", "--max_wait_ms", str(max_wait_ms),
-            "--sigma_y", str(sigma_y),
+            "--sigma_y", str(sigma_y), "--loop", loop,
         ] + enc_args)
         service = serve.build_hq_service(ns)
     else:
@@ -56,6 +56,7 @@ def main(n_requests: int = 64, max_wait_ms: float = 300.0, hq: bool = False,
             "--config", str(REPO / "configs/celeba_hq.yml"), "--random_init",
             "--dtype", "bfloat16", "--degs", "sr_averagepooling",
             "--max_batch", "8", "--max_wait_ms", str(max_wait_ms),
+            "--loop", loop,
         ] + enc_args)
         service = serve.build_service(ns)
     print("warming up ...", flush=True)
@@ -123,6 +124,7 @@ def main(n_requests: int = 64, max_wait_ms: float = 300.0, hq: bool = False,
         "mean_batch": round(server.stats.requests / max(server.stats.batches, 1), 2),
         "latency_s": stats.get("latency_s"),
         "sigma_y": sigma_y,
+        "loop": loop,
     }))
 
 
@@ -142,7 +144,8 @@ if __name__ == "__main__":
     argv = sys.argv[1:]
     enc = int(_flag(argv, "--enc", 1))
     sig = float(_flag(argv, "--sigma_y", 0.0))
+    loop = _flag(argv, "--loop", "auto")
     args = [a for a in argv if a != "--hq"]
     n = int(args[0]) if len(args) > 0 else 64
     w = float(args[1]) if len(args) > 1 else 300.0
-    main(n, w, hq="--hq" in argv, enc=enc, sigma_y=sig)
+    main(n, w, hq="--hq" in argv, enc=enc, sigma_y=sig, loop=loop)
