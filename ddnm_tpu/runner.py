@@ -84,6 +84,7 @@ class RunArgs:
     max_images: Optional[int] = None
     resume: bool = False  # skip images whose output PNG already exists
     loop: str = "auto"  # sampler loop driver: auto | scan | host
+    solver: str = "ddim"  # trajectory solver: ddim | multistep (noise-free)
     encoder_cache: int = 1  # >1: approximate encoder-propagation accel
     # key-step placement for --encoder_cache: "uniform" (every k-th call)
     # or "end_dense" (same budget, exact tail — measured to hold exact
@@ -108,6 +109,18 @@ class Runner:
             travel_repeat=config.time_travel.travel_repeat,
         )
         self.dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+        if args.solver == "multistep":
+            if args.sigma_y != 0.0 or args.add_noise:
+                raise ValueError(
+                    "--solver multistep is deterministic and supports "
+                    "noise-free tasks only (sigma_y == 0, no --add_noise)"
+                )
+            if args.encoder_cache > 1:
+                raise ValueError(
+                    "--solver multistep does not compose with "
+                    "--encoder_cache (the encoder-propagation sampler is "
+                    "DDIM-only); drop one of the two"
+                )
 
     # ------------------------------------------------------------------ model
     def build_model(self, rng: jax.Array):
@@ -417,6 +430,7 @@ class Runner:
                         model_fn, x_init, y, operator, self.sched, k_samp,
                         eta=args.eta, sigma_y=sigma_y, params=run_params,
                         loop=args.loop,
+                        solver=getattr(args, "solver", "ddim"),
                     )
             else:
                 x_vec = jnp.transpose(x_orig, (0, 3, 1, 2)).reshape(len(imgs), -1)
@@ -432,6 +446,7 @@ class Runner:
                     model_fn, x_init, y, operator, self.sched, k_samp,
                     eta=args.eta, sigma_y=sigma_y, guidance_fn=guidance_fn,
                     params=run_params, loop=args.loop,
+                    solver=getattr(args, "solver", "ddim"),
                 )
 
             # pipeline: drain the previous batch's results (host transfer +

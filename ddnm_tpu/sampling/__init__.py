@@ -17,8 +17,14 @@ from ddnm_tpu.sampling.posterior import (
     respace_betas,
     sample_posterior,
 )
+from ddnm_tpu.sampling.solvers import (
+    sample_simplified_multistep,
+    sample_svd_multistep,
+)
 
 __all__ = [
+    "sample_simplified_multistep",
+    "sample_svd_multistep",
     "DDNMSchedule",
     "build_schedule",
     "sample_simplified",

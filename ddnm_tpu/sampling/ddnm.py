@@ -28,8 +28,11 @@ precomputed host-side. Two interchangeable loop drivers share one step body:
     async, so steps pipeline on device exactly like the scan.
 
 Default is "auto": the axon remote-compile backend takes minutes to compile
-scan-over-UNet bodies (measured 480 s for a toy model vs 5 s for the same
-step jitted alone), so "auto" picks "host" there and "scan" elsewhere.
+scan-over-UNet bodies for LARGE models (measured 480 s cold for the 114M
+flagship vs 5 s for the same step jitted alone), so "auto" picks "host"
+there for big models and "scan" everywhere else — including small models
+on axon, whose host loops are dispatch-bound through the tunnel (measured
+67x slower than scan at 6.8M params; see _AUTO_SCAN_PARAM_BYTES).
 Numerics agree to fp32 rounding — both drivers call the same step function.
 """
 
@@ -98,13 +101,36 @@ def build_schedule(
     )
 
 
-def _resolve_loop(loop: str) -> str:
+# Below this many parameter bytes, "auto" picks the scan driver even on a
+# remote-compile backend: the per-step dispatch latency of the host loop
+# dominates small models there (measured on the axon tunnel: the 6.8M-param
+# mid64 fixture runs 50-77 s/batch host-driven vs 0.75-0.99 s scanned — 67x —
+# while the 114M flagship pipelines fine either way; docs/PERFORMANCE.md
+# "Scan vs host"), and a small scan body compiles in seconds, so the host
+# driver's only advantage (no scan-over-model compile) is moot.
+_AUTO_SCAN_PARAM_BYTES = 64 * 1024 * 1024
+
+
+def _params_nbytes(params) -> Optional[int]:
+    if params is None:
+        return None
+    return sum(
+        getattr(a, "nbytes", 0) for a in jax.tree_util.tree_leaves(params)
+    )
+
+
+def _resolve_loop(loop: str, params=None) -> str:
     if loop == "auto":
         from ddnm_tpu.utils import is_remote_compile_backend
 
         if jax.default_backend() == "cpu":
             return "scan"
-        return "host" if is_remote_compile_backend() else "scan"
+        if not is_remote_compile_backend():
+            return "scan"
+        nbytes = _params_nbytes(params)
+        if nbytes is not None and nbytes < _AUTO_SCAN_PARAM_BYTES:
+            return "scan"
+        return "host"
     return loop
 
 
@@ -320,7 +346,7 @@ def _run_host(body, noise_fn, params, x_init, y, sched: DDNMSchedule, key,
 
 
 def _drive(loop, body, noise_fn, params, x_init, y, sched, key, op_ctx=None):
-    if _resolve_loop(loop) == "scan":
+    if _resolve_loop(loop, params) == "scan":
         return _run_scan(body, noise_fn, params, x_init, y, sched, key, op_ctx)
     return _run_host(body, noise_fn, params, x_init, y, sched, key, op_ctx)
 
@@ -342,6 +368,7 @@ def sample_simplified(
     loop: str = "auto",
     params=None,
     op_ctx=None,
+    solver: str = "ddim",
 ) -> tuple[Array, Array]:
     """Simplified DDNM+ over NHWC images. Returns (x_final, x0_pred_final).
 
@@ -357,7 +384,26 @@ def sample_simplified(
     every step projects through A_ctx/Ap_ctx with this tensor instead of
     the operator's baked static forms. One compiled executable serves any
     mask; with ctx == the static mask the trajectories are identical.
+
+    `solver`: "ddim" (the reference's first-order update, default) or
+    "multistep" (second-order, deterministic, noise-free only — `eta` is
+    ignored; see sampling/solvers.py).
     """
+    if solver == "multistep":
+        from ddnm_tpu.sampling.solvers import sample_simplified_multistep
+
+        if sigma_y != 0.0:
+            raise ValueError(
+                "solver='multistep' is deterministic and supports "
+                "noise-free DDNM only (sigma_y == 0); the noisy DDNM+ "
+                "gamma_t noise injection is tied to the DDIM kernel"
+            )
+        return sample_simplified_multistep(
+            model_fn, x_init, y, operator, sched, key, noise_fn=noise_fn,
+            loop=loop, params=params, op_ctx=op_ctx,
+        )
+    if solver != "ddim":
+        raise ValueError(f"unknown solver {solver!r} (ddim | multistep)")
     if op_ctx is not None and not operator.has_ctx:
         raise ValueError(
             f"operator {operator.name!r} has no A_ctx/Ap_ctx forms; "
@@ -381,6 +427,7 @@ def sample_svd(
     guidance_fn: Optional[Callable] = None,
     loop: str = "auto",
     params=None,
+    solver: str = "ddim",
 ) -> tuple[Array, Array]:
     """SVD-mode DDNM (sigma_y == 0) / DDNM+ (sigma_y > 0) over NHWC images.
 
@@ -396,7 +443,24 @@ def sample_svd(
     guidance signal. We follow the reference's own hq pipeline instead
     (condition on the current state, hq_demo gaussian_diffusion.py:423),
     which is also what the guided-diffusion upstream does.
+
+    `solver`: "ddim" (reference parity, default) or "multistep"
+    (second-order, noise-free only — see sample_simplified).
     """
+    if solver == "multistep":
+        from ddnm_tpu.sampling.solvers import sample_svd_multistep
+
+        if sigma_y != 0.0:
+            raise ValueError(
+                "solver='multistep' is deterministic and supports "
+                "noise-free DDNM only (sigma_y == 0)"
+            )
+        return sample_svd_multistep(
+            model_fn, x_init, y, operator, sched, key, noise_fn=noise_fn,
+            guidance_fn=guidance_fn, loop=loop, params=params,
+        )
+    if solver != "ddim":
+        raise ValueError(f"unknown solver {solver!r} (ddim | multistep)")
     body = _Body(_svd_body, (model_fn, operator, eta, sigma_y, guidance_fn))
     y_spec = operator.prepare_measurement(y)
     return _drive(loop, body, noise_fn, params, x_init, y_spec, sched, key)

@@ -396,7 +396,8 @@ def sample_posterior(
 
     Same dual loop drivers as ddnm.py (see its module docstring): "scan" is
     one executable, "host" dispatches a jitted step per timestep; "auto"
-    picks "host" on the axon backend. Identical numerics either way.
+    picks "host" on the axon backend for large models and "scan" otherwise
+    (size-aware, see ddnm._resolve_loop). Identical numerics either way.
 
     `params`: optional pytree given to model_fn/guidance_fn as their first
     argument, keeping weights out of the compiled HLO (required for large
@@ -415,7 +416,7 @@ def sample_posterior(
     if not has_ctx:
         op_ctx = jnp.zeros((), jnp.float32)
 
-    if _resolve_loop(loop) == "scan":
+    if _resolve_loop(loop, params) == "scan":
         return _run_scan(
             body, noise_fn, has_paste, has_ctx, params, x_init, apy,
             paste_mask, paste_content, op_ctx, tables, key,

@@ -68,6 +68,13 @@ def parse_args(argv=None):
     p.add_argument("--loop", type=str, default="auto",
                    choices=["auto", "scan", "host"],
                    help="sampler loop driver (auto picks per backend)")
+    p.add_argument("--solver", type=str, default="ddim",
+                   choices=["ddim", "multistep"],
+                   help="trajectory solver: ddim = the reference's "
+                        "first-order update (best at 25+ steps); "
+                        "multistep = second-order deterministic, "
+                        "noise-free tasks only — +4-10 dB at <=10-step "
+                        "budgets (set --t_sampling accordingly)")
     p.add_argument("--resume", action="store_true",
                    help="skip images whose outputs already exist (restart-friendly; "
                         "the reference can only resume via manual --subset ranges)")
@@ -146,6 +153,7 @@ def main(argv=None):
         max_images=ns.max_images,
         resume=ns.resume,
         loop=ns.loop,
+        solver=ns.solver,
         encoder_cache=ns.encoder_cache,
         encoder_cache_policy=ns.encoder_cache_policy,
     )
