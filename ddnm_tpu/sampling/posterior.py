@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from ddnm_tpu import schedules as sch
 from ddnm_tpu.operators.functional import FunctionalOperator
+from ddnm_tpu.sampling.ddnm import _resolve_loop
 from ddnm_tpu.sampling.rng import default_noise as _default_noise
 from ddnm_tpu.sampling.rng import draw_noise, split_key
 
@@ -177,16 +178,6 @@ def build_posterior_tables(
         is_travel=is_travel,
         travel_shift=np.asarray(time_shift, dtype=np.int32),
     )
-
-
-def _resolve_loop(loop: str) -> str:
-    if loop == "auto":
-        from ddnm_tpu.utils import is_remote_compile_backend
-
-        if jax.default_backend() == "cpu":
-            return "scan"
-        return "host" if is_remote_compile_backend() else "scan"
-    return loop
 
 
 def _posterior_body(
@@ -382,6 +373,7 @@ def sample_posterior(
     loop: str = "auto",
     params=None,
     op_ctx: Optional[Array] = None,
+    solver: str = "ddim",
 ) -> tuple[Array, Array]:
     """Run the full posterior DDNM jump-schedule loop on device.
 
@@ -406,7 +398,22 @@ def sample_posterior(
     `op_ctx`: runtime tensor for context-parameterised operators (e.g. the
     per-tile mask slice in Mask-Shift tiling) — traced, so one executable
     serves every context value.
+
+    `solver`: "ddim" (the reference's stochastic posterior transition,
+    default) or "multistep" (second-order deterministic, noise-free only;
+    sampling/solvers.py `sample_posterior_multistep`).
     """
+    if solver == "multistep":
+        from ddnm_tpu.sampling.solvers import sample_posterior_multistep
+
+        return sample_posterior_multistep(
+            model_fn, x_init, apy, operator, tables, key,
+            paste_mask=paste_mask, paste_content=paste_content,
+            guidance_fn=guidance_fn, clip_denoised=clip_denoised,
+            noise_fn=noise_fn, loop=loop, params=params, op_ctx=op_ctx,
+        )
+    if solver != "ddim":
+        raise ValueError(f"unknown solver {solver!r} (ddim | multistep)")
     body = _PBody(model_fn, operator, guidance_fn, clip_denoised)
     has_paste = paste_mask is not None
     has_ctx = op_ctx is not None

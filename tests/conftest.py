@@ -25,3 +25,20 @@ assert jax.default_backend() == "cpu", jax.default_backend()
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    A full green run accumulates hundreds of XLA:CPU executables; at that
+    state the bundled XLA:CPU compiler segfaults deterministically partway
+    through tests/test_svd_operators.py (reproduced twice at the same test;
+    the same file passes standalone and in any smaller subset). Dropping
+    the jit caches at module boundaries keeps the process well under the
+    crash threshold; modules share few cache hits, so the recompile cost is
+    small next to the suite's runtime."""
+    yield
+    jax.clear_caches()
