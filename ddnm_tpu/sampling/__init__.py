@@ -18,11 +18,13 @@ from ddnm_tpu.sampling.posterior import (
     sample_posterior,
 )
 from ddnm_tpu.sampling.solvers import (
+    sample_posterior_multistep,
     sample_simplified_multistep,
     sample_svd_multistep,
 )
 
 __all__ = [
+    "sample_posterior_multistep",
     "sample_simplified_multistep",
     "sample_svd_multistep",
     "DDNMSchedule",

@@ -234,6 +234,7 @@ def batched_tile_sample(
     encoder_cache_policy: str = "uniform",
     encode_fn=None,
     decode_fn=None,
+    solver: str = "ddim",
 ) -> dict:
     """Batch B single-tile (256x256) restorations into ONE sampler call.
 
@@ -283,6 +284,10 @@ def batched_tile_sample(
         )
     if encoder_cache > 1 and (encode_fn is None or decode_fn is None):
         raise ValueError("encoder_cache > 1 requires encode_fn and decode_fn")
+    if solver != "ddim" and encoder_cache > 1:
+        raise ValueError(
+            "solver='multistep' does not compose with encoder_cache > 1 "
+            "(the encoder-prop sampler is bound to the ddim posterior step)")
 
     needs_mask = deg in ("inpainting", "mask_color_sr")
     if needs_mask:
@@ -348,7 +353,8 @@ def batched_tile_sample(
         _, x0_b = sample_posterior(
             model_fn, x_init_b, apy, op, tables, keys_b,
             paste_mask=paste_mask, paste_content=paste_content,
-            guidance_fn=guidance_fn, params=params, op_ctx=ctx_b, **noise_kw,
+            guidance_fn=guidance_fn, params=params, op_ctx=ctx_b,
+            solver=solver, **noise_kw,
         )
     return {
         "final": np.asarray(x0_b),
@@ -382,6 +388,7 @@ def mask_shift_sample(
     checkpoint_dir=None,
     resume: bool = False,
     resume_salt=None,
+    solver: str = "ddim",
 ) -> dict:
     """Restore an arbitrary-size image with Mask-Shift DDNM.
 
@@ -430,8 +437,17 @@ def mask_shift_sample(
     """
     if encoder_cache > 1 and (encode_fn is None or decode_fn is None):
         raise ValueError("encoder_cache > 1 requires encode_fn and decode_fn")
+    if solver != "ddim" and encoder_cache > 1:
+        raise ValueError(
+            "solver='multistep' does not compose with encoder_cache > 1 "
+            "(the encoder-prop sampler is bound to the ddim posterior step)")
     if tile_init is None:
-        tile_init = "fresh" if parallel else "carry"
+        # multistep defaults to fresh per-tile inits: the deterministic ODE
+        # solver requires each tile's init at the chain's top noise level,
+        # while the reference's sequential carry (gaussian_diffusion.py:
+        # 684,698) hands it a nearly-clean state (measured ~9 dB cost at low
+        # NFE; ddim's contractive stochastic update self-corrects instead).
+        tile_init = "fresh" if (parallel or solver != "ddim") else "carry"
     if tile_init not in ("carry", "fresh"):
         raise ValueError(f"tile_init must be 'carry' or 'fresh', got {tile_init!r}")
     if tile_init == "carry" and parallel:
@@ -652,6 +668,7 @@ def mask_shift_sample(
                 guidance_fn=guidance_fn,
                 params=params,
                 op_ctx=ctx_b,
+                solver=solver,
                 **noise_kw,
             )
         if tile_init == "carry":

@@ -68,6 +68,13 @@ def parse_args(argv=None):
                    help="start every tile from fresh gaussian noise instead of "
                         "the reference's carried image_after_step "
                         "(gaussian_diffusion.py:572-575)")
+    p.add_argument("--solver", type=str, default="ddim",
+                   choices=["ddim", "multistep"],
+                   help="posterior transition: 'ddim' = the reference's "
+                        "stochastic posterior update (default), 'multistep' "
+                        "= second-order deterministic data-prediction "
+                        "solver (noise-free only; best at <=10-step "
+                        "respacing budgets — sampling/solvers.py)")
     p.add_argument("--encoder_cache", type=int, default=1,
                    help=">1: reuse UNet encoder features across this many "
                         "model calls (approximate Faster-Diffusion accel, "
@@ -323,7 +330,7 @@ def main(argv=None):
             encode_fn=encode_fn, decode_fn=decode_fn,
             mesh=mesh,
             checkpoint_dir=tiles_dir if ns.resume else None, resume=ns.resume,
-            resume_salt=salt,
+            resume_salt=salt, solver=ns.solver,
         )
         if pbar is not None:
             pbar.close()
@@ -411,6 +418,7 @@ def main(argv=None):
                     encoder_cache=ns.encoder_cache,
                     encoder_cache_policy=ns.encoder_cache_policy,
                     encode_fn=encode_fn, decode_fn=decode_fn,
+                    solver=ns.solver,
                 )
                 for i, it in enumerate(chunk):
                     write_outputs(c0 + i, it["GT_name"], it["GT"], masks[i],

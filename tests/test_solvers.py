@@ -322,3 +322,126 @@ def test_multistep_op_ctx_matches_static_mask(toy_setup):
         solver="multistep", op_ctx=ctx,
     )
     assert np.max(np.abs(np.asarray(x_stat) - np.asarray(x_ctx))) < 1e-5
+
+
+# ------------------------------------------- posterior (hq) multistep form
+
+
+def _posterior_linear_setup(res=8, v=0.25):
+    """The analytic Gaussian case of _linear_setup wrapped for the posterior
+    sampler: the model emits a learned-range head (eps, var) — var unused
+    by the deterministic solver — and t arrives as the ORIGINAL timestep
+    (timestep_map), matching the respaced-abar grid exactly."""
+    betas, eps_fn, op, x_init, y = _linear_setup(res=res, v=v)
+
+    def model_fn(x, t):
+        eps = eps_fn(x, t)
+        return jnp.concatenate([eps, jnp.zeros_like(eps)], axis=-1)
+
+    apy = jnp.zeros_like(x_init)  # zero-mask operator: A = A+ = 0
+    return betas, model_fn, op, x_init, apy
+
+
+def _posterior_tables_nt(betas, n_steps, sigma_y=0.0):
+    """Respaced posterior tables with NO time-travel (pure descent)."""
+    from ddnm_tpu.sampling import build_posterior_tables
+
+    tables = build_posterior_tables(
+        betas=betas, timestep_respacing=str(n_steps), sigma_y=sigma_y,
+        schedule_jump_params=dict(t_T=n_steps, n_sample=1, jump_length=1,
+                                  jump_n_sample=1),
+    )
+    assert not bool(np.any(tables.is_travel))
+    return tables
+
+
+def _pms_err(betas, model_fn, op, x_init, apy, v, n_steps):
+    from ddnm_tpu.sampling import sample_posterior
+
+    tables = _posterior_tables_nt(betas, n_steps)
+    x, _ = sample_posterior(
+        model_fn, x_init, apy, op, tables, jax.random.PRNGKey(0),
+        clip_denoised=False, noise_fn=_zero_noise, loop="scan",
+        solver="multistep",
+    )
+    abar = 1.0 / (np.asarray(tables.sqrt_recip_alphas_cumprod) ** 2)
+    ab0 = float(abar[int(tables.t_cur[0])])
+    s_start = np.sqrt(ab0 * v + 1.0 - ab0)
+    exact = np.asarray(x_init) * np.sqrt(v) / s_start
+    return float(np.max(np.abs(np.asarray(x) - exact)))
+
+
+def test_posterior_multistep_second_order_on_analytic_ode():
+    """Same convergence proof as the simplified form, on the RESPACED grid:
+    halving the respacing step must shrink the ODE error ~4x (order 2).
+    40/80/160 as in the simplified test — coarser grids are pre-asymptotic
+    (lambda-steps ~0.9)."""
+    v = 0.25
+    betas, model_fn, op, x_init, apy = _posterior_linear_setup(v=v)
+    errs = [_pms_err(betas, model_fn, op, x_init, apy, v, n)
+            for n in (40, 80, 160)]
+    assert errs[0] / errs[1] > 3.0, errs
+    assert errs[1] / errs[2] > 3.0, errs
+    assert errs[2] < 1e-2, errs
+
+
+def test_posterior_multistep_drivers_agree_and_travel_runs():
+    from ddnm_tpu.sampling import build_posterior_tables, sample_posterior
+
+    v = 0.25
+    betas, model_fn, op, x_init, apy = _posterior_linear_setup(v=v)
+    tables = build_posterior_tables(
+        betas=betas, timestep_respacing="12",
+        schedule_jump_params=dict(t_T=12, n_sample=1, jump_length=3,
+                                  jump_n_sample=2),
+    )
+    assert bool(np.any(tables.is_travel))  # jumps exercise the invalidation
+    outs = {}
+    for loop in ("scan", "host"):
+        x, x0 = sample_posterior(
+            model_fn, x_init, apy, op, tables, jax.random.PRNGKey(2),
+            clip_denoised=False, loop=loop, solver="multistep",
+        )
+        outs[loop] = (np.asarray(x), np.asarray(x0))
+    assert np.all(np.isfinite(outs["scan"][0]))
+    assert np.max(np.abs(outs["scan"][0] - outs["host"][0])) < 1e-4
+    assert np.max(np.abs(outs["scan"][1] - outs["host"][1])) < 1e-4
+
+
+def test_posterior_multistep_paste_constraint_holds():
+    """The Mask-Shift paste participates in the data prediction: pasted
+    pixels of the returned x0_hat equal paste_content exactly."""
+    from ddnm_tpu.sampling import sample_posterior
+
+    v = 0.25
+    betas, model_fn, op, x_init, apy = _posterior_linear_setup(v=v)
+    tables = _posterior_tables_nt(betas, 8)
+    mask = np.zeros((1, 8, 8, 1), np.float32)
+    mask[:, :, :4, :] = 1.0  # left half pasted (a solved neighbour strip)
+    content = jnp.full(x_init.shape, 0.25, jnp.float32)
+    _, x0_hat = sample_posterior(
+        model_fn, x_init, apy, op, tables, jax.random.PRNGKey(0),
+        paste_mask=jnp.asarray(mask), paste_content=content,
+        clip_denoised=False, noise_fn=_zero_noise, loop="scan",
+        solver="multistep",
+    )
+    pasted = np.asarray(x0_hat)[:, :, :4, :]
+    np.testing.assert_allclose(pasted, 0.25, atol=1e-6)
+
+
+def test_posterior_multistep_rejects_noisy_tables():
+    from ddnm_tpu.sampling import sample_posterior
+
+    v = 0.25
+    betas, model_fn, op, x_init, apy = _posterior_linear_setup(v=v)
+    noisy_tables = _posterior_tables_nt(betas, 8, sigma_y=0.5)
+    with pytest.raises(ValueError, match="noise-free"):
+        sample_posterior(
+            model_fn, x_init, apy, op, noisy_tables, jax.random.PRNGKey(0),
+            solver="multistep",
+        )
+    with pytest.raises(ValueError, match="unknown solver"):
+        sample_posterior(
+            model_fn, x_init, apy, op, _posterior_tables_nt(betas, 8),
+            jax.random.PRNGKey(0), solver="rk4",
+        )
