@@ -63,17 +63,19 @@ def timestep_embedding_adm(timesteps, dim: int, max_period: int = 10000):
 def gn_impl() -> str:
     """GroupNorm implementation knob (env DDNM_TPU_GN, read at trace time):
 
-      - "flax"   (default): flax nn.GroupNorm in fp32 — XLA's own layout
-        choice. Best at batch >= 8 (producer/consumer fusion, measured
-        548 GB/s effective).
-      - "xla"    : ops.group_norm's reshaped fast-variance formulation —
-        keeps the NHWC layout, which avoids the channel-major transpose XLA
-        picks for flax GN at batch 1 (docs/PERFORMANCE.md batch-1 study).
+      - "xla"    (default): ops.group_norm's NHWC-preserving fast-variance
+        formulation. Keeping the channel axis in lanes stops XLA flipping
+        the decoder skip-concat operands into a W-minor layout — the flax
+        path paid six full-tensor transpose copies per flagship step
+        (~8% of the step; docs/PERFORMANCE.md round-4 roofline). Also the
+        batch-1 winner (round-2 shoot-out).
+      - "flax"   : flax nn.GroupNorm in fp32 — XLA's own layout choice.
+        The pre-round-4 default; kept selectable for A/B measurement.
       - "pallas" : the fused two-pass Pallas kernel (ops/groupnorm.py).
     """
     import os
 
-    v = os.environ.get("DDNM_TPU_GN", "flax").lower()
+    v = os.environ.get("DDNM_TPU_GN", "xla").lower()
     if v not in ("flax", "xla", "pallas"):
         raise ValueError(f"DDNM_TPU_GN must be flax|xla|pallas, got {v!r}")
     return v
