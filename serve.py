@@ -99,7 +99,9 @@ def parse_args(argv=None):
                         "'scan' restarts ~20x faster from a warm compile "
                         "cache (one executable per task), 'host' keeps the "
                         "step executable schedule-length independent. "
-                        "Incompatible with --encoder_cache > 1")
+                        "'scan' is incompatible with --encoder_cache > 1 "
+                        "(the accel samplers are host-driven); host/auto "
+                        "compose with it fine")
     p.add_argument("--no_warmup", action="store_true")
     return p.parse_args(argv)
 

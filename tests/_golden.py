@@ -65,7 +65,16 @@ MID64 = Tier(
     golden_json=REPO / "tests/fixtures/mid_golden_psnr.json",
 )
 
-TIERS = {t.name: t for t in (TOY32, MID64)}
+BIG128 = Tier(
+    name="big128", res=128,
+    fixture=REPO / "tests/fixtures/big_ddpm128.pt",
+    eval_dir=REPO / "exp/datasets/natural128",
+    trainer_mod="train_big_golden", build_fn="build_ddpm",
+    ref_build_fn="build_ref_ddpm",
+    golden_json=REPO / "tests/fixtures/big_golden_psnr.json",
+)
+
+TIERS = {t.name: t for t in (TOY32, MID64, BIG128)}
 
 
 def _trainer(tier: Tier):

@@ -44,7 +44,8 @@ def main(argv=None):
     ap.add_argument("--emit-goldens", action="store_true")
     ap.add_argument("--images", type=int, default=4)
     ap.add_argument("--family", choices=["ddpm", "adm"], default="ddpm")
-    ap.add_argument("--tier", choices=["toy32", "mid64"], default="toy32")
+    ap.add_argument("--tier", choices=["toy32", "mid64", "big128"],
+                    default="toy32")
     ap.add_argument("--dtype", choices=["float32", "bfloat16"],
                     default="float32")
     ns = ap.parse_args(argv)
@@ -75,6 +76,10 @@ def main(argv=None):
             run_hq_task,
         )
 
+        if ns.tier not in ADM_TIERS:
+            raise SystemExit(
+                f"--family adm has no {ns.tier!r} tier (available: "
+                f"{sorted(ADM_TIERS)}); the big128 tier is DDPM-family")
         tier = ADM_TIERS[ns.tier]
         n_img = min(ns.images, 2)
         if n_img != ns.images:

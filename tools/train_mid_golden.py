@@ -208,10 +208,17 @@ def _export(params, build_ref, key_map_name, out_name, meta):
           f"({(fixtures / f'{out_name}.pt').stat().st_size / 1e6:.1f} MB)")
 
 
-def train_eps_family(family: str, steps: int, batch: int, lr: float):
+def train_eps_family(family: str, steps: int, batch: int, lr: float, *,
+                     res: int | None = None, build=None, build_ref=None,
+                     export_name: str | None = None, arch_kw=None,
+                     extra_meta=None):
     """Shared eps-MSE training loop for ddpm (3-ch out) / adm (6-ch,
     learn_sigma: only the eps half is trained, variance head keeps its
-    zero init — same contract as the toy tier)."""
+    zero init — same contract as the toy tier).
+
+    The keyword overrides let OTHER golden tiers (tools/train_big_golden.py,
+    the 128px/50M tier) reuse this loop: `res`/`build`/`build_ref`/
+    `export_name`/`arch_kw` default to this module's mid-64 settings."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -220,9 +227,12 @@ def train_eps_family(family: str, steps: int, batch: int, lr: float):
     from ddnm_tpu.utils import enable_compilation_cache, jit_init
 
     enable_compilation_cache()
-    model = build_ddpm() if family == "ddpm" else build_adm()
+    res = RES if res is None else res
+    if build is None:
+        build = build_ddpm if family == "ddpm" else build_adm
+    model = build()
     params = jit_init(model, jax.random.PRNGKey(0),
-                      jnp.zeros((1, RES, RES, 3)), jnp.zeros((1,)))
+                      jnp.zeros((1, res, res, 3)), jnp.zeros((1,)))
     n_par = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     print(f"# {family}: {n_par / 1e6:.2f}M params")
 
@@ -241,7 +251,7 @@ def train_eps_family(family: str, steps: int, batch: int, lr: float):
     @jax.jit
     def train_step(params, opt_state, key):
         k_img, k_t, k_noise = jax.random.split(key, 3)
-        x0 = make_mix(k_img, batch, RES)
+        x0 = make_mix(k_img, batch, res)
         t = jax.random.randint(k_t, (batch,), 0, T)
         noise = jax.random.normal(k_noise, x0.shape)
         at = abar[t][:, None, None, None]
@@ -260,17 +270,26 @@ def train_eps_family(family: str, steps: int, batch: int, lr: float):
     key = jax.random.PRNGKey(1)
     tail = []
     # hang insurance: the axon tunnel can stall an RPC mid-run; snapshot
-    # (params, opt_state, step, tail) so a killed run resumes, not restarts
+    # (params, opt_state, step, tail, rng key) so a killed run resumes —
+    # including the key stream, so a resumed run is bit-identical to an
+    # uninterrupted one. The filename is keyed on the training config so a
+    # later retrain with different steps/lr/arch can never resume stale
+    # state, and the file is deleted once the fixture is exported.
+    import hashlib
     import pickle
 
-    ckpt = Path(f"/tmp/mid_{family}_train.ckpt")
+    cfg_hash = hashlib.md5(
+        repr((family, res, T, steps, batch, lr,
+              export_name)).encode()).hexdigest()[:10]
+    ckpt = Path(f"/tmp/mid_{family}_train_{cfg_hash}.ckpt")
     start = 0
     if ckpt.exists():
         with ckpt.open("rb") as f:
-            params, opt_state, start, tail = pickle.load(f)
+            params, opt_state, start, tail, key_host = pickle.load(f)
         params = jax.tree.map(jnp.asarray, params)
         opt_state = jax.tree.map(
             lambda x: jnp.asarray(x) if hasattr(x, "shape") else x, opt_state)
+        key = jnp.asarray(key_host)
         print(f"# {family}: resumed from {ckpt} at step {start}", flush=True)
     for step in range(start, steps):
         key, k = jax.random.split(key)
@@ -283,21 +302,29 @@ def train_eps_family(family: str, steps: int, batch: int, lr: float):
         if step % 1000 == 999:
             host = jax.tree.map(np.asarray, (params, opt_state))
             with ckpt.open("wb") as f:
-                pickle.dump((host[0], host[1], step + 1, tail), f)
+                pickle.dump(
+                    (host[0], host[1], step + 1, tail, np.asarray(key)), f)
 
-    kw = DDPM_KW if family == "ddpm" else ADM_KW
-    meta = {"res": RES, "T": T, "params_m": round(n_par / 1e6, 2),
+    kw = arch_kw if arch_kw is not None else (
+        DDPM_KW if family == "ddpm" else ADM_KW)
+    meta = {"res": res, "T": T, "params_m": round(n_par / 1e6, 2),
             "arch": {k: list(v) if isinstance(v, tuple) else v
                      for k, v in kw.items()},
             "train_steps": steps, "batch": batch, "lr": lr,
             "data": "50/50 blobs+naturals", "export_dtype": "float16",
             "loss_curve": tail}
+    if extra_meta:
+        meta.update(extra_meta)
     if family == "ddpm":
-        _export(params, build_ref_ddpm, "ddpm_key_map", "mid_ddpm64", meta)
-        (REPO / "configs/mid64.yml").write_text(MID_CONFIG_YAML)
-        print("wrote configs/mid64.yml")
+        _export(params, build_ref or build_ref_ddpm, "ddpm_key_map",
+                export_name or "mid_ddpm64", meta)
+        if export_name is None:
+            (REPO / "configs/mid64.yml").write_text(MID_CONFIG_YAML)
+            print("wrote configs/mid64.yml")
     else:
-        _export(params, build_ref_adm, "adm_key_map", "mid_adm64", meta)
+        _export(params, build_ref or build_ref_adm, "adm_key_map",
+                export_name or "mid_adm64", meta)
+    ckpt.unlink(missing_ok=True)  # fixture written; drop the hang insurance
 
 
 def train_classifier(steps: int, batch: int, lr: float):
