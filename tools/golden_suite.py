@@ -48,7 +48,14 @@ def main(argv=None):
                     default="toy32")
     ap.add_argument("--dtype", choices=["float32", "bfloat16"],
                     default="float32")
+    ap.add_argument("--also-emit-fp32", action="store_true",
+                    help="with --dtype bfloat16 --emit-goldens: also write "
+                         "the fp32 golden JSON from the fp32+reference pass "
+                         "the bf16 protocol already runs per task (one "
+                         "combined emission instead of two full suites)")
     ns = ap.parse_args(argv)
+    if ns.also_emit_fp32 and ns.dtype != "bfloat16":
+        raise SystemExit("--also-emit-fp32 requires --dtype bfloat16")
 
     import jax
 
@@ -109,6 +116,7 @@ def main(argv=None):
         out_path = out_path.with_name(out_path.stem + "_bf16.json")
 
     results = {}
+    fp32_results = {}
     if bf16:
         lines = ["| task | ours bf16 PSNR (dB) | ours fp32 PSNR | "
                  "reference fp32 PSNR | bf16-fp32 delta | "
@@ -123,6 +131,8 @@ def main(argv=None):
         if bf16:
             # fp32 pass carries the torch reference; bf16 pass is ours-only
             r32 = run(task, dtype=None)
+            fp32_results[name] = {
+                k: v for k, v in r32.items() if k != "images"}
             rb = run(task, dtype="bfloat16", skip_ref=True)
             from tests._golden import psnr01
 
@@ -152,6 +162,10 @@ def main(argv=None):
     if ns.emit_goldens:
         out_path.write_text(json.dumps(results, indent=2) + "\n")
         print(f"\nwrote {out_path}")
+        if ns.also_emit_fp32:
+            tier.golden_json.write_text(
+                json.dumps(fp32_results, indent=2) + "\n")
+            print(f"wrote {tier.golden_json}")
     return results
 
 
