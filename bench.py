@@ -62,6 +62,12 @@ def main(argv=None):
     ap.add_argument("--loop", type=str, default="auto",
                     choices=["auto", "host", "scan"],
                     help="sampler loop driver (see docs/PERFORMANCE.md)")
+    ap.add_argument("--dtype", type=str, default="bfloat16",
+                    choices=["bfloat16", "float32"],
+                    help="model torso dtype. bfloat16 is the production "
+                         "headline config; float32 is the parity-default "
+                         "config every golden-suite fidelity claim runs "
+                         "(VERDICT r4 item 7: quote both)")
     ap.add_argument("--accel", action="store_true",
                     help="additionally measure the opt-in accelerated "
                          "configs (encoder_cache 3 at ~matched quality; "
@@ -119,7 +125,8 @@ def main(argv=None):
     mark("start")
     n_chips = ns.dp * ns.sp
     batch = ns.batch * ns.dp
-    model = DDPMUNet(dtype=jnp.bfloat16)
+    dtype = jnp.bfloat16 if ns.dtype == "bfloat16" else jnp.float32
+    model = DDPMUNet(dtype=dtype)
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (batch, RES, RES, 3), dtype=jnp.float32)
     t = jnp.zeros((batch,))
@@ -195,11 +202,19 @@ def main(argv=None):
     # per-chip divisor = mesh size (1 for the default single-device jit,
     # regardless of how many devices the host exposes)
     img_per_sec_chip = (runs_per_trial * batch) / dt / n_chips
+    from ddnm_tpu.models.nn import gn_impl
+
     result = {
         "metric": "images_per_sec_per_chip",
         "value": round(img_per_sec_chip, 4),
         "unit": "img/s (256px, 100-step DDNM 4x SR)",
         "vs_baseline": round(img_per_sec_chip / REFERENCE_IMG_PER_SEC, 2),
+        # active-config markers (VERDICT r4 item 2: make dtype/GN
+        # discrepancies diagnosable from the one JSON line of record)
+        "dtype": ns.dtype,
+        "gn": gn_impl(),
+        "loop": ns.loop,
+        "trials_s": [round(v, 3) for v in sorted(per_trial)],
     }
 
     if ns.accel and n_chips == 1:

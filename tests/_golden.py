@@ -74,7 +74,21 @@ BIG128 = Tier(
     golden_json=REPO / "tests/fixtures/big_golden_psnr.json",
 )
 
-TIERS = {t.name: t for t in (TOY32, MID64, BIG128)}
+FLAG256 = Tier(
+    name="flag256", res=256,
+    fixture=REPO / "tests/fixtures/flag_ddpm256.pt",
+    eval_dir=REPO / "exp/datasets/natural256",
+    trainer_mod="train_flagship_golden", build_fn="build_ddpm",
+    ref_build_fn="build_ref_ddpm",
+    golden_json=REPO / "tests/fixtures/flag_golden_psnr.json",
+)
+
+TIERS = {t.name: t for t in (TOY32, MID64, BIG128, FLAG256)}
+
+# emission protocol (golden_suite --images N) per tier: drift re-runs must
+# match it exactly. flag256 uses 2 (the 114M torch oracle at 256px costs
+# ~6 s/forward on this host's single core — BASELINE.md measured reference)
+GOLDEN_N_IMAGES = {"toy32": 4, "mid64": 4, "big128": 4, "flag256": 2}
 
 
 def _trainer(tier: Tier):
@@ -300,7 +314,7 @@ def psnr01(a01: np.ndarray, b01: np.ndarray) -> float:
 
 def run_task(deg: str, deg_scale: float, sigma_y: float, n_images: int = 4,
              return_images: bool = False, tier: Tier = TOY32, dtype=None,
-             skip_ref: bool = False):
+             skip_ref: bool = False, t_sampling: int = T_SAMPLING):
     """Run one task through both frameworks (zero noise, shared x_T).
 
     Returns dict with ours/ref PSNR vs gt and ours-vs-ref max abs diff.
@@ -357,7 +371,7 @@ def run_task(deg: str, deg_scale: float, sigma_y: float, n_images: int = 4,
 
         cfg = _NS({
             "diffusion": {"num_diffusion_timesteps": T},
-            "time_travel": {"T_sampling": T_SAMPLING, "travel_length": 1,
+            "time_travel": {"T_sampling": t_sampling, "travel_length": 1,
                             "travel_repeat": 1},
         })
 
@@ -373,7 +387,7 @@ def run_task(deg: str, deg_scale: float, sigma_y: float, n_images: int = 4,
             ref_out = xs[-1].numpy()
 
     model_fn, params = load_our_model(tier, dtype)
-    sched = build_schedule(betas=betas, t_sampling=T_SAMPLING)
+    sched = build_schedule(betas=betas, t_sampling=t_sampling)
     zero = lambda key, shape: jnp.zeros(shape, jnp.float32)
     x, _ = sample_svd(
         model_fn,

@@ -47,6 +47,197 @@ def test_lsun_requires_lmdb(tmp_path, monkeypatch):
         LSUNDataset(tmp_path, "bedroom")
 
 
+def test_celeba_targets_and_attr_mapping(tmp_path):
+    """attr/identity/bbox/landmark parsing replicates reference
+    celeba.py:85-110: count+header lines skipped on the header files,
+    attr {-1,1} -> {0,1}, all tables masked by the partition split so row
+    order stays aligned with the filename order."""
+    d = tmp_path / "img_align_celeba"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    names = [f"{i:06d}.jpg" for i in range(4)]
+    for n in names:
+        save_image(rng.uniform(size=(218, 178, 3)).astype(np.float32), d / n)
+    (tmp_path / "list_eval_partition.txt").write_text(
+        "000000.jpg 0\n000001.jpg 2\n000002.jpg 2\n000003.jpg 1\n")
+    (tmp_path / "list_attr_celeba.txt").write_text(
+        "4\nSmiling Young\n"
+        "000000.jpg -1 1\n000001.jpg 1 -1\n000002.jpg -1 -1\n000003.jpg 1 1\n")
+    (tmp_path / "identity_CelebA.txt").write_text(
+        "000000.jpg 11\n000001.jpg 22\n000002.jpg 33\n000003.jpg 44\n")
+    (tmp_path / "list_bbox_celeba.txt").write_text(
+        "4\nimage_id x_1 y_1 width height\n"
+        + "".join(f"{n} {i} {i+1} 10 20\n" for i, n in enumerate(names)))
+    (tmp_path / "list_landmarks_align_celeba.txt").write_text(
+        "4\nlefteye_x lefteye_y righteye_x righteye_y nose_x nose_y "
+        "leftmouth_x leftmouth_y rightmouth_x rightmouth_y\n"
+        + "".join(f"{n} " + " ".join(str(i * 10 + j) for j in range(10))
+                  + "\n" for i, n in enumerate(names)))
+
+    ds = CelebADataset(tmp_path, image_size=32, split="test",
+                       target_type=["attr", "identity", "bbox", "landmarks"])
+    assert len(ds) == 2  # 000001 + 000002
+    assert ds.attr_names == ["Smiling", "Young"]
+    img, (attr, ident, bbox, lm) = ds[0]
+    assert img.shape == (32, 32, 3)
+    np.testing.assert_array_equal(attr, [1, 0])  # {-1,1} -> {0,1}
+    assert int(ident[0]) == 22
+    np.testing.assert_array_equal(bbox, [1, 2, 10, 20])
+    assert lm.shape == (10,) and int(lm[0]) == 10
+    _, (attr2, ident2, *_rest) = ds[1]
+    np.testing.assert_array_equal(attr2, [0, 0])
+    assert int(ident2[0]) == 33
+
+    # single str target_type returns the bare target, not a tuple
+    ds_one = CelebADataset(tmp_path, image_size=32, split="test",
+                           target_type="identity")
+    _, t = ds_one[0]
+    assert int(t[0]) == 22
+
+    with pytest.raises(ValueError, match="target_type"):
+        CelebADataset(tmp_path, target_type="bogus")
+    with pytest.raises(ValueError, match="split"):
+        CelebADataset(tmp_path, split="bogus")
+
+
+def _png_bytes(color):
+    import io as _io
+
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    Image.new("RGB", (8, 8), color).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _install_fake_lmdb(monkeypatch, dbs):
+    """Install an in-memory stand-in for the lmdb package (absent in this
+    image) exposing exactly the API surface LSUNDataset uses: open ->
+    env.begin() -> txn.{stat, cursor, get}. `dbs` maps lmdb dirNAME ->
+    ordered {key_bytes: png_bytes}."""
+    import sys
+    import types
+
+    class _Txn:
+        def __init__(self, store):
+            self._s = store
+
+        def stat(self):
+            return {"entries": len(self._s)}
+
+        def cursor(self):
+            return iter(self._s.items())
+
+        def get(self, k):
+            return self._s[k]
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _Env:
+        def __init__(self, store):
+            self._s = store
+
+        def begin(self, write=False):
+            return _Txn(self._s)
+
+    mod = types.ModuleType("lmdb")
+
+    def _open(path, **kw):
+        name = Path(path).name
+        if name not in dbs:
+            raise FileNotFoundError(path)
+        return _Env(dbs[name])
+
+    mod.open = _open
+    monkeypatch.setitem(sys.modules, "lmdb", mod)
+
+
+def test_lsun_key_cache(tmp_path, monkeypatch):
+    """Keys are enumerated once and pickled to _cache_<dirname> next to the
+    lmdb dir (reference lsun.py:29-36); a later open trusts the cache."""
+    import pickle
+
+    from ddnm_tpu.data.extra_datasets import LSUNDataset
+
+    store = {f"k{i}".encode(): _png_bytes((i * 40, 0, 0)) for i in range(3)}
+    _install_fake_lmdb(monkeypatch, {"bedroom_val_lmdb": store})
+
+    ds = LSUNDataset(tmp_path, "bedroom", "val", image_size=8)
+    assert len(ds) == 3
+    cache = tmp_path / "_cache_bedroom_val_lmdb"
+    assert cache.is_file()
+    assert pickle.loads(cache.read_bytes()) == list(store)
+    img, label = ds[1]
+    assert img.shape == (8, 8, 3) and label == 0
+    assert abs(img[0, 0, 0] * 255 - 40) < 2
+
+    # a pre-existing cache wins over re-enumeration (order proof)
+    cache.write_bytes(pickle.dumps(list(reversed(list(store)))))
+    ds2 = LSUNDataset(tmp_path, "bedroom", "val", image_size=8)
+    assert ds2.keys == list(reversed(list(store)))
+    img2, _ = ds2[0]
+    assert abs(img2[0, 0, 0] * 255 - 80) < 2  # k2's color now first
+
+    # use_key_cache=False ignores and does not rewrite the cache
+    ds3 = LSUNDataset(tmp_path, "bedroom", "val", image_size=8,
+                      use_key_cache=False)
+    assert ds3.keys == list(store)
+
+
+def test_lsun_multi_concat(tmp_path, monkeypatch):
+    """Multi-category concat + index routing (reference lsun.py:60-176):
+    item index maps to (owning db, local index); target = category index."""
+    from ddnm_tpu.data.extra_datasets import LSUNMulti
+
+    dbs = {
+        "bedroom_train_lmdb": {f"a{i}".encode(): _png_bytes((10, 0, 0))
+                               for i in range(2)},
+        "church_outdoor_train_lmdb": {f"b{i}".encode(): _png_bytes((0, 10, 0))
+                                      for i in range(3)},
+    }
+    _install_fake_lmdb(monkeypatch, dbs)
+
+    ds = LSUNMulti(tmp_path, ["bedroom_train", "church_outdoor_train"],
+                   image_size=8)
+    assert len(ds) == 5
+    assert ds.indices == [2, 5]
+    img0, t0 = ds[0]
+    img4, t4 = ds[4]
+    assert (t0, t4) == (0, 1)
+    assert img0[0, 0, 0] > img0[0, 0, 1]  # red from bedroom db
+    assert img4[0, 0, 1] > img4[0, 0, 0]  # green from church db
+    img2, t2 = ds[2]  # first church item (boundary routing)
+    assert t2 == 1 and img2[0, 0, 1] > img2[0, 0, 0]
+
+
+def test_lsun_classes_validation():
+    """String splits expand per reference lsun.py:96-146; bad categories
+    and splits raise."""
+    from ddnm_tpu.data.extra_datasets import (
+        LSUN_CATEGORIES,
+        _verify_lsun_classes,
+    )
+
+    assert _verify_lsun_classes("test") == ["test"]
+    train = _verify_lsun_classes("train")
+    assert len(train) == len(LSUN_CATEGORIES) == 11
+    assert train[0] == "bedroom_train"
+    assert _verify_lsun_classes(["cat_val"]) == ["cat_val"]
+    assert _verify_lsun_classes(["church_outdoor_val"]) == ["church_outdoor_val"]
+    with pytest.raises(ValueError, match="LSUN class"):
+        _verify_lsun_classes(["office_train"])
+    with pytest.raises(ValueError, match="postfix"):
+        _verify_lsun_classes(["bedroom_dev"])
+    with pytest.raises(ValueError, match="Unknown value"):
+        _verify_lsun_classes("dev")
+    with pytest.raises(ValueError, match="type"):
+        _verify_lsun_classes([3])
+
+
 def test_inpaint_pairs(tmp_path):
     rng = np.random.default_rng(1)
     (tmp_path / "gts").mkdir()

@@ -18,7 +18,7 @@ import json
 
 import pytest
 
-from tests._golden import TIERS, TASKS, run_task
+from tests._golden import GOLDEN_N_IMAGES, TIERS, TASKS, run_task
 from tests._golden_adm import ADM_TIERS, TASKS_HQ, run_hq_task
 
 # how far a re-run may drift from its committed golden. bf16 zero-noise
@@ -41,6 +41,10 @@ def _bf16_json(tier):
     return tier.golden_json.with_name(tier.golden_json.stem + "_bf16.json")
 
 
+# flag256 is absent here deliberately: one bf16 re-run row at 256px/114M
+# costs ~15 min on this host's single CPU core. Its bf16 table is still
+# gated structurally by test_bf16_budget_documented (TIERS includes
+# flag256) and reproducible via tools/golden_suite.py --tier flag256.
 @pytest.mark.parametrize("tier_name", ["toy32", "mid64", "big128"])
 @pytest.mark.parametrize("name,deg,scale,sigma_y",
                          [TASKS[1], TASKS[5], TASKS[6]],
@@ -56,8 +60,8 @@ def test_ddpm_bf16_matches_golden(tier_name, name, deg, scale, sigma_y):
     if name not in golden:
         pytest.skip(f"{name} not in bf16 goldens")
     g = golden[name]
-    # n_images must match the emission protocol (golden_suite --images 4)
-    r = run_task(deg, scale, sigma_y, n_images=4,
+    # n_images must match the tier's emission protocol
+    r = run_task(deg, scale, sigma_y, n_images=GOLDEN_N_IMAGES[tier_name],
                  tier=tier, dtype="bfloat16", skip_ref=True)
     assert abs(r["ours_psnr"] - g["ours_psnr"]) <= DRIFT_DB, (name, r, g)
 

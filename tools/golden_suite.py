@@ -39,12 +39,38 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
+def _assert_fixtures_tracked(tier) -> None:
+    """Refuse to emit goldens whose inputs aren't reproducible from git.
+
+    VERDICT round-4 item 1: the big128 goldens landed while their eval
+    images (exp/datasets/natural128) were never committed, so the gates
+    went red on a fresh checkout. Goldens are only meaningful if both the
+    trained fixture AND the eval images they were computed on are tracked.
+    """
+    import subprocess
+
+    missing = []
+    for p, what in ((tier.fixture, "trained fixture"),
+                    (tier.eval_dir, "eval image dir")):
+        tracked = subprocess.run(
+            ["git", "ls-files", "--", str(p.relative_to(REPO))],
+            cwd=REPO, capture_output=True, text=True).stdout.strip()
+        if not tracked:
+            missing.append(f"{what} {p.relative_to(REPO)}")
+    if missing:
+        raise SystemExit(
+            "refusing --emit-goldens: the following golden inputs are not "
+            "tracked by git (a fresh checkout could not reproduce the "
+            "emitted goldens): " + "; ".join(missing) +
+            ". `git add` them first.")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--emit-goldens", action="store_true")
     ap.add_argument("--images", type=int, default=4)
     ap.add_argument("--family", choices=["ddpm", "adm"], default="ddpm")
-    ap.add_argument("--tier", choices=["toy32", "mid64", "big128"],
+    ap.add_argument("--tier", choices=["toy32", "mid64", "big128", "flag256"],
                     default="toy32")
     ap.add_argument("--dtype", choices=["float32", "bfloat16"],
                     default="float32")
@@ -114,6 +140,9 @@ def main(argv=None):
 
     if bf16:
         out_path = out_path.with_name(out_path.stem + "_bf16.json")
+
+    if ns.emit_goldens:
+        _assert_fixtures_tracked(tier)
 
     results = {}
     fp32_results = {}
