@@ -88,7 +88,24 @@ ADM_MID64 = AdmTier(
     golden_json=REPO / "tests/fixtures/mid_adm64_psnr.json",
 )
 
-ADM_TIERS = {t.name: t for t in (ADM_TOY32, ADM_MID64)}
+ADM_BIG128 = AdmTier(
+    name="big128", res=128,
+    fixture=REPO / "tests/fixtures/big_adm128.pt",
+    clf_fixture=REPO / "tests/fixtures/big_clf128.pt",
+    eval_dir=REPO / "exp/datasets/natural128",
+    trainer_mod="train_big_adm_golden", build_fn="build_adm",
+    ref_build_fn="build_ref_adm",
+    clf_mod="train_big_adm_golden", clf_build_fn="build_clf",
+    clf_ref_build_fn="build_ref_clf",
+    golden_json=REPO / "tests/fixtures/big_adm128_psnr.json",
+)
+
+ADM_TIERS = {t.name: t for t in (ADM_TOY32, ADM_MID64, ADM_BIG128)}
+
+# emission protocol (golden_suite --images N) per ADM tier (see
+# tests/_golden.GOLDEN_N_IMAGES): big128 uses 1 — one hq task row costs
+# ~45 sequential 90M-at-128px oracle forwards on this host's single core
+ADM_GOLDEN_N_IMAGES = {"toy32": 2, "mid64": 2, "big128": 1}
 
 
 def _mod(name: str):
@@ -250,9 +267,9 @@ class _Conf(dict):
         return self.get(k)
 
 
-def _spaced(gd, respace, betas):
+def _spaced(gd, respace, betas, respacing: str = RESPACING):
     return respace.SpacedDiffusion(
-        use_timesteps=respace.space_timesteps(T, RESPACING),
+        use_timesteps=respace.space_timesteps(T, respacing),
         conf=_Conf(respace_interpolate=False, use_value_logger=False),
         betas=betas,
         model_mean_type=gd.ModelMeanType.EPSILON,
@@ -282,7 +299,7 @@ def _silence_ref_io(gd):
 
 
 def _run_ref_loop(gd, scheduler, sd, tmodel, x_T, apy_ref, sigma_y,
-                  n_images, ops, cond_fn=None, res: int = RES):
+                  n_images, ops, cond_fn=None, res: int = RES, jump=None):
     """Drive the reference's own p_sample/undo jump-schedule loop per image
     (the reference CLI is batch-1) under zero noise; returns (n, 3, H, W).
 
@@ -294,7 +311,7 @@ def _run_ref_loop(gd, scheduler, sd, tmodel, x_T, apy_ref, sigma_y,
 
     refA, refAp = ops
     ref_imgs = []
-    times = scheduler.get_schedule_jump(**JUMP)
+    times = scheduler.get_schedule_jump(**(jump or JUMP))
     with cpu_as_cuda_and_zero_noise(), _silence_ref_io(gd), torch.no_grad():
         for i in range(n_images):
             kwargs = {
@@ -356,7 +373,8 @@ def _apy_both(op, refA, refAp, x_orig, n_images, deg):
 
 def run_hq_task(deg: str, scale: int, sigma_y: float = 0.0,
                 n_images: int = 2, tier: AdmTier = ADM_TOY32, dtype=None,
-                skip_ref: bool = False, mask=None):
+                skip_ref: bool = False, mask=None,
+                respacing: str = RESPACING, jump=None):
     """One hq task through both frameworks (zero noise, shared x_T).
 
     Returns ours/ref PSNR vs gt, cross-framework max abs diff, and the
@@ -394,8 +412,8 @@ def run_hq_task(deg: str, scale: int, sigma_y: float = 0.0,
     # ---- ours ----
     model_fn, params = load_our_model(tier, dtype)
     tables = build_posterior_tables(
-        betas=betas, timestep_respacing=RESPACING, sigma_y=sigma_y,
-        schedule_jump_params=JUMP,
+        betas=betas, timestep_respacing=respacing, sigma_y=sigma_y,
+        schedule_jump_params=jump or JUMP,
     )
     zero = lambda key, shape: jnp.zeros(shape, jnp.float32)
     x_fin, _ = sample_posterior(
@@ -416,9 +434,10 @@ def run_hq_task(deg: str, scale: int, sigma_y: float = 0.0,
     def tmodel(x, ts, **kw):
         return ref_model(x, ts)
 
-    ref_out = _run_ref_loop(gd, scheduler, _spaced(gd, respace, betas),
+    ref_out = _run_ref_loop(gd, scheduler,
+                            _spaced(gd, respace, betas, respacing),
                             tmodel, x_T, apy_ref, sigma_y, n_images,
-                            (refA, refAp), res=res)
+                            (refA, refAp), res=res, jump=jump)
     return _result(ours, ref_out, x_orig, apy_ours)
 
 

@@ -112,7 +112,7 @@ def main(argv=None):
         if ns.tier not in ADM_TIERS:
             raise SystemExit(
                 f"--family adm has no {ns.tier!r} tier (available: "
-                f"{sorted(ADM_TIERS)}); the big128 tier is DDPM-family")
+                f"{sorted(ADM_TIERS)})")
         tier = ADM_TIERS[ns.tier]
         n_img = min(ns.images, 2)
         if n_img != ns.images:

@@ -1,0 +1,121 @@
+"""Train the BIG ADM golden tier: 128px UNet with attention at THREE
+downsample rates + a 128px EncoderUNet classifier for the guided row.
+
+VERDICT round-4 item 4: the ADM/hq trained chain stopped at 64px/12.3M
+with attention at two rates, while the flagship ADM
+(/root/reference/configs/imagenet_256.yml:14-33, guided_diffusion/
+unet.py:396-664) attends at ds 8/16/32 — i.e. THREE feature grids
+(32x32, 16x16, 8x8). This tier reproduces those exact grids at 128px:
+attention_resolutions (4, 8, 16) -> 32/16/8-token-grid attention, the
+reference's 128px channel ladder (1,1,2,3,4) (script_util.py:149-161),
+learn_sigma, FiLM, resblock_updown, 64 head-channels (the flagship head
+size). The classifier mirrors EncoderUNetModel (unet.py:684-895,
+pool="attention") at the same resolution for the guided golden row.
+
+Reuses tools/train_mid_golden.py's loops; exports fp16 torch state dicts
+(tests/fixtures/big_adm128.pt, big_clf128.pt) both frameworks load.
+
+Run (TPU; ~1-2 h):
+  python tools/train_big_adm_golden.py [--steps 7000] [--clf_steps 3000]
+
+Then emit goldens (the 128px torch oracle is slow on this host's single
+CPU core — --images 1 keeps the emission bounded):
+  python tools/golden_suite.py --family adm --tier big128 --images 1 \
+      --dtype bfloat16 --also-emit-fp32 --emit-goldens
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+sys.path.insert(0, str(REPO / "tools/experiments"))
+
+RES = 128
+N_CLASSES = 4
+
+# flagship attention GRIDS (32/16/8) at 128px: ds 4/8/16. Channel ladder =
+# the reference's own 128px branch (script_util.py:149-161).
+ADM_KW = dict(
+    image_size=RES, in_channels=3, model_channels=96, out_channels=6,
+    num_res_blocks=2, attention_resolutions=(4, 8, 16),
+    channel_mult=(1, 1, 2, 3, 4), num_heads=4, num_head_channels=64,
+    use_scale_shift_norm=True, resblock_updown=True,
+)
+
+CLF_KW = dict(
+    image_size=RES, in_channels=3, model_channels=64, out_channels=N_CLASSES,
+    num_res_blocks=2, attention_resolutions=(4, 8, 16),
+    channel_mult=(1, 1, 2, 3), num_heads=4, num_head_channels=64,
+    use_scale_shift_norm=True, resblock_updown=True, pool="attention",
+)
+
+
+def build_adm(dtype=None):
+    import jax.numpy as jnp
+
+    from ddnm_tpu.models.unet_adm import ADMUNet
+
+    return ADMUNet(**ADM_KW, dtype=dtype or jnp.float32)
+
+
+def build_ref_adm():
+    from tests._reference import import_reference
+
+    ref_unet = import_reference("guided_diffusion.unet")
+    kw = dict(ADM_KW)
+    kw["attention_resolutions"] = set(kw["attention_resolutions"])
+    return ref_unet.UNetModel(**kw)
+
+
+def build_clf(dtype=None):
+    import jax.numpy as jnp
+
+    from ddnm_tpu.models.unet_adm import ADMClassifier
+
+    return ADMClassifier(**CLF_KW, dtype=dtype or jnp.float32)
+
+
+def build_ref_clf():
+    from tests._reference import import_reference
+
+    ref_unet = import_reference("guided_diffusion.unet")
+    kw = dict(CLF_KW)
+    kw["attention_resolutions"] = set(kw["attention_resolutions"])
+    return ref_unet.EncoderUNetModel(**kw)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=7000)
+    ap.add_argument("--clf_steps", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--family", default="all",
+                    choices=["adm", "classifier", "all"])
+    ns = ap.parse_args(argv)
+
+    import train_mid_golden as mid
+
+    if ns.family in ("adm", "all"):
+        mid.train_eps_family(
+            "adm", ns.steps, ns.batch, ns.lr,
+            res=RES, build=build_adm, build_ref=build_ref_adm,
+            export_name="big_adm128", arch_kw=ADM_KW,
+            extra_meta={"tier": "big128"},
+        )
+    if ns.family in ("classifier", "all"):
+        mid.train_classifier(
+            ns.clf_steps, ns.batch, 3e-4,
+            res=RES, build=build_clf, build_ref=build_ref_clf,
+            export_name="big_clf128", arch_kw=CLF_KW,
+            extra_meta={"tier": "big128"},
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -327,7 +327,13 @@ def train_eps_family(family: str, steps: int, batch: int, lr: float, *,
     ckpt.unlink(missing_ok=True)  # fixture written; drop the hang insurance
 
 
-def train_classifier(steps: int, batch: int, lr: float):
+def train_classifier(steps: int, batch: int, lr: float, *,
+                     res: int | None = None, build=None, build_ref=None,
+                     export_name: str | None = None, arch_kw=None,
+                     extra_meta=None):
+    """Noisy-image classifier training (4-class blob family). The keyword
+    overrides let other golden tiers (tools/train_big_adm_golden.py's 128px
+    EncoderUNet) reuse this loop, like train_eps_family."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -337,7 +343,8 @@ def train_classifier(steps: int, batch: int, lr: float):
     from train_toy_classifier_golden import make_class_blobs
 
     enable_compilation_cache()
-    model = build_clf()
+    RES = globals()["RES"] if res is None else res  # noqa: N806
+    model = (build or build_clf)()
     params = jit_init(model, jax.random.PRNGKey(0),
                       jnp.zeros((1, RES, RES, 3)), jnp.zeros((1,)))
     betas = schedules.named_beta_schedule("linear", T, use_scale=True)
@@ -376,12 +383,16 @@ def train_classifier(steps: int, batch: int, lr: float):
                   f"acc {float(acc):.3f} ({time.time() - t0:.0f}s)",
                   flush=True)
 
+    kw = arch_kw if arch_kw is not None else CLF_KW
     meta = {"res": RES, "T": T, "n_classes": N_CLASSES,
             "arch": {k: list(v) if isinstance(v, tuple) else v
-                     for k, v in CLF_KW.items()},
+                     for k, v in kw.items()},
             "train_steps": steps, "batch": batch, "lr": lr,
             "export_dtype": "float16", "curve": tail}
-    _export(params, build_ref_clf, "adm_key_map", "mid_clf64", meta)
+    if extra_meta:
+        meta.update(extra_meta)
+    _export(params, build_ref or build_ref_clf, "adm_key_map",
+            export_name or "mid_clf64", meta)
 
 
 def main(argv=None):
