@@ -445,3 +445,60 @@ def test_posterior_multistep_rejects_noisy_tables():
             model_fn, x_init, apy, op, _posterior_tables_nt(betas, 8),
             jax.random.PRNGKey(0), solver="rk4",
         )
+
+
+def test_posterior_multistep_wins_low_nfe_regime():
+    """Measured regime split in the POSTERIOR / Mask-Shift setting (full
+    mid64 sweep in docs/PERFORMANCE.md "Posterior / hq regime"; same
+    protocol at toy scale here): on a 9-tile Mask-Shift chain the
+    second-order solver beats the reference update by +5.8 dB at 6
+    NFE/tile (24.62 vs 18.85 measured), while at the reference protocol's
+    25 NFE/tile the contractive ddim update is the quality choice
+    (27.85 > every low-NFE number). Both halves pinned, mirroring
+    test_multistep_wins_the_ultra_low_nfe_regime."""
+    from ddnm_tpu import tiling
+    from ddnm_tpu.sampling import build_posterior_tables
+    from tests._golden_adm import ADM_TOY32, _tools_on_path
+    from tests._golden_adm import load_our_model as load_adm
+
+    _tools_on_path()
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parents[1]
+                            / "tools/experiments"))
+    from natural_family import make_naturals
+
+    if not ADM_TOY32.fixture.exists():
+        pytest.skip("toy32 adm fixture not trained")
+
+    res, canvas = ADM_TOY32.res, 2 * ADM_TOY32.res
+    model_fn, params = load_adm(ADM_TOY32)
+    gt = np.asarray(make_naturals(jax.random.PRNGKey(42), 1, canvas))
+    betas = sch.named_beta_schedule("linear", T, use_scale=True)
+
+    old_tile, old_stride = tiling.TILE, tiling.STRIDE
+    tiling.TILE, tiling.STRIDE = res, res // 2
+    try:
+        def run(solver, nfe):
+            tables = build_posterior_tables(
+                betas=betas, timestep_respacing=str(nfe),
+                schedule_jump_params=dict(t_T=nfe, n_sample=1,
+                                          jump_length=1, jump_n_sample=1))
+            out = tiling.mask_shift_sample(
+                model_fn, gt, "sr_averagepooling", tables,
+                jax.random.fold_in(jax.random.PRNGKey(7), 0), scale=4,
+                params=params, noise_fn=_zero_noise, solver=solver)
+            gt01 = (gt[0] + 1.0) / 2.0
+            out01 = np.clip((out["final"][0] + 1.0) / 2.0, 0.0, 1.0)
+            return psnr01(out01, gt01)
+
+        ms6 = run("multistep", 6)
+        ddim6 = run("ddim", 6)
+        assert ms6 > ddim6 + 3.5, (ms6, ddim6)
+        # crossover: at the reference protocol's per-tile budget the
+        # contractive update converges to the higher-PSNR limit
+        ddim25 = run("ddim", 25)
+        assert ddim25 > ms6 + 2.0, (ddim25, ms6)
+    finally:
+        tiling.TILE, tiling.STRIDE = old_tile, old_stride
