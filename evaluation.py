@@ -61,6 +61,14 @@ def parse_args(argv=None):
     p.add_argument("--datasets", type=str, default="celeba,imagenet")
     p.add_argument("--path-y-celeba", type=str, default="celeba_hq")
     p.add_argument("--path-y-imagenet", type=str, default="imagenet")
+    p.add_argument("--config-celeba", type=str, default=None,
+                   help="substitute config for the CelebA rows (e.g. "
+                        "flag256.yml to run the locally-trained flagship "
+                        "fixture at its exact arch)")
+    p.add_argument("--config-imagenet", type=str, default=None,
+                   help="substitute config for the ImageNet rows (e.g. "
+                        "adm128.yml — the trained ADM stand-in for the "
+                        "unreachable 552M checkpoint)")
     p.add_argument("--mask_path", type=str, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--t-sampling", type=int, default=None,
@@ -88,6 +96,10 @@ def main(argv=None):
     for (name, config, deg, scale, sigma_y, simplified, noisy), ckpt, path_y in runs:
         if ns.smoke:
             config = "smoke.yml"
+        elif config == "celeba_hq.yml" and ns.config_celeba:
+            config = ns.config_celeba
+        elif config == "imagenet_256.yml" and ns.config_imagenet:
+            config = ns.config_imagenet
         argv_run = [
             "--config", config, "--deg", deg, "--deg_scale", str(scale),
             "--sigma_y", str(sigma_y), "--exp", ns.exp, "--path_y", path_y,

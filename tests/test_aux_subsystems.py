@@ -146,6 +146,23 @@ def test_evaluation_dry_run(tmp_path):
     assert (tmp_path / "report.json").exists()
 
 
+def test_evaluation_config_substitution(tmp_path):
+    """--config-celeba/--config-imagenet swap the per-dataset configs (the
+    executed-sweep path: locally-trained flag256/adm128 stand-ins for the
+    unreachable reference checkpoints)."""
+    out = subprocess.run(
+        [sys.executable, str(REPO / "evaluation.py"), "--dry-run",
+         "--random-init", "-i", str(tmp_path),
+         "--config-celeba", "flag256.yml", "--config-imagenet", "adm128.yml"],
+        check=True, capture_output=True, text=True,
+    )
+    assert out.stdout.count("== ") == 14
+    assert "celeba_hq.yml" not in out.stdout
+    assert "imagenet_256.yml" not in out.stdout
+    assert out.stdout.count("flag256.yml") == 8
+    assert out.stdout.count("adm128.yml") == 6
+
+
 def test_orbax_roundtrip_with_sharded_target(tmp_path):
     """Orbax save/restore, including restore into explicit shardings on the
     virtual multi-device mesh (production multi-chip restore path)."""
