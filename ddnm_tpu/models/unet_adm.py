@@ -232,6 +232,13 @@ class _ADMBase(nn.Module):
     def _heads(self, ch: int) -> int:
         if self.num_head_channels == -1:
             return self.num_heads
+        if ch % self.num_head_channels:
+            # mirror the reference's constraint (unet.py:279-283) instead of
+            # silently flooring — a config the reference refuses must not
+            # quietly train here with different head grouping
+            raise ValueError(
+                f"q,k,v channels {ch} not divisible by num_head_channels "
+                f"{self.num_head_channels} (guided_diffusion/unet.py:281)")
         return ch // self.num_head_channels
 
     def _attn(self, heads: int, name: str) -> "AttentionBlock":
@@ -345,7 +352,7 @@ class ADMUNet(_ADMBase):
                 if ds in self.attention_resolutions:
                     heads = (
                         num_heads_up if self.num_head_channels == -1
-                        else ch // self.num_head_channels
+                        else self._heads(ch)
                     )
                     h = self._attn(heads, f"output_blocks_{idx}_{layer_i}")(h)
                     layer_i += 1

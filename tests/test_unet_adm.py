@@ -377,3 +377,28 @@ def test_adm_mode_validation_and_superres_split():
         model.apply(params, x, t, low, mode="Encode")
     with pytest.raises(ValueError, match="cache"):
         model.apply(params, x, t, low, mode="decode")
+
+
+def test_head_channels_divisibility_guard():
+    """Configs the reference refuses (unet.py:279-283 assert: attended
+    channels % num_head_channels != 0) must raise here too instead of
+    silently flooring the head count — caught in round 5 when a 96-ch
+    (1,1,2,3,4) ladder trained 7k steps at 64 head-channels, then failed
+    export against the reference template (288 % 64 != 0)."""
+    import pytest
+
+    from ddnm_tpu.models.unet_adm import ADMUNet
+
+    bad = ADMUNet(
+        image_size=64, in_channels=3, model_channels=96, out_channels=6,
+        num_res_blocks=1, attention_resolutions=(4,),
+        channel_mult=(1, 2, 3), num_heads=4, num_head_channels=64,
+    )
+    with pytest.raises(ValueError, match="288.*num_head_channels"):
+        jax.eval_shape(
+            bad.init, jax.random.PRNGKey(0),
+            jnp.zeros((1, 64, 64, 3)), jnp.zeros((1,)),
+        )
+    ok = bad.copy(num_head_channels=32)
+    jax.eval_shape(ok.init, jax.random.PRNGKey(0),
+                   jnp.zeros((1, 64, 64, 3)), jnp.zeros((1,)))

@@ -8,9 +8,10 @@ unet.py:396-664) attends at ds 8/16/32 — i.e. THREE feature grids
 (32x32, 16x16, 8x8). This tier reproduces those exact grids at 128px:
 attention_resolutions (4, 8, 16) -> 32/16/8-token-grid attention, the
 reference's 128px channel ladder (1,1,2,3,4) (script_util.py:149-161),
-learn_sigma, FiLM, resblock_updown, 64 head-channels (the flagship head
-size). The classifier mirrors EncoderUNetModel (unet.py:684-895,
-pool="attention") at the same resolution for the guided golden row.
+learn_sigma, FiLM, resblock_updown, 32 head-channels (the ladder's 288-ch
+stage is not divisible by the flagship's 64 — see ADM_KW). The classifier
+mirrors EncoderUNetModel (unet.py:684-895, pool="attention") at the same
+resolution, with the flagship's 64 head-channels, for the guided row.
 
 Reuses tools/train_mid_golden.py's loops; exports fp16 torch state dicts
 (tests/fixtures/big_adm128.pt, big_clf128.pt) both frameworks load.
@@ -39,11 +40,16 @@ RES = 128
 N_CLASSES = 4
 
 # flagship attention GRIDS (32/16/8) at 128px: ds 4/8/16. Channel ladder =
-# the reference's own 128px branch (script_util.py:149-161).
+# the reference's own 128px branch (script_util.py:149-161). Head size 32
+# (not the flagship's 64): the 96-channel ladder's ds8 stage is 288
+# channels, which the reference refuses at 64 head-channels
+# (unet.py:279-283 assert — mirrored by our ADMUNet._heads); 32 divides
+# every attended stage (192/288/384) while keeping the exact ladder and
+# all three attention grids.
 ADM_KW = dict(
     image_size=RES, in_channels=3, model_channels=96, out_channels=6,
     num_res_blocks=2, attention_resolutions=(4, 8, 16),
-    channel_mult=(1, 1, 2, 3, 4), num_heads=4, num_head_channels=64,
+    channel_mult=(1, 1, 2, 3, 4), num_heads=4, num_head_channels=32,
     use_scale_shift_norm=True, resblock_updown=True,
 )
 
@@ -100,6 +106,14 @@ def main(argv=None):
     ns = ap.parse_args(argv)
 
     import train_mid_golden as mid
+
+    # fail fast on configs the reference refuses (unet.py:279-283) BEFORE
+    # burning chip time — the round-5 first run trained 7k steps then
+    # crashed in _export building the torch template
+    if ns.family in ("adm", "all"):
+        build_ref_adm()
+    if ns.family in ("classifier", "all"):
+        build_ref_clf()
 
     if ns.family in ("adm", "all"):
         mid.train_eps_family(
