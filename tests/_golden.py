@@ -314,7 +314,8 @@ def psnr01(a01: np.ndarray, b01: np.ndarray) -> float:
 
 def run_task(deg: str, deg_scale: float, sigma_y: float, n_images: int = 4,
              return_images: bool = False, tier: Tier = TOY32, dtype=None,
-             skip_ref: bool = False, t_sampling: int = T_SAMPLING):
+             skip_ref: bool = False, t_sampling: int = T_SAMPLING,
+             travel_length: int = 1, travel_repeat: int = 1):
     """Run one task through both frameworks (zero noise, shared x_T).
 
     Returns dict with ours/ref PSNR vs gt and ours-vs-ref max abs diff.
@@ -371,8 +372,9 @@ def run_task(deg: str, deg_scale: float, sigma_y: float, n_images: int = 4,
 
         cfg = _NS({
             "diffusion": {"num_diffusion_timesteps": T},
-            "time_travel": {"T_sampling": t_sampling, "travel_length": 1,
-                            "travel_repeat": 1},
+            "time_travel": {"T_sampling": t_sampling,
+                            "travel_length": travel_length,
+                            "travel_repeat": travel_repeat},
         })
 
         ref_model = load_ref_model(tier)
@@ -387,7 +389,9 @@ def run_task(deg: str, deg_scale: float, sigma_y: float, n_images: int = 4,
             ref_out = xs[-1].numpy()
 
     model_fn, params = load_our_model(tier, dtype)
-    sched = build_schedule(betas=betas, t_sampling=t_sampling)
+    sched = build_schedule(betas=betas, t_sampling=t_sampling,
+                           travel_length=travel_length,
+                           travel_repeat=travel_repeat)
     zero = lambda key, shape: jnp.zeros(shape, jnp.float32)
     x, _ = sample_svd(
         model_fn,
