@@ -225,11 +225,27 @@ class Runner:
             # reference default asset location (diffusion.py:256,465)
             default = Path(self.args.exp) / "inp_masks" / "mask.npy"
             if default.exists():
-                return load_mask(default)
-            raise ValueError(
-                f"task {self.args.deg} needs --mask_path (or {default})"
+                mask = load_mask(default)
+            else:
+                raise ValueError(
+                    f"task {self.args.deg} needs --mask_path (or {default})"
+                )
+        else:
+            mask = load_mask(path)
+        # the reference indexes the mask into a fixed-size image and crashes
+        # on size mismatch (its assets are all 256px); at other resolutions
+        # nearest-resize the {0,1} mask instead of failing (round-5 find:
+        # the 128px ADM eval sweep hit index-out-of-bounds on the default)
+        size = self.config.data.image_size
+        if mask.ndim >= 2 and mask.shape[-2:] != (size, size):
+            logger.info(
+                "resizing %sx%s mask to %dpx (nearest)",
+                mask.shape[-2], mask.shape[-1], size,
             )
-        return load_mask(path)
+            ys = (np.arange(size) * mask.shape[-2] // size).astype(np.int64)
+            xs = (np.arange(size) * mask.shape[-1] // size).astype(np.int64)
+            mask = mask[..., ys[:, None], xs[None, :]]
+        return mask
 
     def build_operator(self):
         args, cfg = self.args, self.config

@@ -679,3 +679,32 @@ def test_docs_paths_exist():
                 missing.setdefault(doc.name, set()).add(rel)
     missing = {k: sorted(v) for k, v in missing.items()}
     assert not missing, f"docs reference missing files: {missing}"
+
+
+def test_runner_mask_auto_resize(tmp_path):
+    """A default/explicit inpainting mask whose resolution differs from the
+    config's image_size is nearest-resized instead of crashing downstream
+    with index-out-of-bounds (round-5 find: the 256px default mask against
+    the 128px ADM eval config). The reference has no such path — all its
+    assets are 256px."""
+    from ddnm_tpu.config import load_config
+    from ddnm_tpu.runner import RunArgs, Runner
+
+    cfg = load_config(REPO / "configs" / "smoke.yml")  # image_size 64
+    big = np.zeros((256, 256), np.float32)
+    big[:, :128] = 1.0  # left half kept
+    np.save(tmp_path / "mask256.npy", big)
+    r = Runner(RunArgs(mask_path=str(tmp_path / "mask256.npy"),
+                       deg="inpainting"), cfg)
+    m = r._mask()
+    assert m.shape == (64, 64)
+    assert set(np.unique(m)) == {0.0, 1.0}
+    np.testing.assert_array_equal(m[:, :32], 1.0)
+    np.testing.assert_array_equal(m[:, 32:], 0.0)
+
+    # matching-size masks pass through bit-identically
+    small = (np.arange(64 * 64).reshape(64, 64) % 2).astype(np.float32)
+    np.save(tmp_path / "mask64.npy", small)
+    r2 = Runner(RunArgs(mask_path=str(tmp_path / "mask64.npy"),
+                        deg="inpainting"), cfg)
+    np.testing.assert_array_equal(r2._mask(), small)
