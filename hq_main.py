@@ -197,6 +197,14 @@ def main(argv=None):
 
     model = build_adm_from_hq(conf, dtype)
     size = int(conf.image_size or 256)
+    # scale the Mask-Shift geometry to the model's native tile size, keeping
+    # the reference's 2:1 tile:stride overlap (its assets are all 256px so it
+    # hard-codes 256/128; a 128px prior must tile at 128 — running tiles at
+    # 2x the trained resolution quadruples the attention token count per
+    # grid and quietly degrades quality). Same pattern as the golden tools.
+    from ddnm_tpu import tiling as _tiling
+
+    _tiling.TILE, _tiling.STRIDE = size, size // 2
     ckpt = ns.ckpt or conf.model_path
     dummy = (jnp.zeros((1, size, size, 3)), jnp.zeros((1,)))
     if conf.class_cond:

@@ -643,3 +643,42 @@ def test_sharding_audit_invariants():
     sp = count_collectives(_sp_forward(2, 4))
     assert sp.get("collective-permute", 0) > 0  # conv halo exchanges
     assert sp.get("all-reduce", 0) > 0  # GroupNorm cross-shard stats
+
+
+def test_hq_cli_tiles_at_config_resolution(tmp_path):
+    """The Mask-Shift tile size follows the config's image_size (round-5
+    fix): a 32px-model config restoring a 64px canvas must run a 3x3
+    overlapped tile grid at TILE=32/STRIDE=16, not a single 256px tile —
+    running tiles at a multiple of the trained resolution multiplies the
+    attention token count per grid and silently degrades quality. The
+    reference hard-codes 256 (its checkpoints are all 256px)."""
+    import yaml
+
+    import hq_main as hq
+    from ddnm_tpu import tiling
+    from ddnm_tpu.data.io import save_image
+
+    conf = yaml.safe_load((REPO / "configs/hq/smoke.yml").read_text())
+    conf["image_size"] = 32
+    conf["attention_resolutions"] = "8"
+    cfg = tmp_path / "hq32.yml"
+    cfg.write_text(yaml.dump(conf))
+
+    rng = np.random.default_rng(0)
+    src = tmp_path / "in.png"
+    save_image(rng.uniform(size=(64, 64, 3)).astype(np.float32), src)
+    old = tiling.TILE, tiling.STRIDE
+    try:
+        out = hq.main([
+            "--config", str(cfg), "--deg", "colorization",
+            "--path_y", str(src), "--random_init",
+            "-i", str(tmp_path / "hq"),
+        ])
+        assert (tiling.TILE, tiling.STRIDE) == (32, 16)
+        assert out["final"].shape[1:] == (64, 64, 3)
+        assert np.isfinite(out["final"]).all()
+        # 3x3 grid -> per-tile intermediates for every tile position
+        tiles = list((tmp_path / "hq" / "tiles").glob("*.png"))
+        assert len(tiles) == 9, sorted(t.name for t in tiles)
+    finally:
+        tiling.TILE, tiling.STRIDE = old
