@@ -33,7 +33,25 @@ import jax.numpy as jnp
 
 from ddnm_tpu import schedules as sch
 from ddnm_tpu.operators.functional import FunctionalOperator
-from ddnm_tpu.sampling.ddnm import _resolve_loop
+from ddnm_tpu.sampling.ddnm import _resolve_loop  # noqa: F401 (re-export)
+
+
+def _resolve_posterior_loop(loop: str) -> str:
+    """Posterior-path loop choice — 'auto' always means scan.
+
+    Unlike the simplified sampler (size-aware auto, ddnm._resolve_loop:
+    host for large models on the remote-compile backend), the posterior/hq
+    tile chain measured ~25-30x FASTER under scan on that backend at 59M
+    params: 9.5-12.8 s vs 293-326 s per 45-call tile (round 5,
+    docs/PERFORMANCE.md "hq loop driver regression"), and its scan
+    compiles in ~60 s. The round-1 91 s hq 512px result was the
+    device-resident scan; round 3's size-aware auto (tuned on the
+    simplified sampler) silently regressed this path to host-driven.
+    "host" remains available explicitly.
+    """
+    if loop == "auto":
+        return "scan"
+    return loop
 from ddnm_tpu.sampling.rng import default_noise as _default_noise
 from ddnm_tpu.sampling.rng import draw_noise, split_key
 
@@ -387,9 +405,11 @@ def sample_posterior(
     (condition_mean, gaussian_diffusion.py:413-430).
 
     Same dual loop drivers as ddnm.py (see its module docstring): "scan" is
-    one executable, "host" dispatches a jitted step per timestep; "auto"
-    picks "host" on the axon backend for large models and "scan" otherwise
-    (size-aware, see ddnm._resolve_loop). Identical numerics either way.
+    one executable, "host" dispatches a jitted step per timestep. "auto"
+    always resolves to "scan" on this path (_resolve_posterior_loop: the
+    tile chain is dispatch-bound host-driven through the remote-compile
+    tunnel — measured 25-30x win for scan, round 5). Identical numerics
+    either way.
 
     `params`: optional pytree given to model_fn/guidance_fn as their first
     argument, keeping weights out of the compiled HLO (required for large
@@ -423,7 +443,7 @@ def sample_posterior(
     if not has_ctx:
         op_ctx = jnp.zeros((), jnp.float32)
 
-    if _resolve_loop(loop, params) == "scan":
+    if _resolve_posterior_loop(loop) == "scan":
         return _run_scan(
             body, noise_fn, has_paste, has_ctx, params, x_init, apy,
             paste_mask, paste_content, op_ctx, tables, key,

@@ -66,6 +66,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ddnm_tpu.sampling.posterior import _resolve_posterior_loop  # noqa: E501
 from ddnm_tpu.sampling.ddnm import (
     DDNMSchedule,
     _Body,
@@ -73,6 +74,7 @@ from ddnm_tpu.sampling.ddnm import (
     _host_travel,
     _nhwc_to_vec,
     _resolve_loop,
+
     _scan_inputs,
     _travel_step,
     _vec_to_nhwc,
@@ -478,7 +480,7 @@ def sample_posterior_multistep(
         paste_content = jnp.zeros((), jnp.float32)
     if not has_ctx:
         op_ctx = jnp.zeros((), jnp.float32)
-    if _resolve_loop(loop, params) == "scan":
+    if _resolve_posterior_loop(loop) == "scan":
         return _run_scan_pms(
             predict, noise_fn, has_paste, has_ctx, params, x_init, apy,
             paste_mask, paste_content, op_ctx, tables, key)

@@ -502,3 +502,16 @@ def test_posterior_multistep_wins_low_nfe_regime():
         assert ddim25 > ms6 + 2.0, (ddim25, ms6)
     finally:
         tiling.TILE, tiling.STRIDE = old_tile, old_stride
+
+
+def test_posterior_auto_loop_is_scan():
+    """The posterior/hq path's 'auto' ALWAYS means scan — unlike the
+    simplified sampler's size-aware rule. Measured on the remote-compile
+    backend (round 5): 45-call tile chain = 9.5-12.8 s scanned vs
+    293-326 s host-driven (~25-30x) at 59M params; round 3's size-aware
+    auto had silently regressed the hq tile chain to host."""
+    from ddnm_tpu.sampling.posterior import _resolve_posterior_loop
+
+    assert _resolve_posterior_loop("auto") == "scan"
+    assert _resolve_posterior_loop("scan") == "scan"
+    assert _resolve_posterior_loop("host") == "host"
